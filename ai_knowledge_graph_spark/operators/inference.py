@@ -1,0 +1,303 @@
+"""Phase-3 relationship inference as joins (no LLM stages; config-gated off).
+
+Reference semantics: entity_standardization.py:183-271 with
+``use_llm_for_inference = false`` — i.e. transitive inference (:314-354) +
+lexical-similarity inference (:661-752) + dedup (:356-375) + final predicate
+truncation + self-loop filter. The reference's nested Python loops become:
+
+  transitive  -> self equi-join on the distinct edge set + left-anti join
+                 against existing (s, o) pairs (J2+J3), with the "last
+                 predicate wins" dict replayed as a window (W3)
+  lexical     -> token-blocked and 4-gram-blocked self-joins over the entity
+                 vocabulary (J4) instead of the O(n^2) all-pairs loop
+  dedup       -> window keeping the reference's survivor: the *last*
+                 non-inferred copy if any, else an inferred copy (W2)
+
+Determinism: pair iteration order (reference: hash order of a Python set) is
+totalized lexicographically; emitted-triple *content* only depends on it for
+the symmetric "related to" case (direction of the pair), which the P/R
+tolerance absorbs and oracle/refimpl.py mirrors exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .standardize import limit_predicate_col, valid_triples
+
+# Ordering columns standing in for the reference's list position.
+def _pos_desc():
+    return [
+        F.col("url").desc_nulls_last(),
+        F.col("chunk").desc_nulls_last(),
+        F.col("t_idx").desc_nulls_last(),
+    ]
+
+
+def last_predicate_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (subject, object) with the last-seen predicate (W3).
+
+    The reference builds ``predicates[(s, o)] = p`` by overwriting in list
+    order (entity_standardization.py:327-331), so the last triple per (s, o)
+    defines the pair's predicate for transitive composition.
+    """
+    w = Window.partitionBy("subject", "object").orderBy(*_pos_desc())
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subject", "object", "predicate")
+    )
+
+
+def transitive_inference(triples: DataFrame) -> DataFrame:
+    """A->B->C => A->C one-step composition (G2/J2/J3).
+
+    Predicate: ``indirectly p1`` if p1 == p2 else ``p1 via B``, truncated at
+    emission (entity_standardization.py:338-349). One new row per distinct
+    (A, B, C) path whose (A, C) pair has no existing edge.
+    """
+    edges = last_predicate_edges(triples).localCheckpoint(eager=True)
+    e1 = edges.select(
+        F.col("subject").alias("subj"),
+        F.col("object").alias("mid"),
+        F.col("predicate").alias("p1"),
+    )
+    e2 = edges.select(
+        F.col("subject").alias("mid"),
+        F.col("object").alias("obj"),
+        F.col("predicate").alias("p2"),
+    )
+    paths = e1.join(e2, "mid").filter(F.col("subj") != F.col("obj"))
+    existing = edges.select(
+        F.col("subject").alias("subj"), F.col("object").alias("obj")
+    )
+    fresh = paths.join(existing, ["subj", "obj"], "left_anti")
+    new_pred = F.when(
+        F.col("p1") == F.col("p2"), F.concat(F.lit("indirectly "), F.col("p1"))
+    ).otherwise(F.concat(F.col("p1"), F.lit(" via "), F.col("mid")))
+    return fresh.select(
+        F.col("subj").alias("subject"),
+        limit_predicate_col(new_pred).alias("predicate"),
+        F.col("obj").alias("object"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("int").alias("chunk"),
+        F.lit(None).cast("int").alias("t_idx"),
+        F.lit(True).alias("inferred"),
+        F.lit("transitive").alias("stage"),
+    ).distinct()
+
+
+def _entity_features(triples: DataFrame) -> DataFrame:
+    """Distinct entities with lowered form, word set, and 4-char prefix."""
+    ents = (
+        triples.select(F.col("subject").alias("entity"))
+        .unionByName(triples.select(F.col("object").alias("entity")))
+        .distinct()
+    )
+    return ents.select(
+        "entity",
+        F.lower("entity").alias("elow"),
+        F.array_distinct(
+            F.filter(F.split(F.lower("entity"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("words"),
+    )
+
+
+def lexical_inference(triples: DataFrame, max_block_size: int = 0) -> DataFrame:
+    """Lexical-similarity inference (entity_standardization.py:661-752).
+
+    Candidate pairs come from two lossless blockings instead of all-pairs:
+      * shared-word pairs: explode lowered words, self-join on the word;
+      * containment pairs: the shorter entity's 4-char prefix must occur
+        among the longer entity's 4-grams (plus a broadcast pass for
+        entities shorter than 4 chars, which no 4-gram key can block).
+
+    Rules per unordered pair (e1 < e2 lexicographically):
+      * a shared word exists: the longest shared word, if >= 4 chars, emits
+        a ``relates to`` / ``related to`` edge directed by startswith; a
+        shared word < 4 chars emits nothing AND suppresses the containment
+        check (the reference's elif chain, :708-736);
+      * otherwise substring containment emits ``is type of``.
+    Pairs already connected in either direction are skipped (:686).
+
+    ``max_block_size`` > 0 drops blocking tokens whose document frequency
+    exceeds the cap — a web-scale guard (a token shared by n entities emits
+    O(n^2) candidate pairs); 0 keeps exact reference semantics.
+    """
+    feats = _entity_features(triples).localCheckpoint(eager=True)
+
+    words = feats.select("entity", F.explode("words").alias("w"))
+    if max_block_size > 0:
+        hot = (
+            words.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_block_size)
+            .select("w")
+        )
+        words = words.join(F.broadcast(hot), "w", "left_anti")
+    w1 = words.select(F.col("entity").alias("x"), "w")
+    w2 = words.select(F.col("entity").alias("y"), "w")
+    cand_shared = (
+        w1.join(w2, "w").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+    )
+
+    # Containment blocking: prefix-4 of the contained side appears among the
+    # container's 4-grams. (A substring's first 4 chars are a 4-gram of the
+    # container.)
+    short4 = feats.filter(F.length("elow") >= 4).select(
+        F.col("entity").alias("se"), F.substring("elow", 1, 4).alias("g")
+    )
+    grams = feats.filter(F.length("elow") >= 4).select(
+        F.col("entity").alias("le"),
+        F.explode(
+            F.expr("transform(sequence(1, length(elow) - 3), i -> substring(elow, i, 4))")
+        ).alias("g"),
+    )
+    cand_contain = (
+        short4.join(grams, "g")
+        .filter(F.col("se") != F.col("le"))
+        .select(
+            F.least("se", "le").alias("x"), F.greatest("se", "le").alias("y")
+        )
+        .distinct()
+    )
+    # Entities shorter than 4 chars: tiny vocabulary slice — broadcast pass.
+    tiny = feats.filter(F.length("elow") < 4).select(
+        F.col("entity").alias("se"), F.col("elow").alias("slow")
+    )
+    cand_tiny = (
+        feats.select(F.col("entity").alias("le"), F.col("elow").alias("llow"))
+        .join(F.broadcast(tiny), F.col("llow").contains(F.col("slow")))
+        .filter(F.col("se") != F.col("le"))
+        .select(F.least("se", "le").alias("x"), F.greatest("se", "le").alias("y"))
+        .distinct()
+    )
+
+    pairs = cand_shared.unionByName(cand_contain).unionByName(cand_tiny).distinct()
+
+    fx = feats.select(
+        F.col("entity").alias("x"), F.col("elow").alias("xlow"), F.col("words").alias("xwords")
+    )
+    fy = feats.select(
+        F.col("entity").alias("y"), F.col("elow").alias("ylow"), F.col("words").alias("ywords")
+    )
+    scored = pairs.join(fx, "x").join(fy, "y")
+
+    # Skip pairs already connected in either direction (:686).
+    existing = triples.select("subject", "object").distinct().localCheckpoint(eager=True)
+    scored = scored.join(
+        existing,
+        (scored.x == existing.subject) & (scored.y == existing.object),
+        "left_anti",
+    )
+    scored = scored.join(
+        existing,
+        (scored.x == existing.object) & (scored.y == existing.subject),
+        "left_anti",
+    )
+
+    shared = F.array_intersect("xwords", "ywords")
+    # Longest shared word; ties pick the lexicographically largest (the
+    # reference's max() keeps the first in set-iteration order — untotalized).
+    main_shared = F.when(
+        F.size(shared) > 0,
+        F.array_max(F.transform(shared, lambda w: F.struct(F.length(w).alias("l"), w.alias("w")))).getField("w"),
+    )
+    x_starts = F.col("xlow").startswith(main_shared)
+    y_starts = F.col("ylow").startswith(main_shared)
+
+    has_shared = F.size(shared) > 0
+    big_shared = has_shared & (F.length(main_shared) >= 4)
+
+    subject_col = (
+        F.when(big_shared & x_starts & ~y_starts, F.col("y"))
+        .when(big_shared & y_starts & ~x_starts, F.col("x"))
+        .when(big_shared, F.col("x"))
+        .when(~has_shared & F.col("ylow").contains(F.col("xlow")), F.col("y"))
+        .when(~has_shared & F.col("xlow").contains(F.col("ylow")), F.col("x"))
+    )
+    object_col = (
+        F.when(big_shared & x_starts & ~y_starts, F.col("x"))
+        .when(big_shared & y_starts & ~x_starts, F.col("y"))
+        .when(big_shared, F.col("y"))
+        .when(~has_shared & F.col("ylow").contains(F.col("xlow")), F.col("x"))
+        .when(~has_shared & F.col("xlow").contains(F.col("ylow")), F.col("y"))
+    )
+    predicate_col = (
+        F.when(big_shared & (x_starts != y_starts), F.lit("relates to"))
+        .when(big_shared, F.lit("related to"))
+        .when(
+            ~has_shared
+            & (F.col("ylow").contains(F.col("xlow")) | F.col("xlow").contains(F.col("ylow"))),
+            F.lit("is type of"),
+        )
+    )
+
+    return (
+        scored.select(
+            subject_col.alias("subject"),
+            predicate_col.alias("predicate"),
+            object_col.alias("object"),
+        )
+        .filter(F.col("predicate").isNotNull())
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("int").alias("chunk"),
+            F.lit(None).cast("int").alias("t_idx"),
+            F.lit(True).alias("inferred"),
+            F.lit("lexical").alias("stage"),
+        )
+    )
+
+
+def deduplicate_triples(triples: DataFrame) -> DataFrame:
+    """W2: per (s, p, o) keep the last non-inferred copy, else an inferred one.
+
+    Reference dict replay (entity_standardization.py:366-375): non-inferred
+    triples overwrite unconditionally (so the *last* wins), inferred ones
+    only fill empty slots (so the *first* wins — but inferred duplicates are
+    content-identical, carrying no metadata, so any survivor is equivalent).
+    """
+    order = [F.col("inferred").asc(), *_pos_desc()]
+    if "stage" in triples.columns:
+        order.append(F.col("stage").asc_nulls_last())  # totalize inferred ties
+    w = Window.partitionBy("subject", "predicate", "object").orderBy(*order)
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def infer_relationships(
+    triples: DataFrame,
+    apply_transitive: bool = True,
+    apply_lexical: bool = True,
+    max_block_size: int = 0,
+) -> DataFrame:
+    """Phase 3 end-to-end (LLM sub-stages off): infer, union, dedup, truncate,
+    drop self-loops (entity_standardization.py:183-271)."""
+    valid = valid_triples(triples)
+    if "stage" not in valid.columns:
+        valid = valid.withColumn("stage", F.lit("extract"))
+    if "inferred" not in valid.columns:
+        valid = valid.withColumn("inferred", F.lit(False))
+    valid = valid.localCheckpoint(eager=True)  # feeds union + transitive + lexical
+
+    parts = [valid]
+    if apply_transitive:
+        parts.append(transitive_inference(valid))
+    if apply_lexical:
+        parts.append(lexical_inference(valid, max_block_size=max_block_size))
+
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p, allowMissingColumns=True)
+
+    deduped = deduplicate_triples(unioned)
+    truncated = deduped.withColumn("predicate", limit_predicate_col("predicate"))
+    return truncated.filter(F.col("subject") != F.col("object"))

@@ -1,0 +1,105 @@
+"""End-to-end KG-construction pipeline: pages -> triples -> graph tables.
+
+Stage layout mirrors the reference lifecycle (main.py:90-218; SURVEY.md §3.1)
+with explicit repartition barriers between extract, canonicalize and
+materialize (north_rule) and a parquet checkpoint + lineage table per stage:
+
+    pages --(repartition by url)--> extract   -> triples_raw
+          --(repartition by subject)--> standardize -> triples_std
+          -->                        infer     -> triples_final
+          --(repartition by entity hash)--> materialize -> nodes / edges
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import load_config
+from .lineage import checkpoint_stage, stage_is_complete
+from .operators.extraction import pages_to_raw_triples
+from .operators.inference import infer_relationships
+from .operators.standardize import standardize_triples
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: dict[str, Any] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run phases 1-3 and return the final triples DataFrame.
+
+    ``checkpoint_dir`` enables per-stage committed outputs: a re-run skips
+    every committed stage (idempotent resume). Config keys mirror the
+    reference's config.toml.
+    """
+    cfg = config or load_config()
+    chunking = cfg.get("chunking", {})
+    engine = cfg.get("engine", {})
+    stage_parts = int(engine.get("stage_partitions", 32))
+    ckpt = checkpoint_dir or engine.get("checkpoint_dir")
+
+    def _stage(stage: str, build) -> DataFrame:
+        """Resume-aware stage: a committed stage is read back without even
+        *constructing* its plan (operators contain eager sub-materializations
+        that would otherwise recompute on resume). Without a checkpoint dir,
+        an eager local checkpoint still cuts the logical plan so multi-branch
+        downstream stages don't re-derive the whole upstream DAG per branch.
+        """
+        if ckpt is not None:
+            if stage_is_complete(ckpt, stage):
+                return spark.read.parquet(f"{ckpt}/{stage}")
+            return checkpoint_stage(spark, build(), ckpt, stage)
+        return build().localCheckpoint(eager=True)
+
+    raw = _stage(
+        "triples_raw",
+        lambda: pages_to_raw_triples(
+            pages,
+            chunk_size=int(chunking.get("chunk_size", 500)),
+            overlap=int(chunking.get("overlap", 50)),
+            lang_filter=engine.get("lang_filter", "en"),
+            stage_partitions=stage_parts,
+        ),
+    )
+
+    result = raw
+    if cfg.get("standardization", {}).get("enabled", True):
+        # Canonicalize-stage boundary: co-locate rows by subject before the
+        # mapping joins so the big side shuffles once.
+        prev = result
+        result = _stage(
+            "triples_std",
+            lambda: standardize_triples(prev.repartition(stage_parts, "subject")),
+        )
+
+    if cfg.get("inference", {}).get("enabled", True):
+        prev2 = result
+        result = _stage(
+            "triples_final",
+            lambda: infer_relationships(
+                prev2,
+                apply_transitive=cfg.get("inference", {}).get("apply_transitive", True),
+                max_block_size=int(engine.get("max_block_size", 0)),
+            ),
+        )
+
+    return result
+
+
+def pages_from_documents(documents: DataFrame) -> DataFrame:
+    """Adapt the driver-provided ``documents`` table to the pages shape.
+
+    Deterministic: url derives from doc_id; html wraps text. Lets every
+    pipeline query run off /root/testdata without synthesizing data.
+    """
+    return documents.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

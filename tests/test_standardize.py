@@ -1,0 +1,110 @@
+"""Phase-2 standardization: Spark == single-node refimpl EXACTLY."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.operators.standardize import (
+    build_entity_mapping,
+    limit_predicate_col,
+    standardize_triples,
+)
+from ai_knowledge_graph_spark.oracle import refimpl
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_standardize_exact_vs_refimpl(spark, raw_triples):
+    rows = [r.asDict() for r in raw_triples.collect()]
+    rows.sort(key=lambda r: (r["url"], r["chunk"], r["t_idx"]))
+
+    engine = _collect_sorted(
+        standardize_triples(raw_triples), ["subject", "predicate", "object", "chunk"]
+    )
+    oracle = sorted(
+        (t["subject"], t["predicate"], t["object"], t["chunk"])
+        for t in refimpl.standardize(rows)
+    )
+    assert engine == oracle
+    assert len(engine) > 100
+
+
+def test_mapping_covers_all_lowered_entities(spark, raw_triples):
+    mapping = build_entity_mapping(raw_triples)
+    ents = (
+        raw_triples.select(F.lower("subject").alias("e"))
+        .union(raw_triples.select(F.lower("object").alias("e")))
+        .distinct()
+    )
+    # every entity with a non-empty normalized form must have a mapping row
+    from ai_knowledge_graph_spark.operators.standardize import normalize_entity_udf
+
+    grouped = ents.withColumn("n", normalize_entity_udf(F.col("e"))).filter(F.col("n") != "")
+    missing = grouped.join(mapping, grouped.e == mapping.variant, "left_anti").count()
+    assert missing == 0
+
+
+def test_second_pass_apply_once_no_chaining(spark):
+    # "factory" <- "factory system" (subset), and "factory" itself is the
+    # standard of its group: variants that pointed at "factory system" keep
+    # pointing there ONLY if their key isn't the remapped form itself
+    # (reference entity_standardization.py:153-155 applies the override to
+    # the exact key, not the group).
+    rows = [
+        {"subject": "Factory System", "predicate": "p", "object": "x1", "url": None, "chunk": 1, "t_idx": 0, "inferred": False},
+        {"subject": "factory system", "predicate": "p", "object": "x2", "url": None, "chunk": 1, "t_idx": 1, "inferred": False},
+        {"subject": "factory", "predicate": "p", "object": "x3", "url": None, "chunk": 1, "t_idx": 2, "inferred": False},
+    ]
+    df = spark.createDataFrame(rows, schema="subject string, predicate string, object string, url string, chunk int, t_idx int, inferred boolean")
+    engine = _collect_sorted(
+        standardize_triples(df), ["subject", "predicate", "object"]
+    )
+    oracle = sorted(
+        (t["subject"], t["predicate"], t["object"]) for t in refimpl.standardize(rows)
+    )
+    assert engine == oracle
+    # both lower-case variants of "factory system" end up at "factory"
+    assert all(s == "factory" for s, _, _ in engine)
+
+
+def test_canonical_tiebreak_count_len_lex(spark):
+    # "The Engine" vs "engine": same normalized form "engine"; "engine"
+    # appears more often -> wins on count.
+    rows = [
+        {"subject": "The Engine", "predicate": "p", "object": "o1", "url": None, "chunk": 1, "t_idx": 0, "inferred": False},
+        {"subject": "engine", "predicate": "p", "object": "o2", "url": None, "chunk": 1, "t_idx": 1, "inferred": False},
+        {"subject": "engine", "predicate": "p", "object": "o3", "url": None, "chunk": 1, "t_idx": 2, "inferred": False},
+    ]
+    df = spark.createDataFrame(rows, schema="subject string, predicate string, object string, url string, chunk int, t_idx int, inferred boolean")
+    out = {r["subject"] for r in standardize_triples(df).collect()}
+    assert out == {"engine"}
+
+
+def test_limit_predicate_col_matches_python(spark):
+    from ai_knowledge_graph_spark.functions.text import limit_predicate_length
+
+    preds = [
+        "led to the creation of",
+        "is",
+        "one two three four",
+        "one two OF four",
+        "a  b   c  d",  # whitespace runs
+        "tab\tseparated words here",
+        "",
+        "one two three",
+    ]
+    df = spark.createDataFrame([(p,) for p in preds], ["p"])
+    got = [r["out"] for r in df.select(limit_predicate_col("p").alias("out")).collect()]
+    assert got == [limit_predicate_length(p) for p in preds]
+
+
+def test_empty_normalized_entities_keep_original_case(spark):
+    # entity made only of stopwords -> no mapping row -> original case kept
+    rows = [
+        {"subject": "The Of", "predicate": "p", "object": "engine", "url": None, "chunk": 1, "t_idx": 0, "inferred": False},
+    ]
+    df = spark.createDataFrame(rows, schema="subject string, predicate string, object string, url string, chunk int, t_idx int, inferred boolean")
+    out = standardize_triples(df).collect()
+    assert out[0]["subject"] == "The Of"
