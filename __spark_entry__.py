@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2
+(KG pipeline stages + graph ops + training-data ops over the provided
+tables); ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL mirror for each —
+including a recursive-CTE replay of the reference's word-window chunker and a
+full SQL build of the standardization/inference pipeline, so the driver's
+value-hash comparison covers the whole engine, not just leaf aggregations.
+
+Chunk parameters for the documents-table queries are 20/5 (driver documents
+are 25-110 words, so the windowing + tail-chunk rules all fire).
 """
 
 from __future__ import annotations
@@ -12,27 +17,882 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.functions.extract import (
+    PREDICATE_FUNCTION_WORDS,
+    RELATION_VERBS,
+)
+from ai_knowledge_graph_spark.functions.text import (
+    NORMALIZE_STOPWORDS,
+    PREDICATE_TRAILING_STOPWORDS,
+)
+
+CHUNK_SIZE = 20
+OVERLAP = 5
+# The inference family (lexical pairs, transitive closure, components) is
+# inherently quadratic in the entity vocabulary — by reference semantics, not
+# by implementation. Those queries run over a fixed 50-document slice on BOTH
+# sides so the DuckDB oracle stays tractable at any scale factor while the
+# Spark side still exercises the full blocked-join machinery.
+INFER_DOCS = 50
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_pages(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    # url encodes doc_id zero-padded so string order == numeric order (the
+    # engine's positional tie-breaks sort on url).
+    docs = _docs(spark, sf_dir)
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    return docs.select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"), "text"
+    )
+
+
+def _doc_id(col="url"):
+    return F.substring(F.col(col), 4, 12).cast("bigint").alias("doc_id")
+
+
+# Stage cache: queries() entries are invoked independently by the driver but
+# share the upstream pipeline; computed stages are localCheckpoint'd once per
+# (session, sf_dir).
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (id(spark), sf_dir, key)
+    if k not in _CACHE:
+        _CACHE[k] = build().localCheckpoint(eager=True)
+    return _CACHE[k]
+
+
+def _chunks(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    from ai_knowledge_graph_spark.operators.chunking import chunk_pages
+
+    return _cached(
+        spark, sf_dir, f"chunks{max_doc}",
+        lambda: chunk_pages(_doc_pages(spark, sf_dir, max_doc), CHUNK_SIZE, OVERLAP),
+    )
+
+
+def _raw_triples(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    from ai_knowledge_graph_spark.operators.extraction import extract_from_chunks
+
+    return _cached(
+        spark, sf_dir, f"raw{max_doc}",
+        lambda: extract_from_chunks(_chunks(spark, sf_dir, max_doc)),
+    )
+
+
+def _std_triples(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    from ai_knowledge_graph_spark.operators.standardize import standardize_triples
+
+    return _cached(
+        spark, sf_dir, f"std{max_doc}",
+        lambda: standardize_triples(_raw_triples(spark, sf_dir, max_doc)),
+    )
+
+
+def q_chunks(spark, sf_dir):
+    return _chunks(spark, sf_dir).select(
+        _doc_id(), "chunk_id", "chunk_text", "n_words"
+    )
+
+
+def q_chunk_stats(spark, sf_dir):
+    return (
+        _chunks(spark, sf_dir)
+        .groupBy(_doc_id())
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_words").alias("total_chunk_words"),
+            F.max("n_words").alias("max_chunk_words"),
+        )
+    )
+
+
+def q_triples_raw(spark, sf_dir):
+    return _raw_triples(spark, sf_dir).select(
+        _doc_id(), "chunk", "t_idx", "subject", "predicate", "object"
+    )
+
+
+def q_predicate_histogram(spark, sf_dir):
+    return (
+        _raw_triples(spark, sf_dir)
+        .groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_entity_counts(spark, sf_dir):
+    from ai_knowledge_graph_spark.operators.standardize import entity_counts
+
+    return entity_counts(_raw_triples(spark, sf_dir)).select("entity", "cnt")
+
+
+def q_unique_entities(spark, sf_dir):
+    raw = _raw_triples(spark, sf_dir)
+    return (
+        raw.select(F.col("subject").alias("entity"))
+        .union(raw.select("object"))
+        .distinct()
+    )
+
+
+def q_entity_mapping(spark, sf_dir):
+    from ai_knowledge_graph_spark.operators.standardize import build_entity_mapping
+
+    return build_entity_mapping(_raw_triples(spark, sf_dir)).select(
+        "variant", "standard"
+    )
+
+
+def q_standardize(spark, sf_dir):
+    return _std_triples(spark, sf_dir).select(
+        _doc_id(), "chunk", "subject", "predicate", "object"
+    )
+
+
+def _fin_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_knowledge_graph_spark.operators.inference import infer_relationships
+
+    return _cached(
+        spark, sf_dir, "fin",
+        lambda: infer_relationships(_std_triples(spark, sf_dir, INFER_DOCS)),
+    )
+
+
+def q_transitive(spark, sf_dir):
+    from ai_knowledge_graph_spark.operators.inference import transitive_inference
+
+    return transitive_inference(_std_triples(spark, sf_dir, INFER_DOCS)).select(
+        "subject", "predicate", "object"
+    )
+
+
+def q_lexical(spark, sf_dir):
+    from ai_knowledge_graph_spark.operators.inference import lexical_inference
+
+    return lexical_inference(_std_triples(spark, sf_dir, INFER_DOCS)).select(
+        "subject", "predicate", "object"
+    )
+
+
+def q_infer_full(spark, sf_dir):
+    return _fin_triples(spark, sf_dir).select(
+        "subject", "predicate", "object", "inferred"
+    )
+
+
+def q_components(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ai_knowledge_graph_spark.operators.components import components_for_triples
+
+    comps = components_for_triples(_std_triples(spark, sf_dir, INFER_DOCS))
+    w = Window.partitionBy("component_id")
+    return comps.select(
+        "entity", F.min("entity").over(w).alias("component_rep")
+    )
+
+
+def q_degree(spark, sf_dir):
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return (
+        std.select(F.explode(F.array("subject", "object")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def q_graph_stats(spark, sf_dir):
+    fin = _fin_triples(spark, sf_dir)
+    ents = fin.select(F.col("subject").alias("e")).union(fin.select("object")).distinct()
+    return fin.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(F.col("inferred").cast("long")).alias("n_inferred"),
+        F.count_distinct("predicate").alias("n_predicates"),
+    ).crossJoin(ents.agg(F.count(F.lit(1)).alias("n_entities")))
+
+
+# --- training-data / data-hygiene operators over documents & embeddings ----
+
+
+def q_dedup_exact(spark, sf_dir):
+    # S5: content-hash dedup on whitespace-normalized text (prepare_data.py:124-128)
+    docs = _docs(spark, sf_dir)
+    normed = docs.select(
+        "doc_id",
+        F.sha2(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), 256).alias(
+            "content_hash"
+        ),
+    )
+    return normed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    # whitespace tokens + BPE-ish regex tokens (words / numbers / single punct)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != F.lit(""))).alias(
+            "ws_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    # length / punctuation / stopword-ratio heuristic quality score
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(NORMALIZE_STOPWORDS)])
+    n_words = F.size(words)
+    stop_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.least(n_words / F.lit(100.0), F.lit(1.0)) * (1 - punct_ratio), 6
+        ).alias("quality"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    # near-duplicate detection: 3-word shingles, exact Jaccard >= 0.5
+    docs = _docs(spark, sf_dir)
+    worded = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit("")).alias(
+            "words"
+        ),
+    ).filter(F.size("words") >= 3)
+    shingled = worded.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(words) - 2),"
+                " i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"
+            )
+        ).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    sh = shingled.filter(F.col("n_sh") > 0)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
+    b = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = inter.withColumn(
+        "jaccard",
+        F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+    )
+    return jacc.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+
+
+def q_embedding_topk(spark, sf_dir):
+    # brute-force cosine top-5 neighbors for query vectors vec_id < 5
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    scored = (
+        q.crossJoin(F.broadcast(cand))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (norm(F.col("qv")) * norm(F.col("cv"))), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    # heuristic n-gram/stopword language id over a tiny wordlist per language
+    docs = _docs(spark, sf_dir)
+    en = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "is", "to")])
+    de = F.array(*[F.lit(w) for w in ("der", "die", "das", "und", "ist", "zu")])
+    fr = F.array(*[F.lit(w) for w in ("le", "la", "les", "et", "est", "de")])
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+    cnt = lambda arr: F.size(F.filter(words, lambda w: F.array_contains(arr, w)))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.when(cnt(de) > F.greatest(cnt(en), cnt(fr)), F.lit("de"))
+        .when(cnt(fr) > F.greatest(cnt(en), cnt(de)), F.lit("fr"))
+        .otherwise(F.lit("en"))
+        .alias("pred_lang"),
+    )
+
+
+def q_clean_graph(spark, sf_dir):
+    # scripts/clean_graph.py pipeline: normalize, short/noise filters,
+    # predicate merges, case-insensitive dedup, singleton-predicate filter.
+    from ai_knowledge_graph_spark.operators.cleaning import clean_triples
+
+    return clean_triples(_raw_triples(spark, sf_dir), min_pred_count=2).select(
+        "subject", "predicate", "object"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline over sf0.001 documents."""
+    from ai_knowledge_graph_spark.config import load_config
+    from ai_knowledge_graph_spark.pipeline import run_pipeline
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = docs.select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    cfg = load_config()
+    cfg["chunking"] = {"chunk_size": CHUNK_SIZE, "overlap": OVERLAP}
+    return run_pipeline(spark, pages, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "chunks": q_chunks,
+        "chunk_stats": q_chunk_stats,
+        "triples_raw": q_triples_raw,
+        "predicate_histogram": q_predicate_histogram,
+        "entity_counts": q_entity_counts,
+        "unique_entities": q_unique_entities,
+        "entity_mapping": q_entity_mapping,
+        "standardize": q_standardize,
+        "transitive": q_transitive,
+        "lexical": q_lexical,
+        "infer_full": q_infer_full,
+        "components": q_components,
+        "degree": q_degree,
+        "graph_stats": q_graph_stats,
+        "clean_graph": q_clean_graph,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _arr(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+_VERBS = _arr(RELATION_VERBS)
+_FW = _arr(PREDICATE_FUNCTION_WORDS)
+_PSTOP = _arr(PREDICATE_TRAILING_STOPWORDS)
+_NSTOP = _arr(NORMALIZE_STOPWORDS)
+
+
+def _w(expr: str) -> str:
+    """Non-empty whitespace tokens of a string expression."""
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), w -> w <> '')"
+
+
+def _trunc(expr: str) -> str:
+    """limit_predicate_length as SQL (entity_standardization.py:7-31)."""
+    w = _w(expr)
+    return (
+        f"(CASE WHEN len({w}) <= 3 THEN {expr} "
+        f"WHEN list_contains({_PSTOP}, lower(({w})[3])) THEN array_to_string(({w})[1:2], ' ') "
+        f"ELSE array_to_string(({w})[1:3], ' ') END)"
+    )
+
+
+# Recursive replay of the reference chunker (text_utils.py:5-46) + the
+# deterministic extractor, shared prelude for every KG oracle query.
+def _prelude(doc_filter: str = "TRUE") -> str:
+    return f"""
+WITH RECURSIVE doc_words AS (
+  SELECT doc_id, text, {_w('text')} AS ws, len({_w('text')}) AS n
+  FROM documents WHERE {doc_filter}
+),
+st AS (
+  SELECT doc_id, ws, n, 0 AS start, 1 AS cid, FALSE AS is_tail
+  FROM doc_words WHERE n > {CHUNK_SIZE}
+  UNION ALL
+  SELECT doc_id, ws, n,
+         least(start + {CHUNK_SIZE}, n) - {OVERLAP},
+         cid + 1,
+         (least(start + {CHUNK_SIZE}, n) - {OVERLAP} + {CHUNK_SIZE} - {OVERLAP} >= n)
+  FROM st
+  WHERE NOT is_tail AND least(start + {CHUNK_SIZE}, n) - {OVERLAP} < n
+),
+chunks AS (
+  SELECT doc_id, 1 AS chunk_id, text AS chunk_text, n AS n_words
+  FROM doc_words WHERE n <= {CHUNK_SIZE}
+  UNION ALL
+  SELECT doc_id, cid,
+         array_to_string(ws[start + 1 : least(start + {CHUNK_SIZE}, n)], ' '),
+         least(start + {CHUNK_SIZE}, n) - start
+  FROM st
+),
+sentences AS (
+  SELECT doc_id, chunk_id,
+         unnest(regexp_split_to_array(chunk_text, '[.!?]+')) AS sentence,
+         generate_subscripts(regexp_split_to_array(chunk_text, '[.!?]+'), 1) AS si
+  FROM chunks
+),
+sent_toks AS (
+  SELECT doc_id, chunk_id, si, {_w('sentence')} AS t, len({_w('sentence')}) AS nt
+  FROM sentences
+),
+verbed AS (
+  SELECT *, list_min(list_filter(
+      list_transform(t, (w, i) -> CASE WHEN list_contains({_VERBS}, lower(w)) THEN i END),
+      v -> v IS NOT NULL)) AS vi
+  FROM sent_toks
+),
+spans AS (
+  SELECT doc_id, chunk_id, si, t, nt, vi, vi + f1 + f2 + f3 AS pe FROM (
+    SELECT *, CASE WHEN f2 = 1 AND nt >= vi + 3 AND list_contains({_FW}, lower(t[vi + 3])) THEN 1 ELSE 0 END AS f3 FROM (
+      SELECT *, CASE WHEN f1 = 1 AND nt >= vi + 2 AND list_contains({_FW}, lower(t[vi + 2])) THEN 1 ELSE 0 END AS f2 FROM (
+        SELECT *, CASE WHEN nt >= vi + 1 AND list_contains({_FW}, lower(t[vi + 1])) THEN 1 ELSE 0 END AS f1
+        FROM verbed WHERE vi IS NOT NULL AND vi >= 2
+      )
+    )
+  )
+),
+extracted AS (
+  SELECT doc_id, chunk_id AS chunk, si,
+    lower(array_to_string(t[greatest(1, vi - 4) : vi - 1], ' ')) AS subject,
+    lower(array_to_string(t[vi : pe], ' ')) AS raw_predicate,
+    lower(array_to_string(t[pe + 1 : least(nt, pe + 4)], ' ')) AS object
+  FROM spans WHERE pe < nt
+),
+triples1 AS (
+  SELECT doc_id, chunk,
+    row_number() OVER (PARTITION BY doc_id, chunk ORDER BY si) - 1 AS t_idx,
+    subject, {_trunc('raw_predicate')} AS predicate, object
+  FROM extracted
+)
+"""
+
+
+_PRELUDE = _prelude()
+_PRELUDE_INFER = _prelude(f"doc_id < {INFER_DOCS}")
+
+# Phase-2 standardization in SQL (entity_standardization.py:33-181).
+_STD_CTES = f"""
+, counts AS (
+  SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT lower(subject) AS e FROM triples1
+    UNION ALL SELECT lower(object) FROM triples1
+  ) GROUP BY 1
+),
+grouped AS (
+  SELECT * FROM (
+    SELECT entity, cnt,
+      array_to_string(list_filter(regexp_extract_all(lower(entity), '\\w+'),
+                      w -> NOT list_contains({_NSTOP}, w)), ' ') AS norm
+    FROM counts
+  ) WHERE norm <> ''
+),
+winners AS (
+  SELECT norm, entity AS standard FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY cnt DESC, length(entity) ASC, entity ASC) AS rn
+    FROM grouped
+  ) WHERE rn = 1
+),
+first_map AS (
+  SELECT g.entity AS variant, w.standard FROM grouped g JOIN winners w USING (norm)
+),
+formf AS (
+  SELECT form,
+    list_distinct({_w('form')}) AS words,
+    list_distinct(list_transform(list_filter({_w('form')}, w -> length(w) > 4), w -> w[1:4])) AS stems,
+    length(form) AS clen,
+    row_number() OVER (ORDER BY length(form), form) AS rnk
+  FROM (SELECT DISTINCT standard AS form FROM first_map)
+),
+pair_flags AS (
+  SELECT a.form AS f1, a.clen AS l1, a.rnk AS r1, b.form AS f2, b.clen AS l2, b.rnk AS r2,
+    (len(list_filter(a.words, x -> NOT list_contains(b.words, x))) = 0 AND len(a.words) > 0) AS sub12,
+    (len(list_filter(b.words, x -> NOT list_contains(a.words, x))) = 0 AND len(b.words) > 0) AS sub21,
+    (len(list_intersect(a.stems, b.stems)) > 0 AND
+     CAST(len(list_intersect(a.stems, b.stems)) AS DOUBLE) / greatest(len(a.stems), len(b.stems)) > 0.5) AS stemhit
+  FROM formf a JOIN formf b ON a.rnk < b.rnk
+),
+assigned AS (
+  SELECT r1, r2,
+    CASE WHEN sub12 THEN f2 WHEN sub21 THEN f1
+         WHEN stemhit AND l1 <= l2 THEN f2 WHEN stemhit THEN f1 END AS key,
+    CASE WHEN sub12 THEN f1 WHEN sub21 THEN f2
+         WHEN stemhit AND l1 <= l2 THEN f1 WHEN stemhit THEN f2 END AS value
+  FROM pair_flags
+  WHERE sub12 OR sub21 OR stemhit
+),
+second AS (
+  SELECT key, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY r1 DESC, r2 DESC) AS rn FROM assigned
+  ) WHERE rn = 1
+),
+final_map AS (
+  SELECT f.variant, coalesce(s.value, f.standard) AS standard
+  FROM first_map f LEFT JOIN second s ON f.variant = s.key
+),
+std AS (
+  SELECT * FROM (
+    SELECT coalesce(ms.standard, t.subject) AS subject,
+           {_trunc('t.predicate')} AS predicate,
+           coalesce(mo.standard, t.object) AS object,
+           coalesce(t.chunk, 0) AS chunk, t.doc_id, t.t_idx
+    FROM triples1 t
+    LEFT JOIN final_map ms ON lower(t.subject) = ms.variant
+    LEFT JOIN final_map mo ON lower(t.object) = mo.variant
+  ) WHERE subject <> object
+)
+"""
+
+# Phase-3 inference in SQL (entity_standardization.py:183-352,661-752).
+_INFER_CTES = f"""
+, lastp AS (
+  SELECT subject, object, predicate FROM (
+    SELECT *, row_number() OVER (PARTITION BY subject, object ORDER BY doc_id DESC, chunk DESC, t_idx DESC) AS rn
+    FROM std
+  ) WHERE rn = 1
+),
+trans AS (
+  SELECT DISTINCT e1.subject AS subject,
+    {_trunc("(CASE WHEN e1.predicate = e2.predicate THEN 'indirectly ' || e1.predicate ELSE e1.predicate || ' via ' || e1.object END)")} AS predicate,
+    e2.object AS object
+  FROM lastp e1 JOIN lastp e2 ON e1.object = e2.subject
+  WHERE e1.subject <> e2.object
+    AND NOT EXISTS (SELECT 1 FROM lastp x WHERE x.subject = e1.subject AND x.object = e2.object)
+),
+ents AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subject AS entity FROM std UNION ALL SELECT object FROM std)
+),
+entf AS (
+  SELECT entity, lower(entity) AS elow,
+    list_distinct({_w('lower(entity)')}) AS words
+  FROM ents
+),
+lex_pairs AS (
+  SELECT x.entity AS xe, x.elow AS xlow, y.entity AS ye, y.elow AS ylow,
+    list_intersect(x.words, y.words) AS shared
+  FROM entf x JOIN entf y ON x.entity < y.entity
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lastp p
+    WHERE (p.subject = x.entity AND p.object = y.entity)
+       OR (p.subject = y.entity AND p.object = x.entity))
+),
+lex_scored AS (
+  SELECT *,
+    CASE WHEN len(shared) > 0 THEN
+      list_max(list_filter(shared, w -> length(w) = list_max(list_transform(shared, x -> length(x)))))
+    END AS mains
+  FROM lex_pairs
+),
+lex AS (
+  SELECT
+    CASE WHEN big AND xs AND NOT ys THEN ye
+         WHEN big AND ys AND NOT xs THEN xe
+         WHEN big THEN xe
+         WHEN nosh AND contains(ylow, xlow) THEN ye
+         WHEN nosh AND contains(xlow, ylow) THEN xe END AS subject,
+    CASE WHEN big AND (xs <> ys) THEN 'relates to'
+         WHEN big THEN 'related to'
+         WHEN nosh AND (contains(ylow, xlow) OR contains(xlow, ylow)) THEN 'is type of' END AS predicate,
+    CASE WHEN big AND xs AND NOT ys THEN xe
+         WHEN big AND ys AND NOT xs THEN ye
+         WHEN big THEN ye
+         WHEN nosh AND contains(ylow, xlow) THEN xe
+         WHEN nosh AND contains(xlow, ylow) THEN ye END AS object
+  FROM (
+    SELECT *,
+      (len(shared) > 0 AND length(mains) >= 4) AS big,
+      (len(shared) = 0) AS nosh,
+      (mains IS NOT NULL AND starts_with(xlow, mains)) AS xs,
+      (mains IS NOT NULL AND starts_with(ylow, mains)) AS ys
+    FROM lex_scored
+  ) WHERE predicate IS NOT NULL
+),
+merged AS (
+  SELECT subject, predicate, object, FALSE AS inferred, doc_id, chunk, t_idx FROM std
+  UNION ALL
+  SELECT subject, predicate, object, TRUE, NULL, NULL, NULL FROM trans
+  UNION ALL
+  SELECT subject, predicate, object, TRUE, NULL, NULL, NULL FROM lex
+),
+dedup AS (
+  SELECT subject, {_trunc('predicate')} AS predicate, object, inferred FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subject, predicate, object
+      ORDER BY inferred ASC, doc_id DESC NULLS LAST, chunk DESC NULLS LAST, t_idx DESC NULLS LAST
+    ) AS rn
+    FROM merged
+  ) WHERE rn = 1 AND subject <> object
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["chunks"] = (
+        _PRELUDE
+        + "SELECT doc_id, chunk_id, chunk_text, CAST(n_words AS INT) AS n_words FROM chunks"
+    )
+    sql["chunk_stats"] = _PRELUDE + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_words) AS BIGINT) AS total_chunk_words,
+       CAST(max(n_words) AS INT) AS max_chunk_words
+FROM chunks GROUP BY doc_id"""
+    sql["triples_raw"] = (
+        _PRELUDE
+        + "SELECT doc_id, CAST(chunk AS INT) AS chunk, CAST(t_idx AS INT) AS t_idx, subject, predicate, object FROM triples1"
+    )
+    sql["predicate_histogram"] = (
+        _PRELUDE
+        + "SELECT predicate, CAST(count(*) AS BIGINT) AS cnt FROM triples1 GROUP BY 1"
+    )
+    sql["entity_counts"] = _PRELUDE + """
+SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT lower(subject) AS e FROM triples1 UNION ALL SELECT lower(object) FROM triples1
+) GROUP BY 1"""
+    sql["unique_entities"] = (
+        _PRELUDE
+        + "SELECT DISTINCT entity FROM (SELECT subject AS entity FROM triples1"
+        + " UNION ALL SELECT object FROM triples1)"
+    )
+    sql["entity_mapping"] = _PRELUDE + _STD_CTES + "SELECT variant, standard FROM final_map"
+    sql["standardize"] = (
+        _PRELUDE
+        + _STD_CTES
+        + "SELECT doc_id, CAST(chunk AS INT) AS chunk, subject, predicate, object FROM std"
+    )
+    sql["transitive"] = (
+        _PRELUDE_INFER + _STD_CTES + _INFER_CTES.split(",\nents AS")[0]
+        + "SELECT subject, predicate, object FROM trans"
+    )
+    sql["lexical"] = (
+        _PRELUDE_INFER + _STD_CTES + _INFER_CTES
+        + "SELECT subject, predicate, object FROM lex"
+    )
+    sql["infer_full"] = (
+        _PRELUDE_INFER + _STD_CTES + _INFER_CTES
+        + "SELECT subject, predicate, object, inferred FROM dedup"
+    )
+    sql["components"] = _PRELUDE_INFER + _STD_CTES + """
+, und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT subject AS a, object AS b FROM std
+    UNION ALL SELECT object, subject FROM std)
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION SELECT a AS a, a AS b FROM und
+  UNION SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a
+)
+SELECT a AS entity, min(b) AS component_rep FROM reach GROUP BY a"""
+    sql["degree"] = _PRELUDE_INFER + _STD_CTES + """
+SELECT e AS entity, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT subject AS e FROM std UNION ALL SELECT object FROM std
+) GROUP BY 1"""
+    sql["graph_stats"] = _PRELUDE_INFER + _STD_CTES + _INFER_CTES + """
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CASE WHEN inferred THEN 1 ELSE 0 END) AS BIGINT) AS n_inferred,
+       CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates,
+       (SELECT CAST(count(DISTINCT e) AS BIGINT) FROM (
+          SELECT subject AS e FROM dedup UNION ALL SELECT object FROM dedup)) AS n_entities
+FROM dedup"""
+    sql["clean_graph"] = _PRELUDE + _CLEAN_SQL
+    sql["dedup_exact"] = """
+SELECT sha256(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1"""
+    sql["token_count"] = f"""
+SELECT doc_id,
+  CAST(len({_w('text')}) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+  CAST(length(text) AS INT) AS n_chars
+FROM documents"""
+    sql["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS INT) AS n_words,
+  round(CASE WHEN len(words) > 0 THEN
+    CAST(len(list_filter(words, w -> list_contains({_NSTOP}, w))) AS DOUBLE) / len(words)
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(least(len(words) / 100.0, 1.0) *
+        (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS quality
+FROM base"""
+    sql["ngram_jaccard_pairs"] = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(words) - 2, 0) + 1),
+    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words FROM documents)
+  WHERE len(words) >= 3
+),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM inter WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5"""
+    sql["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5"""
+    sql["lang_id"] = """
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id,
+    len(list_filter(words, w -> list_contains(['the','a','of','and','is','to'], w))) AS en,
+    len(list_filter(words, w -> list_contains(['der','die','das','und','ist','zu'], w))) AS de,
+    len(list_filter(words, w -> list_contains(['le','la','les','et','est','de'], w))) AS fr
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN de > greatest(en, fr) THEN 'de'
+       WHEN fr > greatest(en, de) THEN 'fr'
+       ELSE 'en' END AS pred_lang
+FROM cnts"""
+    return sql
+
+
+# clean_graph oracle: mirrors scripts/clean_graph.py steps 2-7 over triples1.
+_PRED_MERGES_SQL = """map {
+  'is': 'is_a', 'are': 'is_a', 'be': 'is_a', 'was': 'is_a', 'were': 'is_a',
+  'has': 'has_component', 'have': 'has_component',
+  'include': 'includes', 'includes': 'includes',
+  'value': 'has_value', 'set': 'belongs_to_set', 'exists': 'exists_in',
+  'use': 'uses', 'used': 'uses', 'do': 'performs', 'does': 'performs',
+  'make': 'produces', 'makes': 'produces', 'called': 'is_named', 'known': 'is_known_as'
+}"""
+
+_NOISE_RE = (
+    "^(i|we|they|it|he|she|you|this|that|these|those|there|here)$"
+    "|^(the|a|an|of|in|on|at|to|for|with|and|or|but|not)$"
+    r"|^\d+$"
+    r"|^[.\-_/\\]+$"
+    "|^(file|page|line|section|chapter|part|item|example|note)$"
+)
+
+def _strip_quotes(expr: str) -> str:
+    # python: .strip() -> .strip('"') -> .strip("'") -> .strip()
+    return f"trim(trim(trim(trim({expr}), '\"'), ''''))"
+
+
+_CLEAN_SQL = f"""
+, normed AS (
+  SELECT
+    regexp_replace({_strip_quotes('subject')}, '\\s+', ' ', 'g') AS subject,
+    replace(lower(regexp_replace({_strip_quotes('predicate')}, '\\s+', ' ', 'g')), ' ', '_') AS predicate,
+    regexp_replace({_strip_quotes('object')}, '\\s+', ' ', 'g') AS object,
+    doc_id, chunk, t_idx
+  FROM triples1
+  WHERE subject IS NOT NULL AND subject <> ''
+    AND predicate IS NOT NULL AND predicate <> ''
+    AND object IS NOT NULL AND trim(object) <> ''
+),
+longf AS (
+  SELECT * FROM normed WHERE length(subject) >= 3 AND length(object) >= 3
+),
+noisef AS (
+  SELECT * FROM longf
+  WHERE NOT regexp_matches(lower(trim(subject)), '{_NOISE_RE}')
+    AND NOT regexp_matches(lower(trim(object)), '{_NOISE_RE}')
+),
+mergedp AS (
+  SELECT subject,
+    coalesce(element_at({_PRED_MERGES_SQL}, predicate)[1], predicate) AS predicate,
+    object, doc_id, chunk, t_idx
+  FROM noisef
+),
+dedup2 AS (
+  SELECT subject, predicate, object FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lower(subject), lower(predicate), lower(object)
+      ORDER BY doc_id ASC, chunk ASC, t_idx ASC
+    ) AS rn
+    FROM mergedp
+  ) WHERE rn = 1
+),
+predcnt AS (
+  SELECT predicate, count(*) AS pc FROM dedup2 GROUP BY 1
+)
+SELECT d.subject, d.predicate, d.object
+FROM dedup2 d JOIN predcnt p USING (predicate) WHERE p.pc >= 2
+"""
