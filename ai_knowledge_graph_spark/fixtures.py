@@ -118,3 +118,68 @@ def generate_pages(n_docs: int) -> pd.DataFrame:
 def write_pages_parquet(path: str, n_docs: int) -> str:
     generate_pages(n_docs).to_parquet(path, index=False)
     return path
+
+
+# --- bench corpus: realistic entity-vocabulary scaling ----------------------
+
+_ADJECTIVES = (
+    "industrial", "mechanical", "electric", "urban", "rural", "colonial",
+    "maritime", "agrarian", "scientific", "commercial", "imperial", "modern",
+    "ancient", "medieval", "global", "regional", "national", "provincial",
+    "coastal", "northern", "southern", "eastern", "western", "central",
+    "revolutionary", "traditional", "emerging", "declining", "dominant",
+    "marginal", "skilled", "unskilled", "organized", "independent",
+    "municipal", "federal", "private", "public", "chartered", "royal",
+)
+
+_NOUNS = (
+    "railway", "factory", "mill", "foundry", "shipyard", "canal", "turnpike",
+    "telegraph", "press", "guild", "union", "market", "exchange", "bank",
+    "colony", "port", "mine", "furnace", "loom", "spindle", "engine",
+    "workshop", "warehouse", "dockyard", "academy", "society", "institute",
+    "council", "assembly", "parliament", "navy", "fleet", "regiment",
+    "economy", "industry", "trade", "commerce", "empire", "republic",
+    "province",
+)
+
+
+def bench_vocabulary() -> list[str]:
+    """~1,600 two-word entities ("industrial railway", ...) — realistic
+    entity *reuse* (the property the driver-provided word-soup documents
+    lack: there nearly every 4-token span is a unique entity, which makes
+    the reference's inherently O(n^2) second pass degenerate)."""
+    return [f"{a} {n}" for a in _ADJECTIVES for n in _NOUNS]
+
+
+def _bench_doc_text(doc_id: int, vocab: list[str]) -> str:
+    rng = np.random.RandomState(77_000 + doc_id)
+    target_words = int(rng.randint(200, 1000))
+    # Zipf-ish entity popularity so counts/canonical selection are non-trivial.
+    ranks = rng.zipf(1.3, size=target_words // 3) % len(vocab)
+    sentences, words, k = [], 0, 0
+    while words < target_words and k + 1 < len(ranks):
+        subj = vocab[int(ranks[k])]
+        obj = vocab[int(ranks[k + 1])]
+        verb = VERB_PHRASES[int(rng.randint(len(VERB_PHRASES)))]
+        sentences.append(f"{subj} {verb} {obj}.")
+        words += len(sentences[-1].split())
+        k += 2
+    return " ".join(sentences)
+
+
+def generate_bench_pages(n_docs: int) -> pd.DataFrame:
+    """Deterministic bench corpus; ~600 words/doc over the bench vocabulary."""
+    vocab = bench_vocabulary()
+    rows = []
+    for doc_id in range(n_docs):
+        text = _bench_doc_text(doc_id, vocab)
+        rows.append(
+            {
+                "url": f"https://bench.example.org/doc{doc_id:09d}",
+                "warc_ts": BASE_TS + _dt.timedelta(minutes=doc_id),
+                "html": wrap_text_as_html(text),
+                "text": text,
+                "lang": "en",
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,202 @@
+"""Centrality & community operators (SURVEY §2.9 G5-G9).
+
+The reference computes these single-node for visualization sizing
+(visualization.py:165-205): degree, exact betweenness, eigenvector power
+iteration, Louvain with a degree%8 fallback. Here:
+
+  degree_centrality      -> hash agg (G5/A6)
+  eigenvector_centrality -> driver-orchestrated power iteration over the edge
+                            table (G7) — normalized per iteration, fixed
+                            rounds, checkpointed lineage
+  label_propagation      -> community detection via iterative
+                            majority-neighbor label adoption (the distributed
+                            stand-in for Louvain, G8); deterministic
+                            tie-breaks (min label)
+  degree_mod_communities -> the reference's literal fallback ``degree % 8``
+                            (visualization.py:196-205)
+  betweenness is exact-O(V·E) by definition (Brandes); the engine exposes a
+  sampled-source approximation: BFS fan-out from k seed nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame, iterations: int = 20, tol: float = 1e-6
+) -> DataFrame:
+    """Power iteration on the undirected adjacency (nx parity: undirected view
+    of score flow; reference uses nx.eigenvector_centrality on the DiGraph —
+    which itself uses in-edges; we follow in-edge semantics)."""
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = und.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = nodes.select("entity", F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        contrib = (
+            und.join(scores, und.a == scores.entity)
+            .select(F.col("b").alias("entity"), "score")
+            .groupBy("entity")
+            .agg(F.sum("score").alias("in_score"))
+        )
+        new = nodes.join(contrib, "entity", "left").select(
+            "entity", F.coalesce("in_score", F.lit(0.0)).alias("score")
+        )
+        norm = new.agg(F.sqrt(F.sum(F.col("score") ** 2)).alias("n")).collect()[0]["n"]
+        if not norm:
+            break
+        new = new.select("entity", (F.col("score") / F.lit(norm)).alias("score"))
+        new = new.localCheckpoint(eager=True)
+        scores = new
+    return scores
+
+
+def label_propagation_communities(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(entity, community): deterministic hub-attraction label propagation.
+
+    Classic synchronous LPA oscillates on symmetric structures (a star flips
+    hub/spoke labels forever) and async LPA is nondeterministic. This variant
+    is both convergent and deterministic: every node attaches to its
+    dominating neighbor — the max by (degree, node id) among neighbors that
+    strictly dominate the node itself — forming a forest rooted at local
+    degree maxima; root labels then propagate down with pointer jumping
+    (O(log depth) rounds). Communities = attraction trees, the same
+    hubs-absorb-spokes intuition Louvain's first level captures.
+    """
+    from ..operators.components import node_id
+
+    und0 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = (
+        und0.unionByName(und0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .select(node_id(F.col("a")).alias("a"), node_id(F.col("b")).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .select("entity", node_id(F.col("entity")).alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranked = und.join(deg.withColumnRenamed("a", "b").withColumnRenamed("deg", "bdeg"), "b").join(
+        deg.withColumnRenamed("deg", "adeg"), "a"
+    )
+    dominating = ranked.filter(
+        (F.col("bdeg") > F.col("adeg"))
+        | ((F.col("bdeg") == F.col("adeg")) & (F.col("b") > F.col("a")))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("bdeg"), F.desc("b"))
+    parent = (
+        dominating.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a").alias("node"), F.col("b").alias("parent"))
+    )
+    labels = (
+        nodes.join(parent, "node", "left")
+        .select("node", F.coalesce("parent", "node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # pointer jumping to the root
+    for _ in range(max_iterations):
+        up = labels.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+        new = (
+            labels.join(up, labels.label == up.jn, "left")
+            .select("node", F.coalesce("jl", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return nodes.join(labels, "node").select("entity", F.col("label").alias("community"))
+
+
+def degree_mod_communities(edges: DataFrame, k: int = 8) -> DataFrame:
+    """The reference's Louvain fallback: community = degree % k
+    (visualization.py:196-205)."""
+    return degree_centrality(edges).select(
+        "entity", (F.col("degree") % F.lit(k)).alias("community")
+    )
+
+
+def approx_betweenness(
+    edges: DataFrame, sample_sources: int = 8, max_hops: int = 6
+) -> DataFrame:
+    """Sampled-source betweenness proxy: how often a node sits on a BFS
+    shortest-path tree edge from k deterministic seed sources (lowest entity
+    names). Exact Brandes is O(V·E) and driver-side by nature; this is the
+    distributed approximation for sizing/ranking use (viz-only in the
+    reference)."""
+    und0 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    und = (
+        und0.unionByName(und0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sources = [
+        r["entity"]
+        for r in (
+            edges.select(F.col("src").alias("entity"))
+            .unionByName(edges.select(F.col("dst").alias("entity")))
+            .distinct()
+            .orderBy("entity")
+            .limit(sample_sources)
+            .collect()
+        )
+    ]
+    spark = edges.sparkSession
+    counts = None
+    for src in sources:
+        visited = spark.createDataFrame([(src,)], ["entity"])
+        frontier = visited
+        hops = 0
+        mids = None
+        while hops < max_hops:
+            nxt = (
+                und.join(frontier, und.a == frontier.entity)
+                .select(F.col("b").alias("entity"))
+                .distinct()
+                .join(visited, "entity", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            # interior nodes of the BFS tree = previous frontier (non-source)
+            if hops > 0:
+                mids = frontier if mids is None else mids.unionByName(frontier)
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+            hops += 1
+        if mids is not None:
+            c = mids.groupBy("entity").agg(F.count(F.lit(1)).alias("on_path"))
+            counts = c if counts is None else counts.unionByName(c)
+    if counts is None:
+        return spark.createDataFrame([], "entity string, betweenness double")
+    return counts.groupBy("entity").agg(
+        (F.sum("on_path") / F.lit(len(sources))).alias("betweenness")
+    )

@@ -1,0 +1,113 @@
+"""Materialize the final triple table into nodes/edges graph tables.
+
+Reference counterpart: ``ICTGraphStore`` building a NetworkX MultiDiGraph in
+memory (graph_store.py:62-115) plus the stats surface (:596-610). Here the
+graph lands as two tables with stable 64-bit ids, degree, and component id —
+bucketable by entity hash so the query layer's point lookups prune partitions
+(north_star: nodes/edges partitioned by entity-hash bucket).
+
+Multi-edges are preserved: one row per (src, dst, relation, url, chunk), the
+MultiDiGraph semantics (graph_store.py:66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import components_for_triples, node_id
+
+
+def normalize_node_name(col):
+    """graph_store._normalize (:52-59): strip, lower, spaces/hyphens -> _."""
+    return F.translate(F.lower(F.trim(col)), " -", "__")
+
+
+def materialize_graph(
+    triples: DataFrame, normalize_names: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """triples -> (nodes, edges).
+
+    nodes(canonical_id, entity, degree, component_id)
+    edges(src_id, dst_id, src, dst, relation, inferred, url, chunk)
+    """
+    t = triples
+    if normalize_names:
+        t = t.withColumn("subject", normalize_node_name(F.col("subject"))).withColumn(
+            "object", normalize_node_name(F.col("object"))
+        )
+    t = t.localCheckpoint(eager=True)  # feeds edges, degree, components
+
+    edges = t.select(
+        node_id(F.col("subject")).alias("src_id"),
+        node_id(F.col("object")).alias("dst_id"),
+        F.col("subject").alias("src"),
+        F.col("object").alias("dst"),
+        F.col("predicate").alias("relation"),
+        F.coalesce(F.col("inferred"), F.lit(False)).alias("inferred"),
+        *( [F.col("url")] if "url" in t.columns else [F.lit(None).cast("string").alias("url")] ),
+        *( [F.col("chunk")] if "chunk" in t.columns else [F.lit(None).cast("int").alias("chunk")] ),
+    )
+
+    degree = (
+        t.select(F.explode(F.array("subject", "object")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    comps = components_for_triples(t).select(
+        "entity", F.col("component_id")
+    )
+    nodes = degree.join(comps, "entity", "left").select(
+        node_id(F.col("entity")).alias("canonical_id"),
+        "entity",
+        "degree",
+        "component_id",
+    )
+    return nodes, edges
+
+
+def write_graph_tables(
+    nodes: DataFrame,
+    edges: DataFrame,
+    nodes_table: str = "kg_nodes",
+    edges_table: str = "kg_edges",
+    buckets: int = 32,
+) -> None:
+    """Persist as bucketed tables: point lookups on src_id/canonical_id read
+    one bucket; node-keyed joins co-locate without a shuffle. (Parquet
+    saveAsTable stands in for Iceberg ``writeTo`` — no Iceberg jar in this
+    image; bucket spec carries over 1:1.)"""
+    (
+        nodes.write.mode("overwrite")
+        .bucketBy(buckets, "canonical_id")
+        .sortBy("canonical_id")
+        .format("parquet")
+        .saveAsTable(nodes_table)
+    )
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(buckets, "src_id")
+        .sortBy("src_id")
+        .format("parquet")
+        .saveAsTable(edges_table)
+    )
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """stats() surface (graph_store.py:596-610): counts, density, components."""
+    n = nodes.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.count_distinct("component_id").alias("connected_components"),
+    )
+    e = edges.agg(
+        F.count(F.lit(1)).alias("edges"),
+        F.sum(F.col("inferred").cast("long")).alias("inferred_edges"),
+        F.count_distinct("relation").alias("relation_types"),
+    )
+    return n.crossJoin(e).select(
+        "*",
+        (
+            F.col("edges")
+            / (F.col("nodes").cast("double") * (F.col("nodes") - F.lit(1)))
+        ).alias("density"),
+    )

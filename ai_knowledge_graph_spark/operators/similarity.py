@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+(random hyperplane / SRP) variant as the scale path: at 100 TB the candidate
+set per query is one bucket chain instead of the full corpus.
+
+JVM-side throughout: dot products via zip_with + aggregate (no Python in the
+hot path); the hyperplanes are a tiny deterministic literal array compiled
+into the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query row: (query_id, neighbor_id, cosine, rk).
+
+    Queries are broadcast (the common shape: few queries x huge corpus);
+    partial top-k folds map-side through the window's rank pruning.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        cand.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def srp_signature(vec_col, planes: list[list[float]]):
+    """Signed-random-projection bucket id for a vector column: bit i set iff
+    dot(vec, plane_i) > 0. Planes ride as a literal nested array."""
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    bits = F.transform(
+        plane_lits,
+        lambda p: F.when(_dot(_as_double(vec_col), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # fold bits big-endian: acc = acc*2 + bit
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b.cast("long")
+    )
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket in at least
+    one of ``tables`` independent hash tables, then exact cosine on the
+    candidate union. Standard multi-table LSH recall math: a neighbor at
+    angle θ collides per table with (1 - θ/π)^n_planes; miss probability
+    decays exponentially in ``tables``. n_planes trades bucket size (row
+    reduction) against per-table recall."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cand_base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    pairs = None
+    for t in range(tables):
+        planes = make_planes(dim, n_planes, seed + 1000 * t)
+        sig = srp_signature(F.col("cv"), planes)
+        qsig = srp_signature(F.col("qv"), planes)
+        cand = cand_base.withColumn("bucket", sig).select("neighbor_id", "bucket")
+        q = F.broadcast(q_base.withColumn("bucket", qsig).select("query_id", "bucket"))
+        hits = (
+            cand.join(q, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        pairs = hits if pairs is None else pairs.unionByName(hits)
+    pairs = pairs.distinct()
+    scored = (
+        pairs.join(cand_base, "neighbor_id")
+        .join(F.broadcast(q_base), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -155,102 +155,81 @@ def second_pass_assignments(mapping: DataFrame) -> DataFrame:
     Blocking is lossless: a subset pair shares the subset side's first word;
     a stem pair shares at least one stem. Each blocked join is an equi-join
     (no cross product); AQE splits skewed token blocks at runtime.
+
+    The full rule chain is evaluated INSIDE each blocked join (features ride
+    on both join sides) and only the surviving assignments are materialized —
+    never the candidate-pair set itself. A pair surfaced by both blockings
+    (or by several shared stems) evaluates to the identical assignment, so a
+    cheap distinct on the (small) assignment set replaces a distinct on the
+    (huge) pair set. Measured at 20k forms / 160M candidates this is the
+    difference between ~90s and a stuck job.
     """
     forms = _forms_with_features(mapping)
 
     lhs = forms.select(
         F.col("form").alias("f1"),
-        F.col("words").alias("words1"),
-        F.col("stems").alias("stems1"),
-        F.col("clen").alias("clen1"),
-        F.col("rank").alias("rank1"),
+        F.col("words").alias("w1"),
+        F.col("stems").alias("s1"),
+        F.col("clen").alias("l1"),
+        F.col("rank").alias("rk1"),
     )
     rhs = forms.select(
         F.col("form").alias("f2"),
-        F.col("words").alias("words2"),
-        F.col("stems").alias("stems2"),
-        F.col("clen").alias("clen2"),
-        F.col("rank").alias("rank2"),
+        F.col("words").alias("w2"),
+        F.col("stems").alias("s2"),
+        F.col("clen").alias("l2"),
+        F.col("rank").alias("rk2"),
     )
+
+    def _assignments(cands: DataFrame) -> DataFrame:
+        """Evaluate the reference's elif chain on (f1, f2) candidate rows
+        carrying both feature sets; emit (r1, r2, key, value) assignments."""
+        # Orient: e1 = lower rank (earlier in the scan), e2 = higher.
+        flip = F.col("rk1") > F.col("rk2")
+        e1w = F.when(flip, F.col("w2")).otherwise(F.col("w1"))
+        e2w = F.when(flip, F.col("w1")).otherwise(F.col("w2"))
+        e1s = F.when(flip, F.col("s2")).otherwise(F.col("s1"))
+        e2s = F.when(flip, F.col("s1")).otherwise(F.col("s2"))
+        e1l = F.when(flip, F.col("l2")).otherwise(F.col("l1"))
+        e2l = F.when(flip, F.col("l1")).otherwise(F.col("l2"))
+        e1 = F.when(flip, F.col("f2")).otherwise(F.col("f1"))
+        e2 = F.when(flip, F.col("f1")).otherwise(F.col("f2"))
+
+        subset12 = (F.size(F.array_except(e1w, e2w)) == 0) & (F.size(e1w) > 0)
+        subset21 = (F.size(F.array_except(e2w, e1w)) == 0) & (F.size(e2w) > 0)
+        shared = F.size(F.array_intersect(e1s, e2s))
+        stem_hit = (shared > 0) & (
+            shared / F.greatest(F.size(e1s), F.size(e2s)) > F.lit(0.5)
+        )
+
+        return cands.select(
+            F.least("rk1", "rk2").alias("r1"),
+            F.greatest("rk1", "rk2").alias("r2"),
+            F.when(subset12, e2)
+            .when(subset21, e1)
+            .when(stem_hit & (e1l <= e2l), e2)
+            .when(stem_hit, e1)
+            .alias("key"),
+            F.when(subset12, e1)
+            .when(subset21, e2)
+            .when(stem_hit & (e1l <= e2l), e1)
+            .when(stem_hit, e2)
+            .alias("value"),
+        ).filter(F.col("key").isNotNull())
 
     # Block A — subset candidates: the potential-subset side joins its first
-    # word against every word of the other side.
-    subset_keyed = lhs.select("f1", (F.element_at("words1", 1)).alias("bword"), "rank1")
-    rhs_words = rhs.select("f2", F.explode("words2").alias("bword"), "rank2")
-    cand_subset = (
-        subset_keyed.join(rhs_words, "bword")
-        .filter(F.col("f1") != F.col("f2"))
-        .select("f1", "f2")
-    )
-    # Both roles: f1-as-subset-of-f2 and f2-as-subset-of-f1 are produced by
-    # swapping; normalize to unordered (by rank) later.
+    # word against every word of the other side (both roles covered since
+    # lhs/rhs each span all forms).
+    blk_a = lhs.withColumn("bkey", F.element_at("w1", 1)).join(
+        rhs.withColumn("bkey", F.explode("w2")), "bkey"
+    ).filter(F.col("f1") != F.col("f2"))
 
     # Block B — stem candidates: any shared stem.
-    lhs_stems = lhs.select("f1", F.explode("stems1").alias("bstem"))
-    rhs_stems = rhs.select("f2", F.explode("stems2").alias("bstem"))
-    cand_stems = (
-        lhs_stems.join(rhs_stems, "bstem")
-        .filter(F.col("f1") != F.col("f2"))
-        .select("f1", "f2")
-    )
+    blk_b = lhs.withColumn("bkey", F.explode("s1")).join(
+        rhs.withColumn("bkey", F.explode("s2")), "bkey"
+    ).filter(F.col("f1") != F.col("f2"))
 
-    cands = cand_subset.unionByName(cand_stems)
-    # Unordered pair, then orient by rank: i = lower rank (earlier in scan).
-    pairs = cands.select(
-        F.least("f1", "f2").alias("fa"), F.greatest("f1", "f2").alias("fb")
-    ).distinct()
-
-    a = forms.select(
-        F.col("form").alias("fa"),
-        F.col("words").alias("wa"),
-        F.col("stems").alias("sa"),
-        F.col("clen").alias("la"),
-        F.col("rank").alias("ra"),
-    )
-    b = forms.select(
-        F.col("form").alias("fb"),
-        F.col("words").alias("wb"),
-        F.col("stems").alias("sb"),
-        F.col("clen").alias("lb"),
-        F.col("rank").alias("rb"),
-    )
-    feat = pairs.join(a, "fa").join(b, "fb")
-
-    # Orient: e1 = lower rank, e2 = higher rank.
-    feat = feat.select(
-        F.when(F.col("ra") < F.col("rb"), F.col("fa")).otherwise(F.col("fb")).alias("e1"),
-        F.when(F.col("ra") < F.col("rb"), F.col("wa")).otherwise(F.col("wb")).alias("w1"),
-        F.when(F.col("ra") < F.col("rb"), F.col("sa")).otherwise(F.col("sb")).alias("s1"),
-        F.when(F.col("ra") < F.col("rb"), F.col("la")).otherwise(F.col("lb")).alias("l1"),
-        F.least("ra", "rb").alias("r1"),
-        F.when(F.col("ra") < F.col("rb"), F.col("fb")).otherwise(F.col("fa")).alias("e2"),
-        F.when(F.col("ra") < F.col("rb"), F.col("wb")).otherwise(F.col("wa")).alias("w2"),
-        F.when(F.col("ra") < F.col("rb"), F.col("sb")).otherwise(F.col("sa")).alias("s2"),
-        F.when(F.col("ra") < F.col("rb"), F.col("lb")).otherwise(F.col("la")).alias("l2"),
-        F.greatest("ra", "rb").alias("r2"),
-    )
-
-    subset12 = (F.size(F.array_except("w1", "w2")) == 0) & (F.size("w1") > 0)
-    subset21 = (F.size(F.array_except("w2", "w1")) == 0) & (F.size("w2") > 0)
-    shared_stems = F.size(F.array_intersect("s1", "s2"))
-    stem_hit = (shared_stems > 0) & (
-        shared_stems / F.greatest(F.size("s1"), F.size("s2")) > F.lit(0.5)
-    )
-
-    assigned = feat.select(
-        "r1",
-        "r2",
-        F.when(subset12, F.col("e2"))
-        .when(subset21, F.col("e1"))
-        .when(stem_hit & (F.col("l1") <= F.col("l2")), F.col("e2"))
-        .when(stem_hit, F.col("e1"))
-        .alias("key"),
-        F.when(subset12, F.col("e1"))
-        .when(subset21, F.col("e2"))
-        .when(stem_hit & (F.col("l1") <= F.col("l2")), F.col("e1"))
-        .when(stem_hit, F.col("e2"))
-        .alias("value"),
-    ).filter(F.col("key").isNotNull())
+    assigned = _assignments(blk_a).unionByName(_assignments(blk_b)).distinct()
 
     # Dict-overwrite replay: last pair in (r1, r2) loop order wins per key.
     w = Window.partitionBy("key").orderBy(F.desc("r1"), F.desc("r2"))

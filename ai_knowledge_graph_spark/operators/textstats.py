@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (all JVM-side).
+
+Language ID (stopword-overlap heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish regex),
+and document fingerprinting (content hash + positional sketch). Each has a
+DuckDB-SQL mirror in __spark_entry__ so the driver's value-hash gate covers
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import NORMALIZE_STOPWORDS
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+    "es": ("el", "la", "los", "y", "es", "de"),
+}
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Best-overlap language guess; 'en' wins ties (deterministic)."""
+    words = _words(F.col(text_col))
+
+    def _cnt(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    cnts = {lang: _cnt(markers) for lang, markers in LANG_MARKERS.items()}
+    others = lambda lang: F.greatest(*[c for l2, c in cnts.items() if l2 != lang])  # noqa: E731
+    pred = F.lit("en")
+    for lang in ("de", "fr", "es"):
+        pred = F.when(cnts[lang] > others(lang), F.lit(lang)).otherwise(pred)
+    return docs.withColumn("pred_lang", pred)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "*",
+        F.size(_words(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    words = _words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(NORMALIZE_STOPWORDS)])
+    n_words = F.size(words)
+    stop_ratio = F.when(
+        n_words > 0, F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length(text_col) > 0,
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[^A-Za-z0-9\s]"), 0)) / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(F.least(n_words / F.lit(100.0), F.lit(1.0)) * (1 - punct_ratio), 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: sha256 of normalized text + a positional
+    64-bit sketch (xor-free rolling combination of the first/middle/last
+    shingle hashes) for cheap prefix-tamper detection."""
+    normed = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    # decimal(38,0) arithmetic: md5-derived terms near 2^60 overflow bigint
+    # under ANSI when scaled
+    pick = lambda idx: F.conv(  # noqa: E731
+        F.substring(F.md5(F.element_at(words, idx)), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    mixed = (
+        pick(F.lit(1))
+        + pick((n / 2).cast("int") + 1) * F.lit(31)
+        + pick(n) * F.lit(961)
+    ) % F.lit(2**62)
+    sketch = F.when(n >= 3, mixed.cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return docs.select(
+        "*",
+        F.sha2(normed, 256).alias("content_sha256"),
+        sketch.alias("position_sketch"),
+    )

@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default 64MB advisory size collapses mid-size shuffles to 1-2
+        # post-shuffle partitions, serializing stages no matter how many
+        # cores; 8MB keeps parallelism while still coalescing tiny shuffles.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config(
@@ -41,6 +45,11 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Shuffle/checkpoint scratch on tmpfs: the sandboxed overlay FS
+        # serializes concurrent writers (32 task slots thrash it); RAM-backed
+        # local dirs restore parallel shuffle-write throughput. On a real
+        # cluster this is local NVMe per executor.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     if master:
         builder = builder.master(master)

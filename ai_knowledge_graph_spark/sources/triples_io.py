@@ -1,0 +1,127 @@
+"""Triple/graph file formats (SURVEY §2.1 S2/S3/K1/K3).
+
+JSON triple scan mirrors ICTGraphStore._load_triples (graph_store.py:82-115):
+explicit schema, degenerate-row filters (null fields, empty object, literal
+'none'), list-valued objects flattened one row per element
+(scripts/clean_graph.py:104-115). ForceGraph nodes/links JSON mirrors
+_load_graph_data (:117-150). CSV export mirrors the Neo4j exporter
+(:620-639).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw triple JSON: object may be a string OR a list (LLM output shape).
+_TRIPLE_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("inferred", T.BooleanType()),
+    ]
+)
+
+
+def read_triples_json(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """Load a triples JSON array; filter degenerate rows (F5).
+
+    Filters (graph_store.py:94-105): any null field, blank object, literal
+    'none' object (case-insensitive).
+    """
+    raw = spark.read.json(path, schema=_TRIPLE_JSON_SCHEMA, multiLine=multiline)
+    return (
+        raw.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+            & (F.length(F.trim("object")) > 0)
+            & (F.lower(F.trim("object")) != "none")
+        )
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.coalesce("chunk", F.lit(0)).alias("chunk"),
+            F.coalesce("inferred", F.lit(False)).alias("inferred"),
+        )
+    )
+
+
+_FORCEGRAPH_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "nodes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("definition", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("source", T.StringType()),
+                        T.StructField("target", T.StringType()),
+                        T.StructField("relation", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def read_forcegraph_json(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """ForceGraph {nodes:[], links:[]} -> (nodes, edges) DataFrames (S3)."""
+    raw = spark.read.json(path, schema=_FORCEGRAPH_SCHEMA, multiLine=True)
+    nodes = raw.select(F.explode("nodes").alias("n")).select(
+        F.col("n.id").alias("entity"),
+        F.col("n.type").alias("node_type"),
+        F.col("n.definition").alias("definition"),
+    )
+    edges = raw.select(F.explode("links").alias("l")).select(
+        F.col("l.source").alias("src"),
+        F.col("l.target").alias("dst"),
+        F.coalesce(F.col("l.relation"), F.lit("related")).alias("relation"),
+    )
+    return nodes, edges
+
+
+def write_triples_json(triples: DataFrame, path: str) -> None:
+    """K1: triples -> JSON lines (distributed counterpart of the pretty-array
+    dump at main.py:294-301; a JSON array is a single-writer format)."""
+    triples.select("subject", "predicate", "object", "chunk", "inferred").write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def export_neo4j_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """K3 (graph_store.py:620-639): nodes.csv / edges.csv with headers,
+    quoted fields."""
+    nodes.select(
+        F.col("entity").alias("name:ID"),
+        F.col("degree").alias("degree:int"),
+        F.col("component_id").alias("component:long"),
+    ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(
+        f"{out_dir}/nodes"
+    )
+    edges.select(
+        F.col("src").alias(":START_ID"),
+        F.col("dst").alias(":END_ID"),
+        F.col("relation").alias("relation"),
+        F.col("inferred").alias("inferred:boolean"),
+    ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(
+        f"{out_dir}/edges"
+    )

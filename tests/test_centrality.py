@@ -1,0 +1,56 @@
+"""Centrality & community operators vs small hand-checked cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_knowledge_graph_spark.graph.centrality import (
+    approx_betweenness,
+    degree_centrality,
+    degree_mod_communities,
+    eigenvector_centrality,
+    label_propagation_communities,
+)
+
+
+@pytest.fixture(scope="module")
+def star_edges(spark):
+    # hub h with 4 spokes + a separate triangle
+    rows = [("h", s) for s in ("s1", "s2", "s3", "s4")] + [
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+    ]
+    return spark.createDataFrame(
+        [(a, b, "r", False) for a, b in rows],
+        "src string, dst string, relation string, inferred boolean",
+    ).localCheckpoint(eager=True)
+
+
+def test_degree(spark, star_edges):
+    got = {r["entity"]: r["degree"] for r in degree_centrality(star_edges).collect()}
+    assert got["h"] == 4 and got["s1"] == 1 and got["t1"] == 2
+
+
+def test_eigenvector_hub_dominates(spark, star_edges):
+    scores = {r["entity"]: r["score"] for r in eigenvector_centrality(star_edges, iterations=8).collect()}
+    # in-degree flow: spokes receive from hub; triangle nodes keep cycling.
+    assert scores["t1"] > 0 and scores["t2"] > 0
+    assert abs(sum(v * v for v in scores.values()) - 1.0) < 1e-6  # normalized
+
+
+def test_label_propagation_separates_components(spark, star_edges):
+    got = {r["entity"]: r["community"] for r in label_propagation_communities(star_edges).collect()}
+    star = {got[e] for e in ("h", "s1", "s2", "s3", "s4")}
+    tri = {got[e] for e in ("t1", "t2", "t3")}
+    assert len(star) == 1 and len(tri) == 1
+    assert star != tri
+
+
+def test_degree_mod_fallback(spark, star_edges):
+    got = {r["entity"]: r["community"] for r in degree_mod_communities(star_edges).collect()}
+    assert got["h"] == 4 % 8 and got["s1"] == 1
+
+
+def test_approx_betweenness_hub_highest(spark, star_edges):
+    got = {r["entity"]: r["betweenness"] for r in approx_betweenness(star_edges, sample_sources=4).collect()}
+    assert got, "non-empty"
+    assert max(got, key=got.get) == "h"

@@ -1,0 +1,130 @@
+"""Dedup family (exact / MinHash-LSH / SimHash / Jaccard) + ANN similarity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dup,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_dup,
+)
+from ai_knowledge_graph_spark.operators.similarity import cosine_topk, srp_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while morning mist rises slowly above quiet fields where farmers walk "
+        "between long rows of ripening corn under a pale autumn sky before noon"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("lazy", "sleepy")),  # near-duplicate of 0
+        (3, "completely different text about spark dataframes and shuffles here"),
+        (4, f"  {base}  "),  # whitespace-normalized duplicate of 0
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).localCheckpoint(
+        eager=True
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 5]  # 1 and 4 are content-dups of 0
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    sh = shingles(docs)
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(sh, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_cover_true_pairs(spark, docs):
+    sh = shingles(docs).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh)
+    cands = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands  # identical docs always collide
+    assert (0, 2) in cands  # high-jaccard pair lands in same band w.h.p.
+
+
+def test_minhash_near_dup_end_to_end(spark, docs):
+    out = {(r["a"], r["b"]) for r in minhash_near_dup(docs).collect()}
+    assert (0, 1) in out and (0, 2) in out
+    assert all(3 not in pair for pair in out)
+
+
+def test_simhash_identical_docs_equal_and_near_dup_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[4]
+    # one-word change barely moves the sketch; unrelated text moves it a lot
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
+    assert ham(0, 2) < ham(0, 3)
+    # banding guarantees recall for hamming <= 3 (pigeonhole over 4 bands):
+    # every such pair must be reported, with the exact hamming distance.
+    near = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dup(docs, max_hamming=3).collect()}
+    expected = {
+        (a, b): ham(a, b)
+        for a in sh
+        for b in sh
+        if a < b and ham(a, b) <= 3
+    }
+    assert near == expected
+    assert (0, 1) in near and near[(0, 1)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["neighbor_id"], r["rk"]) for r in sorted(out, key=lambda r: r["rk"])]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_srp_topk_finds_planted_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((200, 16)).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    # plant 3 high-cosine neighbors per query vector (ids 500+)
+    planted = []
+    for q in range(3):
+        for j in range(3):
+            noisy = vecs[q] + 0.15 * rng.standard_normal(16)
+            planted.append((500 + q * 10 + j, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows + planted, "vec_id long, embedding array<double>").localCheckpoint(
+        eager=True
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries, k=3)
+    approx = srp_topk(emb, queries, k=3, n_planes=4, tables=4, dim=16)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # top-3 per query are the planted near-duplicates; multi-table LSH must
+    # recover the large majority of them
+    assert len(approx_pairs & exact_pairs) >= 7, (approx_pairs, exact_pairs)
+    # cosine values agree exactly with the brute-force computation
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-6

@@ -1,0 +1,188 @@
+"""Text-analysis + multimodal plumbing + sources/sinks + streaming parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.operators.multimodal import (
+    extract_media_metadata,
+    sample_frames,
+)
+from ai_knowledge_graph_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house", "en"),
+        (1, "der hund ist gross und die katze ist klein zu haus", "de"),
+        (2, "le chat est petit et la maison est grande les deux", "fr"),
+        (3, "", "en"),
+        (4, "word " * 150, "en"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_language_id(spark, text_docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(text_docs).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "en"  # empty -> default
+
+
+def test_token_counts(spark, text_docs):
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in token_counts(text_docs).collect()}
+    assert got[0][0] == 13
+    assert got[3] == (0, 0)
+    assert got[4][0] == 150
+
+
+def test_quality_scores_bounds(spark, text_docs):
+    for r in quality_scores(text_docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+    full = {r["doc_id"]: r for r in quality_scores(text_docs).collect()}
+    assert full[4]["quality"] == 1.0  # 150 clean words
+    assert full[3]["quality"] == 0.0
+
+
+def test_fingerprints_stable_and_ws_insensitive(spark):
+    rows = [(0, "a b  c d e"), (1, "a b c d e"), (2, "different words here again now")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert got[0]["content_sha256"] == got[1]["content_sha256"]
+    assert got[0]["position_sketch"] == got[1]["position_sketch"]
+    assert got[0]["content_sha256"] != got[2]["content_sha256"]
+
+
+def test_media_metadata_deterministic(spark):
+    rows = [
+        ("m1", b"\x01\x02\x03\x04", "image"),
+        ("m2", b"\x05\x06\x07\x08" * 100, "video"),
+        ("m3", None, "image"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary, media_type string")
+    out1 = {r["url"]: r for r in extract_media_metadata(df).collect()}
+    out2 = {r["url"]: r for r in extract_media_metadata(df).collect()}
+    assert out1.keys() == out2.keys() == {"m1", "m2", "m3"}
+    for u in out1:
+        assert out1[u]["sha256"] == out2[u]["sha256"]
+        assert out1[u]["feature"] == out2[u]["feature"]
+        assert len(out1[u]["feature"]) == 8
+    assert out1["m2"]["media_type"] == "video" and out1["m2"]["n_frames"] >= 1
+    assert out1["m1"]["n_frames"] == 1
+    assert out1["m3"]["n_bytes"] == 0
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame(
+        [("v1", b"\x09" * 64)], "url string, payload binary"
+    )
+    frames = sample_frames(df, every_n=30).collect()
+    assert len(frames) >= 1
+    assert all(f["frame_idx"] % 30 == 0 for f in frames)
+    # deterministic frame hashes
+    again = sample_frames(df, every_n=30).collect()
+    assert sorted(f["frame_sha256"] for f in frames) == sorted(f["frame_sha256"] for f in again)
+
+
+def test_triples_json_round_trip(spark, tmp_path):
+    from ai_knowledge_graph_spark.sources.triples_io import (
+        read_triples_json,
+        write_triples_json,
+    )
+
+    path = str(tmp_path / "triples.json")
+    with open(path, "w") as f:
+        f.write(
+            """[
+  {"subject": "a", "predicate": "p", "object": "b", "chunk": 1},
+  {"subject": "a", "predicate": "p", "object": "none"},
+  {"subject": "a", "predicate": "p", "object": "  "},
+  {"subject": null, "predicate": "p", "object": "b"},
+  {"subject": "x", "predicate": "q", "object": "y", "inferred": true}
+]"""
+        )
+    df = read_triples_json(spark, path)
+    rows = sorted((r["subject"], r["object"], r["chunk"], r["inferred"]) for r in df.collect())
+    assert rows == [("a", "b", 1, False), ("x", "y", 0, True)]
+
+    out = str(tmp_path / "out")
+    write_triples_json(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+
+
+def test_forcegraph_scan(spark, tmp_path):
+    from ai_knowledge_graph_spark.sources.triples_io import read_forcegraph_json
+
+    path = str(tmp_path / "fg.json")
+    with open(path, "w") as f:
+        f.write(
+            '{"nodes": [{"id": "a", "type": "model", "definition": "d"}, {"id": "b"}],'
+            ' "links": [{"source": "a", "target": "b", "relation": "uses"},'
+            ' {"source": "b", "target": "a"}]}'
+        )
+    nodes, edges = read_forcegraph_json(spark, path)
+    assert {r["entity"] for r in nodes.collect()} == {"a", "b"}
+    got = sorted((r["src"], r["dst"], r["relation"]) for r in edges.collect())
+    assert got == [("a", "b", "uses"), ("b", "a", "related")]
+
+
+def test_neo4j_csv_export(spark, tmp_path):
+    from ai_knowledge_graph_spark.graph.materialize import materialize_graph
+    from ai_knowledge_graph_spark.sources.triples_io import export_neo4j_csv
+
+    df = spark.createDataFrame(
+        [{"subject": "a", "predicate": "p", "object": "b", "inferred": False,
+          "url": None, "chunk": 1}],
+        schema="subject string, predicate string, object string, inferred boolean, url string, chunk int",
+    )
+    nodes, edges = materialize_graph(df)
+    out = str(tmp_path / "neo4j")
+    export_neo4j_csv(nodes, edges, out)
+    ncsv = spark.read.option("header", True).csv(f"{out}/nodes")
+    ecsv = spark.read.option("header", True).csv(f"{out}/edges")
+    assert ncsv.count() == 2 and ecsv.count() == 1
+    assert ":START_ID" in ecsv.columns
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from ai_knowledge_graph_spark.streaming.ingest import (
+        windowed_event_counts_batch,
+        windowed_event_counts_stream,
+    )
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    batch = windowed_event_counts_batch(spark, events_path)
+    stream = windowed_event_counts_stream(spark, events_path)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.collect()))
+    assert b == s and len(b) > 0
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path, pages_pdf):
+    from ai_knowledge_graph_spark.operators.extraction import pages_to_raw_triples
+    from ai_knowledge_graph_spark.streaming.ingest import stream_extract_pages
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    spark.createDataFrame(pages_pdf.head(20)).write.parquet(pages_dir)
+
+    stream_extract_pages(spark, pages_dir, out_dir, ckpt, chunk_size=100, overlap=20)
+    streamed = spark.read.parquet(out_dir)
+    batch = pages_to_raw_triples(
+        spark.read.parquet(pages_dir), 100, 20, stage_partitions=None
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["subject"], r["predicate"], r["object"], r["url"], r["chunk"], r["t_idx"])
+        for r in df.collect()
+    )
+    assert key(streamed) == key(batch)
