@@ -167,7 +167,11 @@ def _fin_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _cached(
         spark, sf_dir, "fin",
-        lambda: infer_relationships(_std_triples(spark, sf_dir, INFER_DOCS)),
+        # lexicographic: the SQL-expressible symmetric-pair direction (see
+        # q_lexical); reference order is covered by the parity gate.
+        lambda: infer_relationships(
+            _std_triples(spark, sf_dir, INFER_DOCS), pair_order="lexicographic"
+        ),
     )
 
 
@@ -182,9 +186,12 @@ def q_transitive(spark, sf_dir):
 def q_lexical(spark, sf_dir):
     from ai_knowledge_graph_spark.operators.inference import lexical_inference
 
-    return lexical_inference(_std_triples(spark, sf_dir, INFER_DOCS)).select(
-        "subject", "predicate", "object"
-    )
+    # lexicographic pair order: the one SQL-expressible direction for the
+    # symmetric `related to` branch (the DuckDB oracle cannot replay CPython
+    # set-iteration order; reference order is covered by the parity gate).
+    return lexical_inference(
+        _std_triples(spark, sf_dir, INFER_DOCS), pair_order="lexicographic"
+    ).select("subject", "predicate", "object")
 
 
 def q_infer_full(spark, sf_dir):

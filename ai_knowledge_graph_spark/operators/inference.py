@@ -21,6 +21,7 @@ tolerance absorbs and oracle/refimpl.py mirrors exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,7 +105,55 @@ def _entity_features(triples: DataFrame) -> DataFrame:
     )
 
 
-def lexical_inference(triples: DataFrame, max_block_size: int = 0) -> DataFrame:
+def entity_set_rank(triples: DataFrame) -> DataFrame:
+    """(entity, set_rank): the reference's ``list(all_entities)`` position.
+
+    The reference builds ``all_entities`` by inserting subject then object per
+    triple in list order (entity_standardization.py:218-223) and later
+    iterates it (:682) — CPython set order, a pure function of the *distinct
+    insertion sequence* and the interpreter hash seed. PySpark python workers
+    always run with PYTHONHASHSEED=0 (pyspark/core/context.py:298), the same
+    seed the subprocess oracle pins, so replaying the insertions into a real
+    Python set inside one worker task reproduces the order bit-exactly.
+
+    The replay is a single-task reduction over the DISTINCT vocabulary (not
+    the triple table) — the same driver-bottleneck class as the reference's
+    own global entity pass. It only runs in ``pair_order='reference'`` parity
+    mode; the web-scale path (``pair_order='lexicographic'``) never calls it.
+    """
+    w = Window.orderBy(
+        F.col("url").asc_nulls_first(),
+        F.col("chunk").asc_nulls_first(),
+        F.col("t_idx").asc_nulls_first(),
+    )
+    seq = triples.withColumn("seq", F.row_number().over(w))
+    occ = seq.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("seq") * 2).alias("occ"), F.col("subject").alias("entity")),
+                F.struct((F.col("seq") * 2 + 1).alias("occ"), F.col("object").alias("entity")),
+            )
+        ).alias("x")
+    ).select("x.occ", "x.entity")
+    first = occ.groupBy("entity").agg(F.min("occ").alias("first_occ"))
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        entities = pdf.sort_values("first_occ")["entity"]
+        s: set[str] = set()
+        for e in entities:
+            s.add(e)
+        return pd.DataFrame({"entity": list(s), "set_rank": range(len(s))})
+
+    return (
+        first.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_replay, "entity string, set_rank long")
+    )
+
+
+def lexical_inference(
+    triples: DataFrame, max_block_size: int = 0, pair_order: str = "reference"
+) -> DataFrame:
     """Lexical-similarity inference (entity_standardization.py:661-752).
 
     Candidate pairs come from two lossless blockings instead of all-pairs:
@@ -113,13 +162,21 @@ def lexical_inference(triples: DataFrame, max_block_size: int = 0) -> DataFrame:
         among the longer entity's 4-grams (plus a broadcast pass for
         entities shorter than 4 chars, which no 4-gram key can block).
 
-    Rules per unordered pair (e1 < e2 lexicographically):
+    Rules per unordered pair:
       * a shared word exists: the longest shared word, if >= 4 chars, emits
         a ``relates to`` / ``related to`` edge directed by startswith; a
         shared word < 4 chars emits nothing AND suppresses the containment
         check (the reference's elif chain, :708-736);
       * otherwise substring containment emits ``is type of``.
     Pairs already connected in either direction are skipped (:686).
+
+    Direction of the *symmetric* ``related to`` branch (both or neither
+    entity startswith the shared word) is the only rule that depends on the
+    reference's pair iteration order: subject = the entity appearing first in
+    ``list(all_entities)``. ``pair_order='reference'`` reproduces that order
+    exactly via entity_set_rank(); ``pair_order='lexicographic'`` uses a
+    plain total order instead — semantically equivalent output modulo that
+    direction, with no single-task rank step, for web-scale runs.
 
     ``max_block_size`` > 0 drops blocking tokens whose document frequency
     exceeds the cap — a web-scale guard (a token shared by n entities emits
@@ -184,6 +241,15 @@ def lexical_inference(triples: DataFrame, max_block_size: int = 0) -> DataFrame:
     )
     scored = pairs.join(fx, "x").join(fy, "y")
 
+    if pair_order == "reference":
+        ranks = entity_set_rank(triples).localCheckpoint(eager=True)
+        rx = ranks.select(F.col("entity").alias("x"), F.col("set_rank").alias("rank_x"))
+        ry = ranks.select(F.col("entity").alias("y"), F.col("set_rank").alias("rank_y"))
+        scored = scored.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+        x_first = F.col("rank_x") < F.col("rank_y")
+    else:
+        x_first = F.col("x") < F.col("y")  # pairs are built with x < y
+
     # Skip pairs already connected in either direction (:686).
     existing = triples.select("subject", "object").distinct().localCheckpoint(eager=True)
     scored = scored.join(
@@ -213,14 +279,16 @@ def lexical_inference(triples: DataFrame, max_block_size: int = 0) -> DataFrame:
     subject_col = (
         F.when(big_shared & x_starts & ~y_starts, F.col("y"))
         .when(big_shared & y_starts & ~x_starts, F.col("x"))
-        .when(big_shared, F.col("x"))
+        .when(big_shared & x_first, F.col("x"))
+        .when(big_shared, F.col("y"))
         .when(~has_shared & F.col("ylow").contains(F.col("xlow")), F.col("y"))
         .when(~has_shared & F.col("xlow").contains(F.col("ylow")), F.col("x"))
     )
     object_col = (
         F.when(big_shared & x_starts & ~y_starts, F.col("x"))
         .when(big_shared & y_starts & ~x_starts, F.col("y"))
-        .when(big_shared, F.col("y"))
+        .when(big_shared & x_first, F.col("y"))
+        .when(big_shared, F.col("x"))
         .when(~has_shared & F.col("ylow").contains(F.col("xlow")), F.col("x"))
         .when(~has_shared & F.col("xlow").contains(F.col("ylow")), F.col("y"))
     )
@@ -278,6 +346,7 @@ def infer_relationships(
     apply_transitive: bool = True,
     apply_lexical: bool = True,
     max_block_size: int = 0,
+    pair_order: str = "reference",
 ) -> DataFrame:
     """Phase 3 end-to-end (LLM sub-stages off): infer, union, dedup, truncate,
     drop self-loops (entity_standardization.py:183-271)."""
@@ -292,7 +361,9 @@ def infer_relationships(
     if apply_transitive:
         parts.append(transitive_inference(valid))
     if apply_lexical:
-        parts.append(lexical_inference(valid, max_block_size=max_block_size))
+        parts.append(
+            lexical_inference(valid, max_block_size=max_block_size, pair_order=pair_order)
+        )
 
     unioned = parts[0]
     for p in parts[1:]:

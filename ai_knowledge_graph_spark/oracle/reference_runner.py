@@ -14,10 +14,14 @@ reference leaks set-iteration order; see SURVEY.md §7 D2).
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
 import sys
 import types
 
 REFERENCE_PATH = "/root/reference"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _ensure_importable() -> None:
@@ -101,6 +105,38 @@ def run_reference_pipeline(
     if cfg.get("inference", {}).get("enabled", True):
         triples = ent_std.infer_relationships(triples, cfg)
     return triples
+
+
+def run_reference_seed0(
+    texts: list[str],
+    chunk_size: int = 100,
+    overlap: int = 20,
+    phase: str = "full",
+) -> list[dict]:
+    """The *pinned* parity oracle: reference pipeline in a PYTHONHASHSEED=0
+    subprocess (see subprocess_oracle.py). Stable across host interpreters —
+    the in-process variants above drift with the pytest process's hash seed
+    wherever the reference iterates a set.
+    """
+    env = dict(os.environ, PYTHONHASHSEED="0")
+    env["PYTHONPATH"] = REPO_ROOT + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    spec = {
+        "texts": texts,
+        "chunk_size": chunk_size,
+        "overlap": overlap,
+        "phase": phase,
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "ai_knowledge_graph_spark.oracle.subprocess_oracle"],
+        input=json.dumps(spec),
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(proc.stdout)
 
 
 def spo_set(triples) -> set[tuple]:

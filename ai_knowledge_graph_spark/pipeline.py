@@ -84,6 +84,11 @@ def run_pipeline(
                 prev2,
                 apply_transitive=cfg.get("inference", {}).get("apply_transitive", True),
                 max_block_size=int(engine.get("max_block_size", 0)),
+                # "reference" replays the reference's pair iteration order for
+                # exact parity; web-scale runs set "lexicographic" (no
+                # single-task rank replay; only the direction of symmetric
+                # `related to` edges differs).
+                pair_order=cfg.get("inference", {}).get("pair_order", "reference"),
             ),
         )
 

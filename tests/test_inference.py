@@ -81,7 +81,7 @@ def test_lexical_rules(spark):
         _row("power grid", "p", "coal", t_idx=1),
         _row("micro coal", "p", "wind", t_idx=2),
     ]
-    out = _spo(lexical_inference(_df(spark, rows)))
+    out = _spo(lexical_inference(_df(spark, rows), pair_order="lexicographic"))
     # "solar power" & "power grid" share "power" (>=4 chars), neither starts
     # with it -> wait: "power grid" DOES start with "power" -> directed rule:
     # (solar power, relates to, power grid)? No — the non-starter becomes the
@@ -102,7 +102,7 @@ def test_lexical_short_shared_word_suppresses_containment(spark):
         _row("ab", "p", "zzz", t_idx=0),
         _row("ab cd", "p", "zzz", t_idx=1),
     ]
-    out = _spo(lexical_inference(_df(spark, rows)))
+    out = _spo(lexical_inference(_df(spark, rows), pair_order="lexicographic"))
     assert ("ab cd", "is type of", "ab") not in out
     assert ("ab", "is type of", "ab cd") not in out
 
@@ -112,7 +112,7 @@ def test_lexical_containment_no_shared_word(spark):
         _row("superhighway", "p", "zz1", t_idx=0),
         _row("highway", "p", "zz2", t_idx=1),
     ]
-    out = _spo(lexical_inference(_df(spark, rows)))
+    out = _spo(lexical_inference(_df(spark, rows), pair_order="lexicographic"))
     # no shared word ("superhighway" is one token), containment ->
     # subject is the container-side per reference orientation
     assert ("superhighway", "is type of", "highway") in out

@@ -24,6 +24,7 @@ from ai_knowledge_graph_spark.oracle.reference_runner import (
     reference_modules,
     run_reference_phase1,
     run_reference_pipeline,
+    run_reference_seed0,
     spo_set,
 )
 from ai_knowledge_graph_spark.pipeline import run_pipeline
@@ -64,7 +65,9 @@ def _cfg():
 def test_full_pipeline_pr_on_reference_sample_doc(spark, sample_text):
     pages = _single_doc_pages(spark, sample_text)
     engine = spo_set(r.asDict() for r in run_pipeline(spark, pages, _cfg()).collect())
-    oracle = spo_set(_quiet(run_reference_pipeline, [sample_text], 100, 20))
+    # Pinned PYTHONHASHSEED=0 subprocess oracle: stable regardless of the
+    # pytest interpreter's hash seed (the reference leaks set order).
+    oracle = spo_set(run_reference_seed0([sample_text], 100, 20, phase="full"))
     p, r = precision_recall(engine, oracle)
     assert p >= 0.95 and r >= 0.95, (p, r, sorted(oracle - engine)[:10], sorted(engine - oracle)[:10])
 
