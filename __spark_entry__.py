@@ -390,6 +390,118 @@ def q_clean_graph(spark, sf_dir):
     )
 
 
+# --- near-dup / fingerprint / ANN family (training-data ops) ---------------
+
+
+def q_minhash_signatures(spark, sf_dir):
+    # MinHash signatures over 3-word shingles; 8 portable hash fns (md5-based)
+    from ai_knowledge_graph_spark.operators.dedup import minhash_signatures, shingles
+
+    sh = shingles(_docs(spark, sf_dir), k=3)
+    sigs = minhash_signatures(sh, num_hashes=8, seed=7)
+    return sigs.select("doc_id", F.posexplode("sig").alias("h_idx", "sig_val"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # shingle -> minhash -> LSH band bucket-join -> exact-Jaccard verify
+    from ai_knowledge_graph_spark.operators.dedup import minhash_near_dup
+
+    return minhash_near_dup(
+        _docs(spark, sf_dir), k=3, num_hashes=8, bands=4, threshold=0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from ai_knowledge_graph_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # 15-bit-band blocking (pigeonhole-complete for hamming <= 3) + verify
+    from ai_knowledge_graph_spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_fingerprint(spark, sf_dir):
+    # content sha256 + positional 64-bit sketch (rolling-hash style)
+    from ai_knowledge_graph_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "content_sha256", "position_sketch"
+    )
+
+
+def q_srp_topk(spark, sf_dir):
+    # LSH-bucketed ANN: signed-random-projection buckets (2 tables x 8
+    # planes), exact cosine on the candidate union — the scale path next to
+    # brute-force embedding_topk.
+    from ai_knowledge_graph_spark.operators.similarity import srp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return srp_topk(emb, q, k=5, n_planes=8, tables=2, dim=64, seed=42)
+
+
+# --- graph query layer (J7-J9, W4) over the KG built from documents --------
+
+
+def _kg_edges(spark, sf_dir):
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return std.select(
+        F.col("subject").alias("src"),
+        F.col("predicate").alias("relation"),
+        F.col("object").alias("dst"),
+    )
+
+
+def _top_nodes(spark, sf_dir, n=2) -> list[str]:
+    """Deterministic probe nodes: max degree, lexicographic tiebreak."""
+    deg = q_degree(spark, sf_dir)
+    rows = deg.orderBy(F.desc("degree"), F.asc("entity")).take(n)
+    return [r["entity"] for r in rows]
+
+
+def q_neighbors(spark, sf_dir):
+    # J7: in-/out-edges of the max-degree node
+    from ai_knowledge_graph_spark.graph.queries import neighbors
+
+    node = _top_nodes(spark, sf_dir, 1)[0]
+    return neighbors(_kg_edges(spark, sf_dir), node)
+
+
+def q_khop(spark, sf_dir):
+    # J8/G3: 2-hop undirected neighborhood of the max-degree node
+    from ai_knowledge_graph_spark.graph.queries import k_hop_neighborhood
+
+    node = _top_nodes(spark, sf_dir, 1)[0]
+    return k_hop_neighborhood(_kg_edges(spark, sf_dir), node, hops=2)
+
+
+def q_shortest_dist(spark, sf_dir):
+    # J9/G4: undirected BFS distance between the two highest-degree nodes
+    # (hop index of the BFS frontier = shortest distance)
+    from ai_knowledge_graph_spark.graph.queries import k_hop_neighborhood
+
+    src, dst = _top_nodes(spark, sf_dir, 2)
+    hops = k_hop_neighborhood(_kg_edges(spark, sf_dir), src, hops=10)
+    return hops.filter(F.col("entity") == dst).select(
+        F.lit(src).alias("source"),
+        F.col("entity").alias("target"),
+        F.col("hop").alias("dist"),
+    )
+
+
+def q_search(spark, sf_dir):
+    # W4: text search over node names, rank by (-score, -degree, entity)
+    from ai_knowledge_graph_spark.graph.queries import search
+
+    node = _top_nodes(spark, sf_dir, 1)[0]
+    nodes = _cached(spark, sf_dir, "deg_nodes", lambda: q_degree(spark, sf_dir))
+    return search(nodes, node, top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -431,6 +543,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "srp_topk": q_srp_topk,
+        "neighbors": q_neighbors,
+        "khop": q_khop,
+        "shortest_dist": q_shortest_dist,
+        "search": q_search,
     }
 
 
@@ -836,6 +958,203 @@ SELECT doc_id,
        WHEN fr > greatest(en, de) THEN 'fr'
        ELSE 'en' END AS pred_lang
 FROM cnts"""
+
+    # --- near-dup family: md5-hex-prefix hashes are bit-identical in Spark
+    # (conv(substring(md5(x),1,15),16,10)) and DuckDB ('0x'||substr)::HUGEINT.
+    M61 = (1 << 61) - 1
+    NH, SEED = 8, 7
+    _sh_cte = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(words) - 2, 0) + 1),
+    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM (SELECT doc_id, {_w('lower(text)')} AS words FROM documents)
+  WHERE len(words) >= 3
+),
+h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h0 FROM sh),
+sig AS (
+  SELECT doc_id,
+    {', '.join(
+        f"(min(({2 * (SEED + i) + 1}::HUGEINT * h0 + {SEED * 31 + i}) % {M61}))::BIGINT AS m{i}"
+        for i in range(NH)
+    )}
+  FROM h GROUP BY doc_id
+)"""
+    sql["minhash_signatures"] = _sh_cte + f"""
+SELECT doc_id,
+  unnest([{', '.join(str(i) for i in range(NH))}]) AS h_idx,
+  unnest([{', '.join(f'm{i}' for i in range(NH))}]) AS sig_val
+FROM sig"""
+
+    _band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR AS bucket FROM sig"
+        for b in range(4)
+    )
+    sql["minhash_lsh_pairs"] = _sh_cte + f""",
+bands AS (
+  {_band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON i.a = ca.doc_id
+JOIN counts cb ON i.b = cb.doc_id
+WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = i.a AND c.b = i.b)
+  AND round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5"""
+
+    BITS = 60
+    _simhash_cte = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(words)) AS word
+  FROM (SELECT doc_id, {_w('lower(text)')} AS words FROM documents)
+),
+hh AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+sums AS (
+  SELECT doc_id,
+    {', '.join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(BITS)
+    )}
+  FROM hh GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+    ({' + '.join(f'CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END' for i in range(BITS))}) AS simhash
+  FROM sums
+)"""
+    sql["simhash"] = _simhash_cte + "\nSELECT doc_id, simhash FROM sim"
+
+    sql["simhash_pairs"] = _simhash_cte + """,
+sb AS (
+  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS val
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) t
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb
+  FROM sb l JOIN sb r ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= 3"""
+
+    sql["fingerprint"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_w('lower(text)')} AS w, len({_w('lower(text)')}) AS n
+  FROM documents
+),
+picks AS (
+  SELECT doc_id, text, n,
+    (('0x' || substr(md5(w[1]), 1, 15))::BIGINT)::HUGEINT AS p1,
+    (('0x' || substr(md5(w[n // 2 + 1]), 1, 15))::BIGINT)::HUGEINT AS pm,
+    (('0x' || substr(md5(w[n]), 1, 15))::BIGINT)::HUGEINT AS pn
+  FROM base
+)
+SELECT doc_id,
+  sha256(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS content_sha256,
+  CASE WHEN n >= 3 THEN ((p1 + pm * 31 + pn * 961) % {2**62})::BIGINT
+       ELSE 0::BIGINT END AS position_sketch
+FROM picks"""
+
+    # --- SRP-LSH ANN: plane literals inlined from the same deterministic
+    # generator the engine uses (numpy RandomState, rounded to 6 dp).
+    from ai_knowledge_graph_spark.operators.similarity import make_planes
+
+    def _plane_lit(p):
+        return "[" + ", ".join(f"{x!r}" for x in p) + "]::DOUBLE[]"
+
+    def _bucket_expr(planes, vec):
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({vec}::DOUBLE[], {_plane_lit(p)}) > 0"
+            f" THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    _tbl_cands = "\n  UNION ".join(
+        f"""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM (SELECT vec_id, {_bucket_expr(make_planes(64, 8, 42 + 1000 * t), 'embedding')} AS bkt
+        FROM embeddings WHERE vec_id < 5) q
+  JOIN (SELECT vec_id, {_bucket_expr(make_planes(64, 8, 42 + 1000 * t), 'embedding')} AS bkt
+        FROM embeddings) e
+    ON q.bkt = e.bkt AND q.vec_id <> e.vec_id"""
+        for t in range(2)
+    )
+    sql["srp_topk"] = f"""
+WITH cand AS (
+  {_tbl_cands}
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5"""
+
+    # --- graph query layer over the std KG slice ----------------------------
+    graph_pre = _PRELUDE_INFER + _STD_CTES + """
+, deg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT subject AS entity FROM std UNION ALL SELECT object FROM std
+  ) GROUP BY 1
+),
+top1 AS (SELECT entity FROM deg ORDER BY degree DESC, entity ASC LIMIT 1),
+top2 AS (SELECT entity FROM deg ORDER BY degree DESC, entity ASC LIMIT 1 OFFSET 1),
+edges AS (SELECT subject AS src, predicate AS relation, object AS dst FROM std),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges
+  )
+)
+"""
+    sql["neighbors"] = graph_pre + """
+SELECT dst AS node, relation, 'out' AS direction FROM edges WHERE src = (SELECT entity FROM top1)
+UNION ALL
+SELECT src AS node, relation, 'in' AS direction FROM edges WHERE dst = (SELECT entity FROM top1)"""
+
+    sql["khop"] = graph_pre + """,
+h1 AS (
+  SELECT DISTINCT b AS entity FROM und WHERE a = (SELECT entity FROM top1)
+    AND b <> (SELECT entity FROM top1)
+),
+h2 AS (
+  SELECT DISTINCT u.b AS entity FROM und u JOIN h1 ON u.a = h1.entity
+  WHERE u.b <> (SELECT entity FROM top1)
+    AND u.b NOT IN (SELECT entity FROM h1)
+)
+SELECT entity, 0 AS hop FROM top1
+UNION ALL SELECT entity, 1 FROM h1
+UNION ALL SELECT entity, 2 FROM h2"""
+
+    sql["shortest_dist"] = graph_pre + """,
+bfs AS (
+  SELECT entity, 0 AS d FROM top1
+  UNION
+  SELECT und.b, bfs.d + 1 FROM bfs JOIN und ON und.a = bfs.entity WHERE bfs.d < 10
+)
+SELECT (SELECT entity FROM top1) AS source, entity AS target, min(d) AS dist
+FROM bfs WHERE entity = (SELECT entity FROM top2) GROUP BY entity"""
+
+    sql["search"] = graph_pre + """
+SELECT entity, degree, score FROM (
+  SELECT entity, degree,
+    (CASE WHEN contains(entity, (SELECT entity FROM top1)) THEN 10 ELSE 0 END +
+     CASE WHEN entity = (SELECT entity FROM top1) THEN 50 ELSE 0 END) AS score
+  FROM deg
+) WHERE score > 0
+ORDER BY score DESC, degree DESC, entity ASC LIMIT 20"""
+
     return sql
 
 

@@ -100,6 +100,10 @@ def lsh_candidate_pairs(
     Banding: split the signature into ``bands`` groups of ``rows_per_band``
     values; bucket key = hash of the band slice; join within buckets only.
     """
+    # Bucket key = the band slice itself, rendered as a string: equality of
+    # keys <=> equality of slices, so candidate generation is exact AND the
+    # DuckDB oracle reproduces it verbatim (xxhash64 would be JVM-only; at
+    # petabyte scale swap in a hash of this string to shrink shuffle keys).
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -107,10 +111,12 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band).cast(
-                                "string"
-                            )
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
                         ).alias("bucket"),
                     )
                     for b in range(bands)
