@@ -502,6 +502,67 @@ def q_search(spark, sf_dir):
     return search(nodes, node, top_k=20)
 
 
+# --- query-side support ops (P5, F10, J5, J6, W5) ---------------------------
+
+RELEVANCE_TERMS = ["join", "hash", "merge sort", "scan", "window", "stream"]
+
+
+def q_concepts(spark, sf_dir):
+    # P5: KG node names found in each document (broadcast vocabulary scan)
+    from ai_knowledge_graph_spark.operators.concepts import extract_concepts
+
+    vocab = _cached(
+        spark, sf_dir, "vocab",
+        lambda: _std_triples(spark, sf_dir, INFER_DOCS)
+        .select(F.col("subject").alias("entity"))
+        .union(_std_triples(spark, sf_dir, INFER_DOCS).select("object"))
+        .distinct(),
+    )
+    return extract_concepts(_docs(spark, sf_dir), vocab)
+
+
+def q_term_relevance(spark, sf_dir):
+    # F10: domain-term relevance flag per triple (audit_quality.py:30-33)
+    from ai_knowledge_graph_spark.operators.concepts import term_relevance
+
+    return term_relevance(
+        _std_triples(spark, sf_dir, INFER_DOCS), RELEVANCE_TERMS
+    ).select("subject", "predicate", "object", "relevant")
+
+
+def _components_rep(spark, sf_dir):
+    return _cached(spark, sf_dir, "comps_rep", lambda: q_components(spark, sf_dir))
+
+
+def q_candidate_pairs(spark, sf_dir):
+    # J5: unconnected-but-similar same-community pairs, capped per community
+    from ai_knowledge_graph_spark.operators.concepts import candidate_pairs_in_community
+
+    return candidate_pairs_in_community(
+        _std_triples(spark, sf_dir, INFER_DOCS), _components_rep(spark, sf_dir), cap=10
+    )
+
+
+def q_context_triples(spark, sf_dir):
+    # J6: first 20 triples (list order) touching any candidate-pair entity
+    from ai_knowledge_graph_spark.operators.concepts import context_triples
+
+    pairs = q_candidate_pairs(spark, sf_dir)
+    ents = pairs.select(F.col("a").alias("e")).union(pairs.select("b")).distinct()
+    return context_triples(
+        _std_triples(spark, sf_dir, INFER_DOCS), ents, cap=20
+    ).select(_doc_id(), "chunk", "subject", "predicate", "object")
+
+
+def q_relation_cap(spark, sf_dir):
+    # W5: <= 4 objects per (subject, predicate) group
+    from ai_knowledge_graph_spark.operators.concepts import per_relation_cap
+
+    return per_relation_cap(_std_triples(spark, sf_dir, INFER_DOCS), cap=4).select(
+        "subject", "predicate", "object"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -553,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop": q_khop,
         "shortest_dist": q_shortest_dist,
         "search": q_search,
+        "concepts": q_concepts,
+        "term_relevance": q_term_relevance,
+        "candidate_pairs": q_candidate_pairs,
+        "context_triples": q_context_triples,
+        "relation_cap": q_relation_cap,
     }
 
 
@@ -1154,6 +1220,70 @@ SELECT entity, degree, score FROM (
   FROM deg
 ) WHERE score > 0
 ORDER BY score DESC, degree DESC, entity ASC LIMIT 20"""
+
+    # --- query-side support ops (P5, F10, J5, J6, W5) -----------------------
+    sql["concepts"] = graph_pre + """
+SELECT DISTINCT d.doc_id, v.entity AS concept
+FROM documents d
+JOIN (SELECT DISTINCT entity FROM deg WHERE length(entity) >= 3) v
+  ON contains(lower(d.text), v.entity)
+  OR contains(lower(d.text), replace(v.entity, '_', ' '))"""
+
+    _terms_arr = _arr(RELEVANCE_TERMS)
+    sql["term_relevance"] = _PRELUDE_INFER + _STD_CTES + f"""
+SELECT subject, predicate, object,
+  (len(list_filter({_terms_arr}, t -> contains(trim(lower(subject)), t))) > 0 OR
+   len(list_filter({_terms_arr}, t -> contains(trim(lower(object)), t))) > 0) AS relevant
+FROM std"""
+
+    _pairs_ctes = """
+, und2 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT subject AS a, object AS b FROM std
+    UNION ALL SELECT object, subject FROM std)
+),
+reach AS (
+  SELECT a, b FROM und2
+  UNION SELECT a AS a, a AS b FROM und2
+  UNION SELECT u.a, r.b FROM und2 u JOIN reach r ON u.b = r.a
+),
+crep AS (SELECT a AS entity, min(b) AS component_rep FROM reach GROUP BY a),
+featsj AS (
+  SELECT entity, component_rep,
+    list_filter(regexp_split_to_array(lower(entity), '\\s+'), w -> w <> '') AS words,
+    lower(entity) AS elow
+  FROM crep
+),
+cpairs AS (
+  SELECT component_rep, a, b FROM (
+    SELECT x.component_rep, x.entity AS a, y.entity AS b,
+      row_number() OVER (PARTITION BY x.component_rep ORDER BY x.entity, y.entity) AS rn
+    FROM featsj x JOIN featsj y
+      ON x.component_rep = y.component_rep AND x.entity <> y.entity
+    WHERE NOT EXISTS (SELECT 1 FROM std s WHERE s.subject = x.entity AND s.object = y.entity)
+      AND (len(list_intersect(x.words, y.words)) > 0
+           OR contains(y.elow, x.elow) OR contains(x.elow, y.elow))
+  ) WHERE rn <= 10
+)"""
+    sql["candidate_pairs"] = (
+        _PRELUDE_INFER + _STD_CTES + _pairs_ctes + "\nSELECT component_rep, a, b FROM cpairs"
+    )
+
+    sql["context_triples"] = _PRELUDE_INFER + _STD_CTES + _pairs_ctes + """
+SELECT doc_id, chunk, subject, predicate, object FROM (
+  SELECT t.*, row_number() OVER (
+    ORDER BY t.doc_id, t.chunk, t.t_idx, t.subject, t.predicate, t.object) AS rn
+  FROM std t
+  WHERE EXISTS (SELECT 1 FROM cpairs c WHERE c.a = t.subject OR c.b = t.subject
+                                          OR c.a = t.object OR c.b = t.object)
+) WHERE rn <= 20"""
+
+    sql["relation_cap"] = _PRELUDE_INFER + _STD_CTES + """
+SELECT subject, predicate, object FROM (
+  SELECT subject, predicate, object,
+    row_number() OVER (PARTITION BY subject, predicate ORDER BY object) AS rn
+  FROM std
+) WHERE rn <= 4"""
 
     return sql
 

@@ -120,25 +120,41 @@ def entity_set_rank(triples: DataFrame) -> DataFrame:
     the triple table) — the same driver-bottleneck class as the reference's
     own global entity pass. It only runs in ``pair_order='reference'`` parity
     mode; the web-scale path (``pair_order='lexicographic'``) never calls it.
+
+    The insertion sequence needs only an *order*, not consecutive integers,
+    so first occurrence is a fully parallel ``min(struct(...))`` aggregation
+    over the positional key — no global row_number window (which would drag
+    every triple through one partition).
     """
-    w = Window.orderBy(
-        F.col("url").asc_nulls_first(),
-        F.col("chunk").asc_nulls_first(),
-        F.col("t_idx").asc_nulls_first(),
-    )
-    seq = triples.withColumn("seq", F.row_number().over(w))
-    occ = seq.select(
+    occ = triples.select(
         F.explode(
             F.array(
-                F.struct((F.col("seq") * 2).alias("occ"), F.col("subject").alias("entity")),
-                F.struct((F.col("seq") * 2 + 1).alias("occ"), F.col("object").alias("entity")),
+                F.struct(
+                    F.col("url").alias("u"),
+                    F.col("chunk").alias("c"),
+                    F.col("t_idx").alias("t"),
+                    F.lit(0).alias("side"),
+                    F.col("subject").alias("entity"),
+                ),
+                F.struct(
+                    F.col("url").alias("u"),
+                    F.col("chunk").alias("c"),
+                    F.col("t_idx").alias("t"),
+                    F.lit(1).alias("side"),
+                    F.col("object").alias("entity"),
+                ),
             )
         ).alias("x")
-    ).select("x.occ", "x.entity")
-    first = occ.groupBy("entity").agg(F.min("occ").alias("first_occ"))
+    ).select(
+        F.col("x.entity").alias("entity"),
+        F.struct("x.u", "x.c", "x.t", "x.side").alias("occ_key"),
+    )
+    first = occ.groupBy("entity").agg(F.min("occ_key").alias("first_occ"))
 
     def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        entities = pdf.sort_values("first_occ")["entity"]
+        entities = pdf.sort_values(
+            "first_occ", key=lambda s: s.map(lambda r: (r["u"], r["c"], r["t"], r["side"]))
+        )["entity"]
         s: set[str] = set()
         for e in entities:
             s.add(e)
@@ -355,15 +371,32 @@ def infer_relationships(
         valid = valid.withColumn("stage", F.lit("extract"))
     if "inferred" not in valid.columns:
         valid = valid.withColumn("inferred", F.lit(False))
-    valid = valid.localCheckpoint(eager=True)  # feeds union + transitive + lexical
+    # No eager cut here: the pipeline feeds a checkpointed stage output, so
+    # each branch re-reads that checkpoint through a cheap filter instead of
+    # waiting on a second full materialization barrier.
 
-    parts = [valid]
+    # The two inference branches each run eager sub-materializations (edge
+    # set, entity features, existing-pair set) — sequential barrier jobs that
+    # leave cores idle between stages. Spark job submission is thread-safe;
+    # building the branches from two driver threads interleaves their jobs on
+    # the scheduler and fills the cluster (a real multi-executor cluster
+    # benefits the same way).
+    import concurrent.futures
+
+    builders = []
     if apply_transitive:
-        parts.append(transitive_inference(valid))
+        builders.append(lambda: transitive_inference(valid))
     if apply_lexical:
-        parts.append(
-            lexical_inference(valid, max_block_size=max_block_size, pair_order=pair_order)
+        builders.append(
+            lambda: lexical_inference(
+                valid, max_block_size=max_block_size, pair_order=pair_order
+            )
         )
+    parts = [valid]
+    if builders:
+        with concurrent.futures.ThreadPoolExecutor(len(builders)) as ex:
+            futures = [ex.submit(b) for b in builders]
+            parts.extend(f.result() for f in futures)
 
     unioned = parts[0]
     for p in parts[1:]:

@@ -77,7 +77,7 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     warm_raw = pages_to_raw_triples(warm_pages, 100, 20, stage_partitions=32)
     warm_raw = warm_raw.localCheckpoint(eager=True)
     warm_std = standardize_triples(warm_raw).localCheckpoint(eager=True)
-    infer_relationships(warm_std).count()
+    infer_relationships(warm_std, pair_order="lexicographic").count()
     components_for_triples(warm_std).count()
 
     # --- e2e pipeline ----------------------------------------------------
@@ -99,12 +99,19 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         std = timed(
             "standardize", lambda: standardize_triples(raw).localCheckpoint(eager=True)
         )
+        # Headline e2e = the web-scale configuration (lexicographic pair
+        # order); the reference-exact parity mode (single-task set-order
+        # replay) is timed separately as infer_reference.
         fin = timed(
-            "infer", lambda: infer_relationships(std).localCheckpoint(eager=True)
+            "infer",
+            lambda: infer_relationships(std, pair_order="lexicographic").localCheckpoint(
+                eager=True
+            ),
         )
         n_fin = fin.count()
         e2e_sec = min(e2e_sec, round(time.time() - t_e2e, 3))
         timed("components", lambda: components_for_triples(std).count())
+        timed("infer_reference", lambda: infer_relationships(std).count())
         for k, v in timings.items():
             best[k] = min(best.get(k, float("inf")), v)
     timings.update(best)
