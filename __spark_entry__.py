@@ -342,8 +342,10 @@ def q_embedding_topk(spark, sf_dir):
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
     )
+    # Broadcast the QUERY side (few rows) and stream the corpus side — at
+    # scale the corpus never fits an executor; the reverse broadcast would.
     scored = (
-        q.crossJoin(F.broadcast(cand))
+        cand.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

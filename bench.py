@@ -144,9 +144,13 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     doc_raw = timed("doc_extract", lambda: _doc_raw().localCheckpoint(eager=True))
     timed("doc_clean_graph", lambda: clean_triples(doc_raw).count())
     timed("doc_dedup_exact", lambda: entry_mod.q_dedup_exact(spark, sf_dir).count())
+    # Near-dup at scale = MinHash+LSH candidates -> exact-Jaccard verify
+    # (the all-pairs q_ngram_jaccard_pairs variant is the sf0.01 correctness
+    # query; on the 30-word-vocabulary soup at sf0.1 all-pairs blocking
+    # emits ~590M candidate pairs, which is exactly what LSH banding kills).
     timed(
-        "doc_ngram_jaccard",
-        lambda: entry_mod.q_ngram_jaccard_pairs(spark, sf_dir).count(),
+        "doc_minhash_lsh",
+        lambda: entry_mod.q_minhash_lsh_pairs(spark, sf_dir).count(),
     )
     timed("doc_token_count", lambda: entry_mod.q_token_count(spark, sf_dir).count())
     timed(
