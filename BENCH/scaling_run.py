@@ -47,7 +47,7 @@ def one_run(cores: int) -> dict:
     # untimed warm-up: JIT + python workers
     wraw = pages_to_raw_triples(pages.limit(64), 100, 20, stage_partitions=parts).localCheckpoint(eager=True)
     infer_relationships(
-        standardize_triples(wraw).localCheckpoint(eager=True),
+        standardize_triples(wraw, tie_order="lexicographic").localCheckpoint(eager=True),
         pair_order="lexicographic",
     ).count()
 
@@ -57,7 +57,7 @@ def one_run(cores: int) -> dict:
     raw = pages_to_raw_triples(pages, 100, 20, stage_partitions=parts).localCheckpoint(eager=True)
     stage_sec["extract"] = round(time.time() - t, 2)
     t = time.time()
-    std = standardize_triples(raw).localCheckpoint(eager=True)
+    std = standardize_triples(raw, tie_order="lexicographic").localCheckpoint(eager=True)
     stage_sec["standardize"] = round(time.time() - t, 2)
     t = time.time()
     fin = infer_relationships(std, pair_order="lexicographic").localCheckpoint(eager=True)

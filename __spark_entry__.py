@@ -97,7 +97,11 @@ def _std_triples(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -
 
     return _cached(
         spark, sf_dir, f"std{max_doc}",
-        lambda: standardize_triples(_raw_triples(spark, sf_dir, max_doc)),
+        # lexicographic tie order: the SQL-expressible second-pass scan
+        # order (reference set-order ties are covered by the parity tests).
+        lambda: standardize_triples(
+            _raw_triples(spark, sf_dir, max_doc), tie_order="lexicographic"
+        ),
     )
 
 
@@ -151,7 +155,9 @@ def q_unique_entities(spark, sf_dir):
 def q_entity_mapping(spark, sf_dir):
     from ai_knowledge_graph_spark.operators.standardize import build_entity_mapping
 
-    return build_entity_mapping(_raw_triples(spark, sf_dir)).select(
+    return build_entity_mapping(
+        _raw_triples(spark, sf_dir), tie_order="lexicographic"
+    ).select(
         "variant", "standard"
     )
 

@@ -262,7 +262,6 @@ def lexical_inference(
         rx = ranks.select(F.col("entity").alias("x"), F.col("set_rank").alias("rank_x"))
         ry = ranks.select(F.col("entity").alias("y"), F.col("set_rank").alias("rank_y"))
         scored = scored.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
-        x_first = F.col("rank_x") < F.col("rank_y")
     else:
         x_first = F.col("x") < F.col("y")  # pairs are built with x < y
 
@@ -278,6 +277,64 @@ def lexical_inference(
         (scored.x == existing.object) & (scored.y == existing.subject),
         "left_anti",
     )
+
+    if pair_order == "reference":
+        # Exact per-pair scoring: execute the reference's literal rule chain
+        # (entity_standardization.py:699-749) over Arrow batches in a seed-0
+        # python worker — real CPython sets, so `max(shared_words, key=len)`
+        # tie choice and intersection iteration order match the oracle
+        # bit-for-bit. Roles (e1 = earlier in list(all_entities)) come from
+        # the set ranks. This is the north-star pairwise-scoring shape:
+        # blocking stays relational, scoring is a vectorized batch UDF.
+        def _score_reference(batches):
+            for pdf in batches:
+                subs, preds, objs = [], [], []
+                for x, y, rkx, rky in zip(
+                    pdf["x"], pdf["y"], pdf["rank_x"], pdf["rank_y"]
+                ):
+                    e1, e2 = (x, y) if rkx < rky else (y, x)
+                    e1_lower, e2_lower = e1.lower(), e2.lower()
+                    e1_words = set(e1_lower.split())
+                    e2_words = set(e2_lower.split())
+                    shared_words = e1_words.intersection(e2_words)
+                    if shared_words:
+                        main_shared = max(shared_words, key=len)
+                        if len(main_shared) < 4:
+                            continue
+                        if e1_lower.startswith(main_shared) and not e2_lower.startswith(
+                            main_shared
+                        ):
+                            subs.append(e2); preds.append("relates to"); objs.append(e1)
+                        elif e2_lower.startswith(main_shared) and not e1_lower.startswith(
+                            main_shared
+                        ):
+                            subs.append(e1); preds.append("relates to"); objs.append(e2)
+                        else:
+                            subs.append(e1); preds.append("related to"); objs.append(e2)
+                    elif e1_lower in e2_lower:
+                        subs.append(e2); preds.append("is type of"); objs.append(e1)
+                    elif e2_lower in e1_lower:
+                        subs.append(e1); preds.append("is type of"); objs.append(e2)
+                yield pd.DataFrame(
+                    {"subject": subs, "predicate": preds, "object": objs}
+                )
+
+        return (
+            scored.select("x", "y", "rank_x", "rank_y")
+            .mapInPandas(
+                _score_reference, "subject string, predicate string, object string"
+            )
+            .select(
+                "subject",
+                "predicate",
+                "object",
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("int").alias("chunk"),
+                F.lit(None).cast("int").alias("t_idx"),
+                F.lit(True).alias("inferred"),
+                F.lit("lexical").alias("stage"),
+            )
+        )
 
     shared = F.array_intersect("xwords", "ywords")
     # Longest shared word; ties pick the lexicographically largest (the

@@ -88,7 +88,8 @@ def entity_counts(triples: DataFrame) -> DataFrame:
 
 
 def first_pass_mapping(counts: DataFrame) -> DataFrame:
-    """(variant -> standard) via normalized grouping + canonical selection.
+    """(variant -> standard, + normalized group key) via normalized grouping
+    + canonical selection.
 
     W1 total order: count desc, char-length asc, variant asc — provably the
     reference's effective tie-break (its stable sort at
@@ -106,15 +107,62 @@ def first_pass_mapping(counts: DataFrame) -> DataFrame:
         .select(F.col("normalized"), F.col("entity").alias("standard"))
     )
     return grouped.select("entity", "normalized").join(winners, "normalized").select(
-        F.col("entity").alias("variant"), "standard"
+        F.col("entity").alias("variant"), "standard", "normalized"
     )
 
 
-def _forms_with_features(mapping: DataFrame) -> DataFrame:
+def standard_form_set_rank(mapping: DataFrame) -> DataFrame:
+    """(form, set_rank): iteration position of each standard form in the
+    reference's ``standard_forms = set(standardized_entities.values())``
+    (entity_standardization.py:120).
+
+    Deterministic derivation: ``standardized_entities`` is built group by
+    group in group-first-appearance order over the (-len, lex)-sorted entity
+    list (:86-113), each group contributing its one standard form — so the
+    set's distinct-insertion sequence is the standard forms ordered by their
+    group's earliest variant under (-len(variant), variant). A real Python
+    set replays that sequence in a PYTHONHASHSEED=0 worker (same seed as the
+    subprocess oracle; see inference.entity_set_rank for the rationale).
+    Single-task over the *form vocabulary* only — parity-mode cost.
+    """
+    gkey = mapping.groupBy("normalized").agg(
+        F.min(
+            F.struct(
+                (-F.length("variant")).alias("nl"), F.col("variant").alias("v")
+            )
+        ).alias("gkey")
+    )
+    forms = (
+        mapping.select("normalized", F.col("standard").alias("form"))
+        .distinct()
+        .join(gkey, "normalized")
+        .select("form", "gkey")
+    )
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        ordered = pdf.sort_values(
+            "gkey", key=lambda s: s.map(lambda r: (r["nl"], r["v"]))
+        )["form"]
+        seen: set[str] = set()
+        for f in ordered:
+            seen.add(f)
+        return pd.DataFrame({"form": list(seen), "set_rank": range(len(seen))})
+
+    return (
+        forms.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_replay, "form string, set_rank long")
+    )
+
+
+def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> DataFrame:
     """Distinct standard forms + word/stem features + a total-order rank.
 
     Rank replays the reference's scan order ``sorted(standard_forms, key=len)``
-    (entity_standardization.py:121) with a lexicographic tiebreak.
+    (entity_standardization.py:121) — a *stable* sort, so equal-length forms
+    keep their set-iteration order. ``tie_order='reference'`` reproduces that
+    order exactly via standard_form_set_rank(); ``'lexicographic'`` totalizes
+    ties by form text instead (the SQL-expressible web-scale mode).
     """
     forms = mapping.select(F.col("standard").alias("form")).distinct()
     forms = forms.select(
@@ -133,14 +181,23 @@ def _forms_with_features(mapping: DataFrame) -> DataFrame:
             )
         ),
     )
-    w = Window.orderBy(F.col("clen").asc(), F.col("form").asc())
+    if tie_order == "reference":
+        ranks = standard_form_set_rank(mapping)
+        forms = forms.join(F.broadcast(ranks), forms.form == ranks.form).drop(ranks.form)
+        w = Window.orderBy(F.col("clen").asc(), F.col("set_rank").asc())
+    else:
+        w = Window.orderBy(F.col("clen").asc(), F.col("form").asc())
     # Global rank over standard forms: acceptable because the form set is the
     # *post-merge vocabulary* (orders of magnitude smaller than triples); at
     # extreme scale swap for zipWithIndex on the sorted form table.
-    return forms.withColumn("rank", F.row_number().over(w)).localCheckpoint(eager=True)
+    return (
+        forms.withColumn("rank", F.row_number().over(w))
+        .select("form", "words", "stems", "clen", "rank")
+        .localCheckpoint(eager=True)
+    )
 
 
-def second_pass_assignments(mapping: DataFrame) -> DataFrame:
+def second_pass_assignments(mapping: DataFrame, tie_order: str = "reference") -> DataFrame:
     """Word-subset + shared-stem merges between standard forms (J4).
 
     Reference: entity_standardization.py:115-155. Pair (e1, e2) with
@@ -164,7 +221,7 @@ def second_pass_assignments(mapping: DataFrame) -> DataFrame:
     (huge) pair set. Measured at 20k forms / 160M candidates this is the
     difference between ~90s and a stuck job.
     """
-    forms = _forms_with_features(mapping)
+    forms = _forms_with_features(mapping, tie_order=tie_order)
 
     lhs = forms.select(
         F.col("form").alias("f1"),
@@ -240,7 +297,7 @@ def second_pass_assignments(mapping: DataFrame) -> DataFrame:
     )
 
 
-def build_entity_mapping(triples: DataFrame) -> DataFrame:
+def build_entity_mapping(triples: DataFrame, tie_order: str = "reference") -> DataFrame:
     """Full (variant -> standard) mapping: first pass overridden by second.
 
     Reference quirk preserved (entity_standardization.py:153-155): the second
@@ -254,7 +311,7 @@ def build_entity_mapping(triples: DataFrame) -> DataFrame:
     # over the full triple table (measured 22.6s -> 9s standardize at 32k
     # docs). The checkpoint itself is vocabulary-sized.
     first = first_pass_mapping(counts).localCheckpoint(eager=True)
-    second = second_pass_assignments(first)
+    second = second_pass_assignments(first, tie_order=tie_order)
     return (
         first.join(second, first.variant == second.key, "left")
         .select(
@@ -303,7 +360,9 @@ def apply_standardization(
     return out.filter(F.col("subject") != F.col("object"))
 
 
-def standardize_triples(triples: DataFrame, broadcast_mapping: bool = True) -> DataFrame:
+def standardize_triples(
+    triples: DataFrame, broadcast_mapping: bool = True, tie_order: str = "reference"
+) -> DataFrame:
     """Phase 2 end-to-end: validate, build mapping, apply, filter.
 
     ``valid`` and ``mapping`` feed multiple downstream branches; they are
@@ -316,5 +375,5 @@ def standardize_triples(triples: DataFrame, broadcast_mapping: bool = True) -> D
     # second full copy costs a barrier job at every corpus size. The mapping
     # (vocabulary-sized) feeds two joins and IS eagerly cut.
     valid = valid_triples(triples)
-    mapping = build_entity_mapping(valid).localCheckpoint(eager=True)
+    mapping = build_entity_mapping(valid, tie_order=tie_order).localCheckpoint(eager=True)
     return apply_standardization(valid, mapping, broadcast_mapping=broadcast_mapping)

@@ -112,6 +112,7 @@ def run_reference_seed0(
     chunk_size: int = 100,
     overlap: int = 20,
     phase: str = "full",
+    triples: list[dict] | None = None,
 ) -> list[dict]:
     """The *pinned* parity oracle: reference pipeline in a PYTHONHASHSEED=0
     subprocess (see subprocess_oracle.py). Stable across host interpreters —
@@ -128,6 +129,8 @@ def run_reference_seed0(
         "overlap": overlap,
         "phase": phase,
     }
+    if triples is not None:
+        spec["triples"] = triples
     proc = subprocess.run(
         [sys.executable, "-m", "ai_knowledge_graph_spark.oracle.subprocess_oracle"],
         input=json.dumps(spec),

@@ -33,11 +33,19 @@ def main() -> None:
             run_reference_pipeline,
         )
 
-        texts = spec["texts"]
+        texts = spec.get("texts", [])
         chunk_size = int(spec.get("chunk_size", 100))
         overlap = int(spec.get("overlap", 20))
         phase = spec.get("phase", "full")
-        if phase == "phase1":
+        if phase == "std_infer":
+            # phases 2-3 over caller-provided triples (e.g. the reference's
+            # shipped ict_graph_final.json artifact)
+            _, ent_std, _ = reference_modules()
+            out = ent_std.standardize_entities(
+                [dict(t) for t in spec["triples"]], DEFAULT_CONFIG
+            )
+            out = ent_std.infer_relationships(out, DEFAULT_CONFIG)
+        elif phase == "phase1":
             out = run_reference_phase1(texts, chunk_size, overlap)
         elif phase == "standardize":
             _, ent_std, _ = reference_modules()

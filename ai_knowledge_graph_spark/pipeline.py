@@ -73,7 +73,12 @@ def run_pipeline(
         prev = result
         result = _stage(
             "triples_std",
-            lambda: standardize_triples(prev.repartition(stage_parts, "subject")),
+            lambda: standardize_triples(
+                prev.repartition(stage_parts, "subject"),
+                # "reference" replays the reference's second-pass tie order
+                # exactly (parity); web-scale runs set "lexicographic".
+                tie_order=cfg.get("standardization", {}).get("tie_order", "reference"),
+            ),
         )
 
     if cfg.get("inference", {}).get("enabled", True):

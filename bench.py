@@ -76,7 +76,7 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     warm_pages = pages.limit(64).localCheckpoint(eager=True)
     warm_raw = pages_to_raw_triples(warm_pages, 100, 20, stage_partitions=32)
     warm_raw = warm_raw.localCheckpoint(eager=True)
-    warm_std = standardize_triples(warm_raw).localCheckpoint(eager=True)
+    warm_std = standardize_triples(warm_raw, tie_order="lexicographic").localCheckpoint(eager=True)
     infer_relationships(warm_std, pair_order="lexicographic").count()
     components_for_triples(warm_std).count()
 
@@ -97,7 +97,8 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         )
         n_raw = raw.count()
         std = timed(
-            "standardize", lambda: standardize_triples(raw).localCheckpoint(eager=True)
+            "standardize",
+            lambda: standardize_triples(raw, tie_order="lexicographic").localCheckpoint(eager=True),
         )
         # Headline e2e = the web-scale configuration (lexicographic pair
         # order); the reference-exact parity mode (single-task set-order

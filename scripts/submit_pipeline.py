@@ -45,6 +45,9 @@ def main() -> None:
                     help="symmetric lexical-pair direction: 'reference' replays the "
                          "reference's set order (parity runs); 'lexicographic' is the "
                          "web-scale default")
+    ap.add_argument("--tie-order", default="lexicographic",
+                    choices=["lexicographic", "reference"],
+                    help="standardization second-pass tie order (same modes)")
     ap.add_argument("--max-block-size", type=int, default=0,
                     help=">0 drops lexical blocking tokens hotter than this (skew guard)")
     args = ap.parse_args()
@@ -65,6 +68,8 @@ def main() -> None:
     cfg.setdefault("engine", {})
     cfg.setdefault("inference", {})
     cfg["inference"]["pair_order"] = args.pair_order
+    cfg.setdefault("standardization", {})
+    cfg["standardization"]["tie_order"] = args.tie_order
     cfg["engine"]["max_block_size"] = args.max_block_size
     parts = args.stage_partitions or spark.sparkContext.defaultParallelism * 2
     cfg["engine"]["stage_partitions"] = parts

@@ -45,4 +45,4 @@ def raw_triples(spark, pages_df):
 def std_triples(spark, raw_triples):
     from ai_knowledge_graph_spark.operators.standardize import standardize_triples
 
-    return standardize_triples(raw_triples).localCheckpoint(eager=True)
+    return standardize_triples(raw_triples, tie_order="lexicographic").localCheckpoint(eager=True)

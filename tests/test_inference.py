@@ -34,7 +34,7 @@ def _df(spark, rows, ddl=TRIPLES_DDL):
 
 def test_infer_exact_vs_refimpl(spark, std_triples):
     std = std_triples
-    engine = _spo(infer_relationships(std))
+    engine = _spo(infer_relationships(std, pair_order="lexicographic"))
 
     rows = [r.asDict() for r in std.collect()]
     rows.sort(

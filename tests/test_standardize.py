@@ -21,7 +21,8 @@ def test_standardize_exact_vs_refimpl(spark, raw_triples):
     rows.sort(key=lambda r: (r["url"], r["chunk"], r["t_idx"]))
 
     engine = _collect_sorted(
-        standardize_triples(raw_triples), ["subject", "predicate", "object", "chunk"]
+        standardize_triples(raw_triples, tie_order="lexicographic"),
+        ["subject", "predicate", "object", "chunk"],
     )
     oracle = sorted(
         (t["subject"], t["predicate"], t["object"], t["chunk"])
@@ -59,7 +60,7 @@ def test_second_pass_apply_once_no_chaining(spark):
     ]
     df = spark.createDataFrame(rows, schema="subject string, predicate string, object string, url string, chunk int, t_idx int, inferred boolean")
     engine = _collect_sorted(
-        standardize_triples(df), ["subject", "predicate", "object"]
+        standardize_triples(df, tie_order="lexicographic"), ["subject", "predicate", "object"]
     )
     oracle = sorted(
         (t["subject"], t["predicate"], t["object"]) for t in refimpl.standardize(rows)
