@@ -571,6 +571,72 @@ def q_relation_cap(spark, sf_dir):
     )
 
 
+# --- S5 corpus prep / J11 logic scoring / K5 training QA --------------------
+
+
+def q_corpus_dedup(spark, sf_dir):
+    # S5: near-empty filter + whitespace-normalized sha256 content dedup
+    from ai_knowledge_graph_spark.sources.corpus import dedup_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("doc%012d.txt", F.col("doc_id")).alias("path"), "text"
+    )
+    return dedup_corpus(docs).select(
+        F.substring("path", 4, 12).cast("bigint").alias("doc_id"), "content_sha"
+    )
+
+
+def q_model_scores(spark, sf_dir):
+    # J11: requirement-match scoring (specificity join + blended score)
+    from pyspark.sql import Window
+
+    from ai_knowledge_graph_spark.graph.logic import score_models
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    models = (
+        std.groupBy("subject")
+        .count()
+        .orderBy(F.desc("count"), F.asc("subject"))
+        .limit(3)
+        .select(F.col("subject").alias("model"))
+    )
+    reqs = (
+        std.join(models, std["subject"] == models["model"])
+        .select("model", F.concat_ws(" ", "predicate", "object").alias("requirement"))
+        .distinct()
+    )
+    w = Window.partitionBy("model").orderBy("requirement")
+    reqs = reqs.withColumn("rn", F.row_number().over(w)).filter("rn <= 8").drop("rn")
+    detected = (
+        std.groupBy(F.lower(F.col("object")).alias("concept"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("concept"))
+        .limit(10)
+        .select("concept")
+    )
+    return score_models(reqs, detected).select(
+        "model",
+        "total_reqs",
+        "satisfied",
+        F.round("weighted_spec", 6).alias("weighted_spec"),
+        F.round("max_spec", 6).alias("max_spec"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_training_qa(spark, sf_dir):
+    # K5: relationship Q&A template expansion over distinct std edges
+    from ai_knowledge_graph_spark.operators.training import relationship_qa
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(
+        F.col("subject").alias("src"),
+        F.col("object").alias("dst"),
+        F.col("predicate").alias("relation"),
+    ).distinct()
+    return relationship_qa(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -627,6 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "context_triples": q_context_triples,
         "relation_cap": q_relation_cap,
+        "corpus_dedup": q_corpus_dedup,
+        "model_scores": q_model_scores,
+        "training_qa": q_training_qa,
     }
 
 
@@ -1292,6 +1361,114 @@ SELECT subject, predicate, object FROM (
     row_number() OVER (PARTITION BY subject, predicate ORDER BY object) AS rn
   FROM std
 ) WHERE rn <= 4"""
+
+    # S5: content dedup — normalize whitespace, sha256, min-path survivor
+    sql["corpus_dedup"] = """
+WITH hashed AS (
+  SELECT doc_id, format('doc{:012d}.txt', doc_id) AS path,
+         sha256(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_sha
+  FROM documents
+  WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) >= 50
+)
+SELECT doc_id, content_sha FROM (
+  SELECT *, row_number() OVER (PARTITION BY content_sha ORDER BY path) AS rn
+  FROM hashed
+) WHERE rn = 1"""
+
+    # J11: requirement-match scoring (logic_engine.py:359-498)
+    sql["model_scores"] = _PRELUDE_INFER + _STD_CTES + """
+, model_top AS (
+  SELECT model FROM (
+    SELECT subject AS model, count(*) AS c FROM std GROUP BY 1
+  ) ORDER BY c DESC, model ASC LIMIT 3
+),
+reqs0 AS (
+  SELECT DISTINCT m.model, s.predicate || ' ' || s.object AS requirement
+  FROM std s JOIN model_top m ON s.subject = m.model
+),
+reqs AS (
+  SELECT model, requirement, lower(requirement) AS req_lower FROM (
+    SELECT *, row_number() OVER (PARTITION BY model ORDER BY requirement) AS rn
+    FROM reqs0
+  ) WHERE rn <= 8
+),
+sharing AS (
+  SELECT req_lower, count(DISTINCT model) AS sharing FROM reqs GROUP BY 1
+),
+detected AS (
+  SELECT concept FROM (
+    SELECT lower(object) AS concept, count(*) AS c FROM std GROUP BY 1
+  ) ORDER BY c DESC, concept ASC LIMIT 10
+),
+det AS (
+  SELECT DISTINCT lower(concept) AS det_raw,
+         replace(lower(concept), '_', ' ') AS det_label
+  FROM detected
+),
+per_req AS (
+  SELECT r.model, r.req_lower, 1.0 / s.sharing AS specificity,
+         bool_or(d.det_raw IS NOT NULL) AS is_met
+  FROM reqs r
+  JOIN sharing s USING (req_lower)
+  LEFT JOIN det d
+    ON contains(r.req_lower, d.det_label) OR contains(r.req_lower, d.det_raw)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT model, CAST(count(*) AS BIGINT) AS total_reqs,
+         CAST(sum(CASE WHEN is_met THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+         sum(CASE WHEN is_met THEN specificity ELSE 0.0 END) AS weighted_spec,
+         sum(specificity) AS max_spec
+  FROM per_req GROUP BY 1
+)
+SELECT model, total_reqs, satisfied,
+  round(weighted_spec, 6) AS weighted_spec,
+  round(max_spec, 6) AS max_spec,
+  round((CAST(satisfied AS DOUBLE) / total_reqs) * 7.0
+        + (weighted_spec / greatest(max_spec, 0.01)) * 3.0
+        + CASE WHEN satisfied = total_reqs THEN 1.5 ELSE 0.0 END, 6) AS score
+FROM scored"""
+
+    # K5: relationship Q&A — template dim tables mirrored from the operator
+    from ai_knowledge_graph_spark.operators.training import (
+        GENERIC_TEMPLATES,
+        RELATION_TEMPLATES,
+    )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    tmpl_rows = ", ".join(
+        f"({_q(rel)}, {idx}, {len(ts)}, {_q(instr)}, {_q(ans)})"
+        for rel, ts in RELATION_TEMPLATES.items()
+        for idx, (instr, ans) in enumerate(ts)
+    )
+    gen_rows = ", ".join(
+        f"({idx}, {len(GENERIC_TEMPLATES)}, {_q(instr)}, {_q(ans)})"
+        for idx, (instr, ans) in enumerate(GENERIC_TEMPLATES)
+    )
+    _render = (
+        "replace(replace(replace({col}, '{{src}}', replace(e.src, '_', ' ')), "
+        "'{{tgt}}', replace(e.dst, '_', ' ')), '{{rel}}', replace(e.relation, '_', ' '))"
+    )
+    sql["training_qa"] = _PRELUDE_INFER + _STD_CTES + f"""
+, edges AS (
+  SELECT DISTINCT subject AS src, object AS dst, predicate AS relation FROM std
+),
+tmpl(relation, t_idx, n_templates, instr, answer) AS (VALUES {tmpl_rows}),
+gtmpl(t_idx, n_templates, instr, answer) AS (VALUES {gen_rows})
+SELECT {_render.format(col="t.instr")} AS instruction,
+       {_render.format(col="t.answer")} AS output,
+       'relationship_qa' AS category
+FROM edges e JOIN tmpl t USING (relation)
+WHERE (length(e.src) + length(e.dst)) % t.n_templates = t.t_idx
+UNION ALL
+SELECT {_render.format(col="t.instr")} AS instruction,
+       {_render.format(col="t.answer")} AS output,
+       'relationship_qa_generic' AS category
+FROM edges e CROSS JOIN gtmpl t
+WHERE e.relation NOT IN (SELECT relation FROM tmpl)
+  AND (length(e.src) + length(e.dst)) % t.n_templates = t.t_idx"""
 
     return sql
 

@@ -1,0 +1,179 @@
+"""Training-data generation + JSONL export (SURVEY §2.1 K5).
+
+Distributed counterpart of training_generator.py: relationship Q&A from
+graph edges (:172-230 — relation-keyed instruction/answer templates), JSONL
+export in alpaca/chatml/sharegpt shapes (:1038-1092), and a seeded
+train/test split (:1099-1127, reference shuffles with `self.rng` then
+slices; here `randomSplit(seed)`).
+
+The reference loops `self.store.G.edges(data=True)` in one process and
+cycles templates per relation; the rebuild broadcast-joins a template dim
+table on `relation` and picks the template deterministically from the edge
+content (`(length(src)+length(dst)) % n_templates`) so re-runs are
+idempotent — encounter-order template cycling is not reproducible under
+partitioning.
+
+Label rendering matches the reference's `_label` (underscores → spaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SYSTEM_PROMPT = "You are an expert assistant answering questions about a knowledge graph."
+
+# relation → list of (instruction_template, output_template); {src}/{tgt} are
+# space-form labels. Subset of training_generator.py:183-230 plus a generic
+# fallback (the reference's expanded map covers cleaned-graph predicates).
+RELATION_TEMPLATES: dict[str, list[tuple[str, str]]] = {
+    "requires": [
+        ("What does {src} require?", "{src} requires {tgt}."),
+        ("What are the prerequisites for {src}?", "A key prerequisite for {src} is {tgt}."),
+    ],
+    "enhances": [
+        ("What enhances {tgt}?", "{src} enhances {tgt}."),
+        ("How can {tgt} be strengthened?", "{tgt} is strengthened when {src} is present."),
+    ],
+    "invalidates": [
+        ("What invalidates {tgt}?", "{src} invalidates {tgt}."),
+    ],
+    "precedes": [
+        ("What must happen before {tgt}?", "{src} must precede {tgt} in the sequence."),
+        ("What comes after {src} in the sequence?", "After {src}, the next step is {tgt}."),
+    ],
+    "is_type_of": [
+        ("What type of concept is {src}?", "{src} is a type of {tgt}."),
+    ],
+    "belongs_to": [
+        ("What category does {src} belong to?", "{src} belongs to the {tgt} category."),
+    ],
+    # Cleaned-graph predicates (F9 merge-map targets; training_generator.py:217-240)
+    "is_a": [
+        ("What is {src}?", "{src} is a {tgt}."),
+        ("How would you classify {src}?", "{src} is classified as a {tgt}."),
+    ],
+    "has_component": [
+        ("What are the components of {src}?", "{src} has {tgt} as a component."),
+        ("What makes up {src}?", "{tgt} is a component of {src}."),
+    ],
+    "uses": [
+        ("What does {src} use?", "{src} uses {tgt}."),
+    ],
+    "contains": [
+        ("What does {src} contain?", "{src} contains {tgt}."),
+    ],
+    "related_to": [
+        ("What is {src} related to?", "{src} is related to {tgt}."),
+    ],
+}
+GENERIC_TEMPLATES = [
+    ("What is the relationship between {src} and {tgt}?", "{src} {rel} {tgt}."),
+    ("How does {src} relate to {tgt}?", "{src} {rel} {tgt}."),
+]
+
+
+def relationship_qa(edges: DataFrame) -> DataFrame:
+    """Edges (src, dst, relation) → (instruction, output, category) examples
+    (training_generator.generate_relationship_qa, :172-230)."""
+    spark = edges.sparkSession
+    rows = []
+    for rel, templates in RELATION_TEMPLATES.items():
+        for idx, (instr, out) in enumerate(templates):
+            rows.append((rel, idx, len(templates), instr, out))
+    tdf = spark.createDataFrame(
+        rows, "relation string, t_idx int, n_templates int, instr string, answer string"
+    )
+
+    src_label = F.replace(F.col("src"), F.lit("_"), F.lit(" "))
+    dst_label = F.replace(F.col("dst"), F.lit("_"), F.lit(" "))
+    rel_label = F.replace(F.col("relation"), F.lit("_"), F.lit(" "))
+
+    def render(template_col):
+        rendered = F.replace(template_col, F.lit("{src}"), src_label)
+        rendered = F.replace(rendered, F.lit("{tgt}"), dst_label)
+        return F.replace(rendered, F.lit("{rel}"), rel_label)
+
+    known = (
+        edges.join(F.broadcast(tdf), "relation")
+        .filter(
+            F.pmod(F.length("src") + F.length("dst"), F.col("n_templates"))
+            == F.col("t_idx")
+        )
+        .select(
+            render(F.col("instr")).alias("instruction"),
+            render(F.col("answer")).alias("output"),
+            F.lit("relationship_qa").alias("category"),
+        )
+    )
+
+    gen_rows = [
+        (idx, len(GENERIC_TEMPLATES), instr, out)
+        for idx, (instr, out) in enumerate(GENERIC_TEMPLATES)
+    ]
+    gdf = spark.createDataFrame(
+        gen_rows, "t_idx int, n_templates int, instr string, answer string"
+    )
+    generic = (
+        edges.join(
+            F.broadcast(tdf.select("relation").distinct()), "relation", "left_anti"
+        )
+        .crossJoin(F.broadcast(gdf))
+        .filter(
+            F.pmod(F.length("src") + F.length("dst"), F.col("n_templates"))
+            == F.col("t_idx")
+        )
+        .select(
+            render(F.col("instr")).alias("instruction"),
+            render(F.col("answer")).alias("output"),
+            F.lit("relationship_qa_generic").alias("category"),
+        )
+    )
+    return known.unionByName(generic)
+
+
+def to_alpaca(examples: DataFrame) -> DataFrame:
+    """(instruction, output) → alpaca records (training_generator.py:1062-1067)."""
+    return examples.select(
+        "instruction", F.lit("").alias("input"), "output"
+    )
+
+
+def to_chatml(examples: DataFrame) -> DataFrame:
+    """→ {messages: [...]} (training_generator.py:1068-1076)."""
+    return examples.select(
+        F.array(
+            F.struct(F.lit("system").alias("role"), F.lit(SYSTEM_PROMPT).alias("content")),
+            F.struct(F.lit("user").alias("role"), F.col("instruction").alias("content")),
+            F.struct(F.lit("assistant").alias("role"), F.col("output").alias("content")),
+        ).alias("messages")
+    )
+
+
+def to_sharegpt(examples: DataFrame) -> DataFrame:
+    """→ {conversations: [...]} (training_generator.py:1077-1084)."""
+    return examples.select(
+        F.array(
+            F.struct(F.lit("system").alias("from"), F.lit(SYSTEM_PROMPT).alias("value")),
+            F.struct(F.lit("human").alias("from"), F.col("instruction").alias("value")),
+            F.struct(F.lit("gpt").alias("from"), F.col("output").alias("value")),
+        ).alias("conversations")
+    )
+
+
+_FORMATS = {"alpaca": to_alpaca, "chatml": to_chatml, "sharegpt": to_sharegpt}
+
+
+def export_jsonl(examples: DataFrame, path: str, fmt: str = "chatml") -> None:
+    """K5 sink: JSONL export (training_generator.export, :1038-1092)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"Unknown format: {fmt}")
+    _FORMATS[fmt](examples).write.mode("overwrite").json(path)
+
+
+def train_test_split(
+    examples: DataFrame, test_ratio: float = 0.1, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded split (export_train_test_split, :1099-1127)."""
+    train, test = examples.randomSplit([1.0 - test_ratio, test_ratio], seed=seed)
+    return train, test

@@ -1,0 +1,151 @@
+"""S5 corpus prep, J11 logic-engine scoring, K5 training export."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.sources import corpus
+from ai_knowledge_graph_spark.graph import logic
+from ai_knowledge_graph_spark.operators import training
+
+
+# ── S5 corpus ──────────────────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "keep").mkdir()
+    (d / "keep" / "a.txt").write_text("alpha " * 20)
+    (d / "keep" / "b.txt").write_text("  alpha   " * 20 + "\n")  # dup of a after ws-normalize
+    (d / "keep" / "c.txt").write_text("short")  # < 50 chars
+    (d / "keep" / "changelog.txt").write_text("unique changelog body " * 5)
+    (d / "keep" / "data.schema.txt").write_text("schema-ish body " * 10)
+    (d / "node_modules").mkdir()
+    (d / "node_modules" / "d.txt").write_text("dependency noise " * 10)
+    (d / "keep" / "e.txt").write_text("distinct body " * 10)
+    return d
+
+
+def test_collect_corpus_path_filters(spark, corpus_dir):
+    df = corpus.collect_corpus(spark, str(corpus_dir))
+    paths = sorted(r["path"].rsplit("/", 1)[-1] for r in df.collect())
+    # node_modules dir and *schema* basename dropped; changelog.txt is NOT in
+    # SKIP_FILENAMES (only changelog.md is, prepare_data.py:33-35).
+    assert paths == ["a.txt", "b.txt", "c.txt", "changelog.txt", "e.txt"]
+
+
+def test_dedup_corpus(spark, corpus_dir):
+    df = corpus.collect_corpus(spark, str(corpus_dir))
+    kept = corpus.dedup_corpus(df)
+    names = sorted(r["path"].rsplit("/", 1)[-1] for r in kept.collect())
+    # c.txt dropped (<50 chars); b.txt dropped (same normalized content as
+    # a.txt, smaller path wins).
+    assert names == ["a.txt", "changelog.txt", "e.txt"]
+    # content hash matches hashlib on normalized text (prepare_data.py:124-128)
+    import hashlib
+
+    row = kept.filter(F.col("path").endswith("a.txt")).collect()[0]
+    expected = hashlib.sha256(" ".join(("alpha " * 20).split()).encode()).hexdigest()
+    assert row["content_sha"] == expected
+
+
+# ── J11 logic engine ───────────────────────────────────────────────────────
+
+
+def test_score_models_matches_reference_formula(spark):
+    requirements = spark.createDataFrame(
+        [
+            ("silver_bullet", "Displacement through liquidity"),
+            ("silver_bullet", "A clean FVG after the sweep"),
+            ("unicorn", "A clean FVG after the sweep"),
+            ("unicorn", "Breaker block backing the gap"),
+        ],
+        "model string, requirement string",
+    )
+    detected = spark.createDataFrame(
+        [("displacement",), ("fvg",)], "concept string"
+    )
+    scored = {r["model"]: r for r in logic.score_models(requirements, detected).collect()}
+
+    # silver_bullet: both reqs met; specificity: displacement-req unique (1.0),
+    # fvg-req shared by 2 models (0.5). base=7, spec=3, bonus=1.5.
+    sb = scored["silver_bullet"]
+    assert sb["satisfied"] == 2 and sb["total_reqs"] == 2
+    assert sb["score"] == pytest.approx(7.0 + 3.0 + 1.5)
+
+    # unicorn: 1/2 met; weighted=0.5, max_spec=1.5 → 3.5 + 1.0
+    un = scored["unicorn"]
+    assert un["satisfied"] == 1 and un["total_reqs"] == 2
+    assert un["score"] == pytest.approx(0.5 * 7.0 + (0.5 / 1.5) * 3.0)
+
+    top = logic.recommend(logic.score_models(requirements, detected)).collect()[0]
+    assert top["model"] == "silver_bullet" and bool(top["go_no_go"])
+
+
+def test_expand_detected_one_hop(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "requires"), ("c", "a", "enhances"), ("x", "y", "requires")],
+        "src string, dst string, relation string",
+    )
+    detected = spark.createDataFrame([("a",)], "concept string")
+    got = sorted(r["concept"] for r in logic.expand_detected(detected, edges).collect())
+    assert got == ["a", "b", "c"]
+
+
+# ── K5 training export ─────────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def qa_edges(spark):
+    return spark.createDataFrame(
+        [
+            ("silver_bullet", "displacement", "requires"),
+            ("htf_bias", "silver_bullet", "enhances"),
+            ("fvg", "pd_array", "is_type_of"),
+            ("ob", "fvg", "mitigates"),  # not in template map → generic
+        ],
+        "src string, dst string, relation string",
+    )
+
+
+def test_relationship_qa(spark, qa_edges):
+    qa = training.relationship_qa(qa_edges)
+    rows = {r["instruction"]: r for r in qa.collect()}
+    assert len(rows) == 4  # exactly one example per edge
+    # label rendering: underscores → spaces
+    assert any("silver bullet" in i for i in rows)
+    generic = [r for r in rows.values() if r["category"] == "relationship_qa_generic"]
+    assert len(generic) == 1 and "mitigates" in generic[0]["output"]
+
+
+def test_export_formats_roundtrip(spark, qa_edges, tmp_path):
+    qa = training.relationship_qa(qa_edges)
+    for fmt, key in (("chatml", "messages"), ("sharegpt", "conversations"), ("alpaca", "instruction")):
+        out = tmp_path / fmt
+        training.export_jsonl(qa, str(out), fmt=fmt)
+        lines = [
+            json.loads(line)
+            for p in out.glob("part-*.json")
+            for line in p.read_text().splitlines()
+        ]
+        assert len(lines) == 4
+        assert all(key in rec for rec in lines)
+    recs = [
+        json.loads(line)
+        for p in (tmp_path / "chatml").glob("part-*.json")
+        for line in p.read_text().splitlines()
+    ]
+    roles = [m["role"] for m in recs[0]["messages"]]
+    assert roles == ["system", "user", "assistant"]
+
+
+def test_train_test_split_disjoint_and_seeded(spark, qa_edges):
+    qa = training.relationship_qa(qa_edges)
+    t1, s1 = training.train_test_split(qa, test_ratio=0.5, seed=7)
+    t2, s2 = training.train_test_split(qa, test_ratio=0.5, seed=7)
+    assert t1.count() + s1.count() == qa.count()
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
