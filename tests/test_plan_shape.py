@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions — the scale contract, not just results.
+
+Locks in the properties that make the pipeline viable at 100 TB: the
+vocabulary-sized mapping join is a broadcast hash join (never a shuffle of
+the triple fact table), parquet scans prune columns and push filters, and no
+stage degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_mapping_apply_is_broadcast(spark, raw_triples):
+    # J1: variant->canonical mapping ≪ triples — must broadcast, not shuffle
+    from ai_knowledge_graph_spark.operators.standardize import (
+        apply_standardization,
+        build_entity_mapping,
+    )
+
+    mapping = build_entity_mapping(raw_triples, tie_order="lexicographic")
+    plan = _plan(apply_standardization(raw_triples, mapping))
+    assert plan.count("BroadcastHashJoin") >= 2  # subject + object side
+    assert "CartesianProduct" not in plan
+
+
+def test_clean_triples_merge_map_is_broadcast(spark, raw_triples):
+    # F9: 18-rule predicate merge map is a literal dim table — broadcast
+    from ai_knowledge_graph_spark.operators.cleaning import clean_triples
+
+    plan = _plan(clean_triples(raw_triples))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parquet_scan_prunes_columns(spark):
+    # Chunker consumes (url, text) only; scan must not read lang/source/n_chars
+    from ai_knowledge_graph_spark.operators.chunking import chunk_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"), "text"
+    )
+    plan = _plan(chunk_pages(pages, 20, 5))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "text" in line and "doc_id" in line
+    for dropped in ("lang", "source", "n_chars"):
+        assert dropped not in line, line
+
+
+def test_parquet_filter_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.filter(F.col("doc_id") < 50).select("doc_id", "text"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(doc_id,50)" in pushed[0], plan
+
+
+def test_inference_has_no_cartesian(spark, raw_triples):
+    # Transitive + lexical inference: blocked equi-joins only. The one
+    # intentional nested-loop is the broadcast containment pass over the
+    # <4-char entity slice (bounded by the broadcast side); a plain
+    # CartesianProduct would be quadratic in the entity vocabulary.
+    from ai_knowledge_graph_spark.operators.inference import infer_relationships
+    from ai_knowledge_graph_spark.operators.standardize import standardize_triples
+
+    std = standardize_triples(raw_triples, tie_order="lexicographic")
+    plan = _plan(infer_relationships(std, pair_order="lexicographic"))
+    assert "CartesianProduct" not in plan
+
+
+def test_score_models_broadcasts_detected(spark):
+    from ai_knowledge_graph_spark.graph.logic import score_models
+
+    requirements = spark.createDataFrame(
+        [("m1", "needs alpha"), ("m2", "needs beta")], "model string, requirement string"
+    )
+    detected = spark.createDataFrame([("alpha",)], "concept string")
+    plan = _plan(score_models(requirements, detected))
+    # detected side is broadcast: nested-loop join bounded by the signal set
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
