@@ -624,6 +624,17 @@ def q_model_scores(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    # IVF ANN: hash-bucketed coarse centroids, probe 4 lists, exact cosine
+    # within probed lists — the third similarity-search path (brute-force /
+    # SRP-LSH / IVF)
+    from ai_knowledge_graph_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=5, nlist=16, n_probe=4)
+
+
 def q_training_qa(spark, sf_dir):
     # K5: relationship Q&A template expansion over distinct std edges
     from ai_knowledge_graph_spark.operators.training import relationship_qa
@@ -696,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1428,6 +1440,52 @@ SELECT model, total_reqs, satisfied,
         + (weighted_spec / greatest(max_spec, 0.01)) * 3.0
         + CASE WHEN satisfied = total_reqs THEN 1.5 ELSE 0.0 END, 6) AS score
 FROM scored"""
+
+    # IVF ANN: md5-hash-bucketed coarse centroids (min-id rep per bucket),
+    # probe 4 nearest lists per query, exact cosine within probed lists
+    sql["ivf_topk"] = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+buck AS (
+  SELECT vec_id,
+    CAST((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16) AS INT)
+      AS centroid_bucket
+  FROM base
+),
+reps AS (SELECT centroid_bucket AS centroid_id, min(vec_id) AS rep_id FROM buck GROUP BY 1),
+cents AS (SELECT r.centroid_id, b.embedding AS centroid FROM reps r JOIN base b ON b.vec_id = r.rep_id),
+corpus_assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT b.vec_id, c.centroid_id,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY round(list_cosine_similarity(b.embedding, c.centroid), 6) DESC,
+                 c.centroid_id ASC) AS pr
+    FROM base b CROSS JOIN cents c
+  ) WHERE pr <= 1
+),
+q_assign AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT b.vec_id, c.centroid_id,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY round(list_cosine_similarity(b.embedding, c.centroid), 6) DESC,
+                 c.centroid_id ASC) AS pr
+    FROM base b CROSS JOIN cents c WHERE b.vec_id < 5
+  ) WHERE pr <= 4
+),
+scored AS (
+  SELECT q.query_id, ca.neighbor_id,
+    round(list_cosine_similarity(qe.embedding, ne.embedding), 6) AS cosine
+  FROM q_assign q
+  JOIN corpus_assign ca USING (centroid_id)
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings ne ON ne.vec_id = ca.neighbor_id
+  WHERE q.query_id <> ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5"""
 
     # K5: relationship Q&A — template dim tables mirrored from the operator
     from ai_knowledge_graph_spark.operators.training import (

@@ -42,6 +42,14 @@ def chunk_text(text: str, chunk_size: int = 500, overlap: int = 50) -> list[str]
       overlapping tail chunk (text_utils.py:40-44) — e.g. a 966-word doc at
       size=100/overlap=20 yields 13 chunks, the last being 20 words that were
       all already covered.
+
+    Divergence (deliberate): for chunk_size < 2*overlap the reference's loop
+    never terminates once the window hits the end of the document
+    (text_utils.py:36-43: start resets to n-overlap every iteration and the
+    tail condition start+chunk_size-overlap >= n is never met), appending the
+    same tail chunk forever. The reference produces NO output on that domain,
+    so there is nothing to be parity with; this version stops at the first
+    non-advancing iteration instead of hanging the executor.
     """
     words = text.split()
     n = len(words)
@@ -53,9 +61,12 @@ def chunk_text(text: str, chunk_size: int = 500, overlap: int = 50) -> list[str]
     while start < n:
         end = min(start + chunk_size, n)
         chunks.append(" ".join(words[start:end]))
+        prev = start
         start = end - overlap
         if start < n and start + chunk_size - overlap >= n:
             chunks.append(" ".join(words[start:]))
+            break
+        if start <= prev:  # non-terminating reference domain — stop cleanly
             break
     return chunks
 

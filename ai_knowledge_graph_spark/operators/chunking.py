@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.text import chunk_text
+from ..session import spread
 
 CHUNKS_SCHEMA = "url string, chunk_id int, chunk_text string, n_words int"
 
@@ -51,7 +52,7 @@ def chunk_pages(
                 rows.extend(chunk_rows(url, text, chunk_size, overlap))
             yield pd.DataFrame(rows, columns=cols)
 
-    projected = pages.select(
-        pages[url_col].alias("url"), pages[text_col].alias("text")
+    projected = spread(
+        pages.select(pages[url_col].alias("url"), pages[text_col].alias("text"))
     )
     return projected.mapInPandas(batch_chunk, schema=CHUNKS_SCHEMA)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 # md5-hex-prefix -> bigint: stable across Spark and DuckDB.
 def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -53,9 +55,9 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
-    worded = docs.select(F.col(id_col).alias("doc_id"), words.alias("words")).filter(
-        F.size("words") >= k
-    )
+    worded = spread(docs).select(
+        F.col(id_col).alias("doc_id"), words.alias("words")
+    ).filter(F.size("words") >= k)
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, size(words) - {k - 1}),"
@@ -144,17 +146,33 @@ def jaccard_pairs(
     are scored (small-corpus / oracle mode).
     """
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ex = sh.join(counts, "doc_id")
-    a = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    b = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        # Candidate-bounded intersection: join each pair's shingle sets
+        # directly. Work is O(Σ_pairs |shingles|), never the co-shingle
+        # cross product — a hot shingle shared by 10k docs costs nothing
+        # unless LSH actually banded those docs together. (A post-hoc
+        # semi-join on the all-pairs join would still *compute* the
+        # explosion before discarding it.)
+        sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (
+            candidates.join(sa, "a")
+            .join(sb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .join(counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+            .join(counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        )
+    else:
+        ex = sh.join(counts, "doc_id")
+        a = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+        b = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     return (
         inter.withColumn(
             "jaccard",
@@ -176,7 +194,6 @@ def minhash_near_dup(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH bucket-join ->
     exact-Jaccard verification of candidates."""
-    sh = docs.sparkSession.createDataFrame([], "doc_id bigint, shingle string")
     sh = shingles(docs, id_col, text_col, k).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
@@ -193,7 +210,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     md5long(word)); bit set if the sum is positive. Distinct words weighted
     once (deterministic; frequency weighting is a config away).
     """
-    words = docs.select(
+    words = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(

@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import spread
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -41,7 +43,7 @@ def cosine_topk(
     Queries are broadcast (the common shape: few queries x huge corpus);
     partial top-k folds map-side through the window's rank pruning.
     """
-    cand = embeddings.select(
+    cand = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
@@ -103,7 +105,7 @@ def srp_topk(
     reduction) against per-table recall."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    cand_base = embeddings.select(
+    cand_base = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q_base = queries.select(
@@ -131,6 +133,92 @@ def srp_topk(
             "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into ``nlist``
+    inverted lists (nearest centroid), probe the query's ``n_probe`` nearest
+    lists, exact cosine within probed lists only.
+
+    Coarse centroids are picked deterministically without any global sort:
+    ids hash into ``nlist`` buckets (md5-derived — portable to the DuckDB
+    oracle) and each bucket's min-id vector is its centroid (a seeded
+    k-means refinement drops in transparently; determinism keeps the oracle
+    exact). At 100 TB the corpus scan is the only big side: centroid
+    selection is one groupBy over ids, assignment is a broadcast nested
+    loop over nlist rows, the probe join is an equi-join on centroid_id,
+    and per-list fan-out is corpus/nlist on average — tune nlist so each
+    list fits one task.
+    """
+    from .dedup import _md5_long
+
+    base = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    bucket = (_md5_long(F.col("neighbor_id").cast("string")) % nlist).cast("int")
+    reps = (
+        base.select(bucket.alias("centroid_id"), "neighbor_id")
+        .groupBy("centroid_id")
+        .agg(F.min("neighbor_id").alias("rep_id"))
+    )
+    centroids = reps.join(
+        base.select(F.col("neighbor_id").alias("rep_id"), F.col("cv").alias("centroid")),
+        "rep_id",
+    ).select("centroid_id", "centroid")
+    c = F.broadcast(centroids)
+
+    def nearest(df, in_id, out_cols, probes):
+        # rounded before ranking: keeps probe assignment bit-identical to
+        # the SQL oracle across float summation orders
+        scored = df.crossJoin(c).withColumn(
+            "c_cos",
+            F.round(
+                _dot(F.col("v"), F.col("centroid"))
+                / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+                6,
+            ),
+        )
+        w = Window.partitionBy(in_id).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("pr", F.row_number().over(w))
+            .filter(F.col("pr") <= probes)
+            .select(*out_cols)
+        )
+
+    corpus_lists = nearest(
+        base.select(F.col("neighbor_id"), F.col("cv").alias("v")),
+        "neighbor_id",
+        [F.col("neighbor_id"), F.col("v").alias("cv"), "centroid_id"],
+        1,
+    )
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q_lists = nearest(
+        q_base, "query_id", [F.col("query_id"), F.col("v").alias("qv"), "centroid_id"], n_probe
+    )
+    scored = (
+        corpus_lists.join(F.broadcast(q_lists), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
             ).alias("cosine"),
         )
     )

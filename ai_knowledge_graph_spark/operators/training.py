@@ -177,3 +177,19 @@ def train_test_split(
     """Seeded split (export_train_test_split, :1099-1127)."""
     train, test = examples.randomSplit([1.0 - test_ratio, test_ratio], seed=seed)
     return train, test
+
+
+def training_stats(examples: DataFrame) -> DataFrame:
+    """A9 (audit_quality.py:74-96): per-category example counts + answer
+    length distribution (mean / median / max in words)."""
+    out_words = F.size(F.split(F.trim(F.col("output")), r"\s+"))
+    return (
+        examples.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.round(F.avg(out_words), 2).alias("avg_answer_words"),
+            F.percentile_approx(out_words, 0.5).alias("median_answer_words"),
+            F.max(out_words).alias("max_answer_words"),
+        )
+        .orderBy("category")
+    )

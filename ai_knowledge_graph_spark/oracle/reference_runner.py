@@ -25,9 +25,17 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 
 
 def _ensure_importable() -> None:
+    import importlib
+
     for name in ("pyvis", "pyvis.network", "networkx", "community"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            # Prefer the real package (networkx IS installed here — the
+            # graph_store parity tests need the genuine one); stub only
+            # what's genuinely absent (pyvis, community).
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
     if not hasattr(sys.modules["pyvis.network"], "Network"):
         sys.modules["pyvis.network"].Network = object
     if "tomli" not in sys.modules:

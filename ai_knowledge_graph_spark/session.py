@@ -65,3 +65,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame UP to the session's shuffle parallelism when
+    its scan produced fewer partitions (a single small parquet file reads as
+    1 partition, serializing every narrow stage built on it). No-op when the
+    input is already parallel enough — at real scale inputs arrive in
+    thousands of partitions and this never fires.
+    """
+    target = min_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

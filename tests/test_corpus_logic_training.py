@@ -149,3 +149,36 @@ def test_train_test_split_disjoint_and_seeded(spark, qa_edges):
     t2, s2 = training.train_test_split(qa, test_ratio=0.5, seed=7)
     assert t1.count() + s1.count() == qa.count()
     assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_training_stats(spark, qa_edges):
+    qa = training.relationship_qa(qa_edges)
+    stats = {r["category"]: r for r in training.training_stats(qa).collect()}
+    assert stats["relationship_qa"]["n_examples"] == 3
+    assert stats["relationship_qa_generic"]["n_examples"] == 1
+    for r in stats.values():
+        assert r["avg_answer_words"] > 0
+        assert r["median_answer_words"] <= r["max_answer_words"]
+
+
+# ── K4 HTML viz sink ───────────────────────────────────────────────────────
+
+
+def test_render_html(spark, tmp_path):
+    from ai_knowledge_graph_spark.graph.viz import render_html
+
+    nodes = spark.createDataFrame(
+        [("a", 5, 0), ("b", 3, 0), ("c", 1, 1), ("d", 1, 1)],
+        "entity string, degree long, component_id long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "requires"), ("a", "c", "uses"), ("c", "d", "uses")],
+        "src string, dst string, relation string",
+    )
+    out = tmp_path / "graph.html"
+    stats = render_html(nodes, edges, str(out), max_nodes=3)
+    assert stats["nodes_rendered"] == 3
+    assert stats["edges_rendered"] == 2  # c->d dropped: d not in top-3
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert '"id": "a"' in html and "requestAnimationFrame" in html

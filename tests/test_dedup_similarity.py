@@ -128,3 +128,29 @@ def test_srp_topk_finds_planted_neighbors(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-6
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from ai_knowledge_graph_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, nlist=16, n_probe=4).collect()
+    }
+    assert len(approx) > 0
+    # every approx hit is a real vector pair with rank <= 5 within its lists;
+    # recall against exact top-5 should be substantial with 4/16 lists probed
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    # probing ALL lists must reproduce brute-force exactly
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, nlist=16, n_probe=16).collect()
+    }
+    assert full == exact
