@@ -124,3 +124,48 @@ def windowed_event_counts_batch(spark: SparkSession, events_path: str, window: s
             F.round("total_value", 6).alias("total_value"),
         )
     )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    docs_path: str,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup on content hash — the incremental form of the
+    corpus dedup (sources/corpus.dedup_corpus): first-arrived document per
+    whitespace-normalized sha256 survives, later duplicates are dropped by
+    the state store.
+
+    Uses Structured Streaming ``dropDuplicates`` over the hash key; with a
+    ``ts_col`` the watermark bounds state size (state for hashes older than
+    the watermark is evicted — at 100 TB/day ingest an unbounded exact-dedup
+    state is the thing that kills the job, so production runs pair this with
+    a periodic compaction join against the materialized corpus table).
+    Drained synchronously via AvailableNow into a memory sink.
+    """
+    from ..sources.corpus import content_hash_col
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_as_stream_dir(docs_path))
+        .withColumn("content_sha", content_hash_col("text"))
+    )
+    if ts_col is not None:
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        stream = stream.withWatermark(ts_col, watermark)
+        deduped = stream.dropDuplicates(["content_sha", ts_col])
+    else:
+        deduped = stream.dropDuplicates(["content_sha"])
+    name = f"dedup_{abs(hash(docs_path)) % 10_000_000}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

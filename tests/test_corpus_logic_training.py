@@ -182,3 +182,20 @@ def test_render_html(spark, tmp_path):
     html = out.read_text()
     assert html.startswith("<!DOCTYPE html>")
     assert '"id": "a"' in html and "requestAnimationFrame" in html
+
+
+# ── streaming dedup ────────────────────────────────────────────────────────
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    from ai_knowledge_graph_spark.streaming.ingest import stream_dedup_documents
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "alpha beta " * 10), (2, "alpha  beta " * 10), (3, "gamma delta " * 10)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src))
+    out = stream_dedup_documents(spark, str(src))
+    # docs 1 and 2 share a normalized content hash -> one survivor
+    assert out.count() == 2
+    assert out.select("content_sha").distinct().count() == 2
