@@ -199,3 +199,28 @@ def search(nodes: DataFrame, query: str, top_k: int = 20) -> DataFrame:
 def relation_histogram(edges: DataFrame) -> DataFrame:
     """Edge-relation counts (graph_store.py:560-565)."""
     return edges.groupBy("relation").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def models_for_pattern(
+    edges: DataFrame, nodes: DataFrame, pattern: str
+) -> DataFrame:
+    """J10 (graph_store.get_models_for_pattern:500-525): models whose edges
+    touch ``pattern``, i.e. edges with one endpoint of node_type='model' and
+    the other equal to the pattern node. Broadcast the (small) model-node
+    dim against the edge fact table."""
+    models = F.broadcast(
+        nodes.filter(F.col("node_type") == "model").select(
+            F.col("entity").alias("model")
+        )
+    )
+    out_side = (
+        edges.filter(F.col("dst") == pattern)
+        .join(models, edges["src"] == models["model"])
+        .select("model", "relation")
+    )
+    in_side = (
+        edges.filter(F.col("src") == pattern)
+        .join(models, edges["dst"] == models["model"])
+        .select("model", "relation")
+    )
+    return out_side.unionByName(in_side).distinct()

@@ -157,3 +157,22 @@ def test_shortest_path_matches_bfs_oracle_on_random_graph(spark):
                 und.setdefault(o, set()).add(s)
             expect_und = _bfs_oracle(und, src, dst)
             assert (len(got) == len(expect_und)) or (got == [] and expect_und == [])
+
+
+def test_models_for_pattern(spark):
+    from ai_knowledge_graph_spark.graph.queries import models_for_pattern
+
+    nodes = spark.createDataFrame(
+        [("silver_bullet", "model"), ("fvg", "concept"), ("unicorn", "model")],
+        "entity string, node_type string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("silver_bullet", "fvg", "requires"),
+            ("fvg", "unicorn", "enables"),
+            ("fvg", "other", "relates"),
+        ],
+        "src string, dst string, relation string",
+    )
+    got = {(r["model"], r["relation"]) for r in models_for_pattern(edges, nodes, "fvg").collect()}
+    assert got == {("silver_bullet", "requires"), ("unicorn", "enables")}
