@@ -969,6 +969,20 @@ dedup AS (
 """
 
 
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine that is BIT-IDENTICAL to the engine's fold: dot and
+    norms accumulated left-to-right in DOUBLE (list_dot_product on DOUBLE[]),
+    denominator as sqrt(na)*sqrt(nb). The builtin list_cosine_similarity
+    accumulates in float32 and differs by ~1e-7 — enough to flip round(,6)
+    at a .5 boundary (seen at sf0.01)."""
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1084,11 +1098,11 @@ inter AS (
 )
 SELECT a, b, round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
 FROM inter WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5"""
-    sql["embedding_topk"] = """
+    sql["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-    round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine
+    round({_sql_cos("q.qv", "e.embedding")}, 6) AS cosine
   FROM q CROSS JOIN embeddings e
   WHERE q.query_id <> e.vec_id
 )
@@ -1247,7 +1261,7 @@ WITH cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
-    round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cosine
+    round({_sql_cos("q.embedding", "e.embedding")}, 6) AS cosine
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings e ON e.vec_id = c.neighbor_id
@@ -1443,7 +1457,7 @@ FROM scored"""
 
     # IVF ANN: md5-hash-bucketed coarse centroids (min-id rep per bucket),
     # probe 4 nearest lists per query, exact cosine within probed lists
-    sql["ivf_topk"] = """
+    sql["ivf_topk"] = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 buck AS (
   SELECT vec_id,
@@ -1458,7 +1472,7 @@ corpus_assign AS (
     SELECT b.vec_id, c.centroid_id,
       row_number() OVER (
         PARTITION BY b.vec_id
-        ORDER BY round(list_cosine_similarity(b.embedding, c.centroid), 6) DESC,
+        ORDER BY round({_sql_cos("b.embedding", "c.centroid")}, 6) DESC,
                  c.centroid_id ASC) AS pr
     FROM base b CROSS JOIN cents c
   ) WHERE pr <= 1
@@ -1468,14 +1482,14 @@ q_assign AS (
     SELECT b.vec_id, c.centroid_id,
       row_number() OVER (
         PARTITION BY b.vec_id
-        ORDER BY round(list_cosine_similarity(b.embedding, c.centroid), 6) DESC,
+        ORDER BY round({_sql_cos("b.embedding", "c.centroid")}, 6) DESC,
                  c.centroid_id ASC) AS pr
     FROM base b CROSS JOIN cents c WHERE b.vec_id < 5
   ) WHERE pr <= 4
 ),
 scored AS (
   SELECT q.query_id, ca.neighbor_id,
-    round(list_cosine_similarity(qe.embedding, ne.embedding), 6) AS cosine
+    round({_sql_cos("qe.embedding", "ne.embedding")}, 6) AS cosine
   FROM q_assign q
   JOIN corpus_assign ca USING (centroid_id)
   JOIN embeddings qe ON qe.vec_id = q.query_id
