@@ -176,3 +176,27 @@ def test_models_for_pattern(spark):
     )
     got = {(r["model"], r["relation"]) for r in models_for_pattern(edges, nodes, "fvg").collect()}
     assert got == {("silver_bullet", "requires"), ("unicorn", "enables")}
+
+
+def test_write_graph_tables_bucketed(spark, tmp_path):
+    from ai_knowledge_graph_spark.graph.materialize import (
+        iceberg_available,
+        materialize_graph,
+        write_graph_tables,
+    )
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b", "u1", 1, False), ("b", "uses", "c", "u1", 1, True)],
+        "subject string, predicate string, object string, url string, chunk int, inferred boolean",
+    )
+    nodes, edges = materialize_graph(triples)
+    spark.sql("DROP TABLE IF EXISTS t_nodes")
+    spark.sql("DROP TABLE IF EXISTS t_edges")
+    fmt = write_graph_tables(nodes, edges, "t_nodes", "t_edges", buckets=4)
+    # no Iceberg jar in this image -> auto resolves to bucketed parquet
+    assert iceberg_available(spark) is False
+    assert fmt == "parquet"
+    assert spark.table("t_nodes").count() == 3
+    assert spark.table("t_edges").count() == 2
+    ddl = spark.sql("SHOW CREATE TABLE t_nodes").collect()[0][0]
+    assert "CLUSTERED BY" in ddl and "canonical_id" in ddl  # bucket spec kept
