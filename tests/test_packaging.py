@@ -37,3 +37,25 @@ def test_submit_entry_help():
     )
     assert out.returncode == 0
     assert "--checkpoint-dir" in out.stdout
+
+
+def test_generate_graph_cli_test_mode(tmp_path):
+    """Local CLI parity entry (main.py:240-317): --test renders sample data."""
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [
+            sys.executable, "scripts/generate_graph.py", "--test",
+            "--output", str(tmp_path / "kg.html"),
+            "--json-output", str(tmp_path / "kg.json"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Extracted 21 triples" in out.stdout
+    import json
+
+    triples = json.loads((tmp_path / "kg.json").read_text())
+    assert len(triples) == 21
+    assert (tmp_path / "kg.html").read_text().startswith("<!DOCTYPE html>")
