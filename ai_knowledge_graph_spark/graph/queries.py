@@ -224,3 +224,45 @@ def models_for_pattern(
         .select("model", "relation")
     )
     return out_side.unionByName(in_side).distinct()
+
+
+def related_concepts(edges: DataFrame, concept: str, max_hops: int = 2) -> DataFrame:
+    """graph_store.get_related_concepts (:527-545): 1-hop neighbors grouped by
+    relation, plus 2-hop neighbors keyed 'rel1→rel2' (excluding the source).
+    Returns (relation_path, node) rows — the relational form of the dict of
+    lists; distinct per (path, node) like the reference's de-dup append."""
+    hop1 = neighbors(edges, concept).select(
+        F.col("relation").alias("r1"), F.col("node").alias("n1")
+    )
+    out = hop1.select(F.col("r1").alias("relation_path"), F.col("n1").alias("node"))
+    if max_hops >= 2:
+        h1 = hop1.localCheckpoint(eager=True)
+        e = edges.select("src", "dst", "relation")
+        und = e.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "relation"
+        ).unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"), "relation")
+        )
+        hop2 = (
+            h1.join(und, h1["n1"] == und["a"])
+            .filter(F.col("b") != concept)
+            .select(
+                F.concat(F.col("r1"), F.lit("→"), F.col("relation")).alias(
+                    "relation_path"
+                ),
+                F.col("b").alias("node"),
+            )
+        )
+        out = out.unionByName(hop2)
+    return out.distinct()
+
+
+def concept_definition(nodes: DataFrame, concept: str) -> DataFrame:
+    """graph_store.get_concept_definition (:547-553): definition attr lookup
+    — a partition-pruned point read on the nodes table."""
+    return nodes.filter(F.col("entity") == concept).select("entity", "definition")
+
+
+def nodes_by_type(nodes: DataFrame, node_type: str) -> DataFrame:
+    """graph_store.get_nodes_by_type (:555-558)."""
+    return nodes.filter(F.col("node_type") == node_type).select("entity")

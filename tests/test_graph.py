@@ -190,8 +190,12 @@ def test_write_graph_tables_bucketed(spark, tmp_path):
         "subject string, predicate string, object string, url string, chunk int, inferred boolean",
     )
     nodes, edges = materialize_graph(triples)
-    spark.sql("DROP TABLE IF EXISTS t_nodes")
-    spark.sql("DROP TABLE IF EXISTS t_edges")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_nodes", "t_edges"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     fmt = write_graph_tables(nodes, edges, "t_nodes", "t_edges", buckets=4)
     # no Iceberg jar in this image -> auto resolves to bucketed parquet
     assert iceberg_available(spark) is False
@@ -200,3 +204,43 @@ def test_write_graph_tables_bucketed(spark, tmp_path):
     assert spark.table("t_edges").count() == 2
     ddl = spark.sql("SHOW CREATE TABLE t_nodes").collect()[0][0]
     assert "CLUSTERED BY" in ddl and "canonical_id" in ddl  # bucket spec kept
+
+
+def test_related_concepts_parity_vs_reference(spark):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.graph_rag.graph_store import ICTGraphStore
+
+    from ai_knowledge_graph_spark.graph.queries import related_concepts
+
+    edge_rows = [
+        ("fvg", "displacement", "requires"),
+        ("liquidity", "fvg", "enhances"),
+        ("displacement", "entry", "precedes"),
+        ("fvg", "entry", "targets"),
+        ("other", "unrelated", "relates"),
+    ]
+    store = ICTGraphStore()
+    for s, t, r in edge_rows:
+        store.G.add_edge(s, t, relation=r)
+    ref = store.get_related_concepts("fvg", max_hops=2)
+    ref_pairs = {(k, n) for k, nodes in ref.items() for n in nodes}
+
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, relation string")
+    got = {
+        (r["relation_path"], r["node"])
+        for r in related_concepts(edges, "fvg", max_hops=2).collect()
+    }
+    assert got == ref_pairs
+
+
+def test_concept_definition_and_nodes_by_type(spark):
+    from ai_knowledge_graph_spark.graph.queries import concept_definition, nodes_by_type
+
+    nodes = spark.createDataFrame(
+        [("fvg", "concept", "a gap"), ("sb", "model", None)],
+        "entity string, node_type string, definition string",
+    )
+    assert concept_definition(nodes, "fvg").collect()[0]["definition"] == "a gap"
+    assert [r["entity"] for r in nodes_by_type(nodes, "model").collect()] == ["sb"]
