@@ -244,3 +244,43 @@ def test_concept_definition_and_nodes_by_type(spark):
     )
     assert concept_definition(nodes, "fvg").collect()[0]["definition"] == "a gap"
     assert [r["entity"] for r in nodes_by_type(nodes, "model").collect()] == ["sb"]
+
+
+def test_graph_expand_caps_and_orientation(spark):
+    from ai_knowledge_graph_spark.graph.retrieve import format_context, graph_expand
+
+    edges = spark.createDataFrame(
+        [
+            ("fvg", "requires", "displacement"),
+            ("liquidity", "enhances", "fvg"),
+            ("fvg", "targets", "entry"),
+            ("noise", "relates", "stuff"),
+        ],
+        "src string, relation string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("fvg", "a price gap"), ("displacement", None)],
+        "entity string, definition string",
+    )
+    concepts = spark.createDataFrame(
+        [("fvg", 0), ("displacement", 1)], "concept string, priority int"
+    )
+    got = graph_expand(edges, nodes, concepts, graph_top_k=5, max_total=50)
+    rows = [(r["subject"], r["predicate"], r["object"]) for r in got.orderBy("rank").collect()]
+    # in-edge keeps original orientation (liquidity -> fvg); defs appended per concept
+    assert ("liquidity", "enhances", "fvg") in rows
+    assert ("fvg", "defined_as", "a price gap") in rows
+    assert ("noise", "relates", "stuff") not in rows
+    # fvg (priority 0) neighbors come before displacement's
+    assert rows[0][0] == "fvg" or rows[0][2] == "fvg"
+
+    # hard cap
+    capped = graph_expand(edges, nodes, concepts, graph_top_k=5, max_total=2)
+    assert capped.count() == 2
+
+    ctx = format_context(got, chunks=[{"source": "doc1", "text": "hello"}])
+    assert "## Graph-Derived Relationships" in ctx
+    assert "liquidity enhances fvg" in ctx and "[Source: doc1]" in ctx
+
+    tiny = format_context(got, max_context_chars=40)
+    assert tiny.endswith("[context truncated]")
