@@ -501,6 +501,14 @@ def q_shortest_dist(spark, sf_dir):
     )
 
 
+def q_related_concepts(spark, sf_dir):
+    # get_related_concepts: 1-hop by relation + 2-hop by 'r1→r2' path
+    from ai_knowledge_graph_spark.graph.queries import related_concepts
+
+    node = _top_nodes(spark, sf_dir, 1)[0]
+    return related_concepts(_kg_edges(spark, sf_dir), node, max_hops=2)
+
+
 def q_search(spark, sf_dir):
     # W4: text search over node names, rank by (-score, -degree, entity)
     from ai_knowledge_graph_spark.graph.queries import search
@@ -699,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop": q_khop,
         "shortest_dist": q_shortest_dist,
         "search": q_search,
+        "related_concepts": q_related_concepts,
         "concepts": q_concepts,
         "term_relevance": q_term_relevance,
         "candidate_pairs": q_candidate_pairs,
@@ -1314,6 +1323,22 @@ bfs AS (
 )
 SELECT (SELECT entity FROM top1) AS source, entity AS target, min(d) AS dist
 FROM bfs WHERE entity = (SELECT entity FROM top2) GROUP BY entity"""
+
+    sql["related_concepts"] = graph_pre + """,
+hop1 AS (
+  SELECT relation AS r1, dst AS n1 FROM edges WHERE src = (SELECT entity FROM top1)
+  UNION ALL
+  SELECT relation, src FROM edges WHERE dst = (SELECT entity FROM top1)
+),
+undr AS (
+  SELECT src AS a, dst AS b, relation FROM edges
+  UNION ALL SELECT dst, src, relation FROM edges
+)
+SELECT DISTINCT r1 AS relation_path, n1 AS node FROM hop1
+UNION
+SELECT DISTINCT h.r1 || '→' || u.relation AS relation_path, u.b AS node
+FROM hop1 h JOIN undr u ON u.a = h.n1
+WHERE u.b <> (SELECT entity FROM top1)"""
 
     sql["search"] = graph_pre + """
 SELECT entity, degree, score FROM (
