@@ -420,9 +420,12 @@ def infer_relationships(
     apply_lexical: bool = True,
     max_block_size: int = 0,
     pair_order: str = "reference",
+    extra_inferred: DataFrame | None = None,
 ) -> DataFrame:
-    """Phase 3 end-to-end (LLM sub-stages off): infer, union, dedup, truncate,
-    drop self-loops (entity_standardization.py:183-271)."""
+    """Phase 3 end-to-end: infer, union, dedup, truncate, drop self-loops
+    (entity_standardization.py:183-271). ``extra_inferred`` carries the
+    LLM-stage triples (operators/llm_stages, steps 3-4 of the reference's
+    phase 3) into the same union+dedup the reference applies (:254-268)."""
     valid = valid_triples(triples)
     if "stage" not in valid.columns:
         valid = valid.withColumn("stage", F.lit("extract"))
@@ -455,6 +458,8 @@ def infer_relationships(
             futures = [ex.submit(b) for b in builders]
             parts.extend(f.result() for f in futures)
 
+    if extra_inferred is not None:
+        parts.append(extra_inferred)
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p, allowMissingColumns=True)

@@ -67,35 +67,71 @@ def run_pipeline(
     )
 
     result = raw
-    if cfg.get("standardization", {}).get("enabled", True):
+    std_cfg = cfg.get("standardization", {})
+    if std_cfg.get("enabled", True):
         # Canonicalize-stage boundary: co-locate rows by subject before the
         # mapping joins so the big side shuffles once.
         prev = result
-        result = _stage(
-            "triples_std",
-            lambda: standardize_triples(
+
+        def _build_std() -> DataFrame:
+            std = standardize_triples(
                 prev.repartition(stage_parts, "subject"),
                 # "reference" replays the reference's second-pass tie order
                 # exactly (parity); web-scale runs set "lexicographic".
-                tie_order=cfg.get("standardization", {}).get("tie_order", "reference"),
-            ),
-        )
+                tie_order=std_cfg.get("tie_order", "reference"),
+            )
+            if std_cfg.get("use_llm_for_entities", False):
+                # Step 7 (entity_standardization.py:171-173,377-449), batched:
+                # prompt assembly + llm_fn + parse all run executor-side.
+                from .operators.llm_stages import (
+                    apply_llm_resolution,
+                    fake_resolution_llm,
+                    llm_entity_resolution,
+                )
 
-    if cfg.get("inference", {}).get("enabled", True):
+                llm_fn = std_cfg.get("entity_llm_fn", fake_resolution_llm)
+                mapping = llm_entity_resolution(std, llm_fn).localCheckpoint(
+                    eager=True
+                )
+                std = apply_llm_resolution(std, mapping).filter(
+                    F.col("subject") != F.col("object")  # :175-178
+                )
+            return std
+
+        result = _stage("triples_std", _build_std)
+
+    inf_cfg = cfg.get("inference", {})
+    if inf_cfg.get("enabled", True):
         prev2 = result
-        result = _stage(
-            "triples_final",
-            lambda: infer_relationships(
+
+        def _build_final() -> DataFrame:
+            extra = None
+            if inf_cfg.get("use_llm_for_inference", False):
+                # Steps 3-4 (:232-242), batched community inference; the
+                # triples join the same union+dedup as rule-based inference.
+                from .operators.llm_stages import (
+                    fake_inference_llm,
+                    llm_between_community_triples,
+                    llm_within_community_triples,
+                )
+
+                llm_fn = inf_cfg.get("inference_llm_fn", fake_inference_llm)
+                extra = llm_between_community_triples(prev2, llm_fn).unionByName(
+                    llm_within_community_triples(prev2, llm_fn)
+                )
+            return infer_relationships(
                 prev2,
-                apply_transitive=cfg.get("inference", {}).get("apply_transitive", True),
+                apply_transitive=inf_cfg.get("apply_transitive", True),
                 max_block_size=int(engine.get("max_block_size", 0)),
                 # "reference" replays the reference's pair iteration order for
                 # exact parity; web-scale runs set "lexicographic" (no
                 # single-task rank replay; only the direction of symmetric
                 # `related to` edges differs).
-                pair_order=cfg.get("inference", {}).get("pair_order", "reference"),
-            ),
-        )
+                pair_order=inf_cfg.get("pair_order", "reference"),
+                extra_inferred=extra,
+            )
+
+        result = _stage("triples_final", _build_final)
 
     return result
 
