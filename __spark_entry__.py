@@ -1413,13 +1413,19 @@ SELECT subject, predicate, object FROM (
   FROM std
 ) WHERE rn <= 4"""
 
-    # S5: content dedup — normalize whitespace, sha256, min-path survivor
-    sql["corpus_dedup"] = """
+    # S5: content dedup — normalize whitespace, sha256, min-path survivor.
+    # The whitespace class mirrors Python str.split() (sources/corpus.py
+    # PY_WS_RUN) in RE2 syntax so both sides hash Unicode whitespace alike.
+    _pyws = (
+        "[\\x{09}-\\x{0d}\\x{1c}-\\x{1f} \\x{85}\\x{a0}\\x{1680}"
+        "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+    )
+    sql["corpus_dedup"] = f"""
 WITH hashed AS (
-  SELECT doc_id, format('doc{:012d}.txt', doc_id) AS path,
-         sha256(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_sha
+  SELECT doc_id, format('doc{{:012d}}.txt', doc_id) AS path,
+         sha256(trim(regexp_replace(text, '{_pyws}', ' ', 'g'))) AS content_sha
   FROM documents
-  WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) >= 50
+  WHERE length(regexp_replace(text, '^{_pyws}|{_pyws}$', '', 'g')) >= 50
 )
 SELECT doc_id, content_sha FROM (
   SELECT *, row_number() OVER (PARTITION BY content_sha ORDER BY path) AS rn

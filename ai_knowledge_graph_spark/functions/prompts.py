@@ -52,9 +52,12 @@ def entity_resolution_prompt(triples: DataFrame, cap: int = 100) -> DataFrame:
     """One-row DataFrame (n_entities, user_prompt): top-``cap`` entities by
     frequency, sorted, newline-joined into the resolution template
     (entity_standardization.py:393-409: count as subject or object, top-100,
-    ``"\\n".join(sorted(...))``)."""
+    ``"\\n".join(sorted(...))``). Entities keep their raw case — the reference
+    counts and emits raw-case names, and apply_llm_resolution matches the
+    returned variants exact-case, so lowercasing here would make mixed-case
+    entities unmatchable."""
     counts = (
-        triples.select(F.explode(F.array(F.lower("subject"), F.lower("object"))).alias("e"))
+        triples.select(F.explode(F.array(F.col("subject"), F.col("object"))).alias("e"))
         .groupBy("e")
         .count()
         .orderBy(F.desc("count"), F.asc("e"))

@@ -57,8 +57,13 @@ def score_models(
     score per logic_engine.py:434-446.
     """
     req = requirements.select(
-        "model", "requirement", F.lower(F.col("requirement")).alias("req_lower")
+        "model", F.lower(F.col("requirement")).alias("req_lower")
     )
+
+    # The reference counts len(required) INCLUDING duplicate requirement
+    # texts within one model (:388,:434) — carry the multiplicity through
+    # the grouped pipeline instead of collapsing duplicates.
+    req = req.groupBy("model", "req_lower").agg(F.count(F.lit(1)).alias("mult"))
 
     # Specificity pre-pass (:372-377): distinct models per requirement text.
     sharing = req.groupBy("req_lower").agg(
@@ -82,17 +87,19 @@ def score_models(
         | F.col("req_lower").contains(F.col("det_raw")),
         "left",
     )
-    per_req = matched.groupBy("model", "req_lower", "specificity").agg(
+    per_req = matched.groupBy("model", "req_lower", "specificity", "mult").agg(
         F.max(F.col("det_raw").isNotNull()).alias("is_met")
     )
 
     scored = per_req.groupBy("model").agg(
-        F.count(F.lit(1)).alias("total_reqs"),
-        F.sum(F.col("is_met").cast("int")).alias("satisfied"),
-        F.sum(F.when(F.col("is_met"), F.col("specificity")).otherwise(0.0)).alias(
-            "weighted_spec"
+        F.sum("mult").alias("total_reqs"),
+        F.sum(F.when(F.col("is_met"), F.col("mult")).otherwise(F.lit(0))).alias(
+            "satisfied"
         ),
-        F.sum("specificity").alias("max_spec"),
+        F.sum(
+            F.when(F.col("is_met"), F.col("specificity") * F.col("mult")).otherwise(0.0)
+        ).alias("weighted_spec"),
+        F.sum(F.col("specificity") * F.col("mult")).alias("max_spec"),
     )
     # Blended score (:434-446).
     return scored.withColumn(

@@ -85,11 +85,18 @@ def run_pipeline(
                 # prompt assembly + llm_fn + parse all run executor-side.
                 from .operators.llm_stages import (
                     apply_llm_resolution,
-                    fake_resolution_llm,
                     llm_entity_resolution,
                 )
 
-                llm_fn = std_cfg.get("entity_llm_fn", fake_resolution_llm)
+                llm_fn = std_cfg.get("entity_llm_fn")
+                if llm_fn is None:
+                    # The deterministic test fakes must be injected explicitly
+                    # (entity_llm_fn=fake_resolution_llm); silently running
+                    # them on a real corpus would corrupt entity names.
+                    raise ValueError(
+                        "standardization.use_llm_for_entities is enabled but no "
+                        "entity_llm_fn callable was injected into the config"
+                    )
                 mapping = llm_entity_resolution(std, llm_fn).localCheckpoint(
                     eager=True
                 )
@@ -110,12 +117,16 @@ def run_pipeline(
                 # Steps 3-4 (:232-242), batched community inference; the
                 # triples join the same union+dedup as rule-based inference.
                 from .operators.llm_stages import (
-                    fake_inference_llm,
                     llm_between_community_triples,
                     llm_within_community_triples,
                 )
 
-                llm_fn = inf_cfg.get("inference_llm_fn", fake_inference_llm)
+                llm_fn = inf_cfg.get("inference_llm_fn")
+                if llm_fn is None:
+                    raise ValueError(
+                        "inference.use_llm_for_inference is enabled but no "
+                        "inference_llm_fn callable was injected into the config"
+                    )
                 extra = llm_between_community_triples(prev2, llm_fn).unionByName(
                     llm_within_community_triples(prev2, llm_fn)
                 )

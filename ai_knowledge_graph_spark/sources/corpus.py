@@ -42,6 +42,22 @@ SKIP_FILENAME_CONTAINS = ["schema", "lock.json"]
 # prepare_data.py:57-58
 MIN_CONTENT_LENGTH = 50
 
+# The exact character set Python's str.split()/str.strip() treat as
+# whitespace (the reference normalizes with " ".join(text.split()),
+# prepare_data.py:124-128). Java's \s is only [ \t\n\x0B\f\r], so an explicit
+# class is required for byte-parity on  ,  , 　 etc.
+_PY_WHITESPACE = "".join(
+    map(
+        chr,
+        [
+            0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+            0x85, 0xA0, 0x1680, *range(0x2000, 0x200B),
+            0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+        ],
+    )
+)
+PY_WS_RUN = "[" + _PY_WHITESPACE + "]+"
+
 
 def noise_path_filter(path_col: str = "path"):
     """Boolean column: True when the path survives every noise filter
@@ -64,7 +80,9 @@ def content_hash_col(text_col: str = "text"):
     strip ends)."""
     # Collapse any whitespace run first, THEN trim: Spark's trim strips only
     # spaces (not \n\t), so edge runs must be turned into plain spaces first.
-    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # PY_WS_RUN (not \s) so Unicode whitespace collapses exactly like
+    # Python's str.split().
+    normalized = F.trim(F.regexp_replace(F.col(text_col), PY_WS_RUN, " "))
     return F.sha2(normalized, 256)
 
 
@@ -98,9 +116,10 @@ def dedup_corpus(docs: DataFrame, path_col: str = "path", text_col: str = "text"
     sorted, :122); the deterministic distributed equivalent keeps the
     lexicographically smallest path per hash.
     """
-    # len(content.strip()) in the reference strips all whitespace kinds.
+    # len(content.strip()) in the reference strips all whitespace kinds —
+    # including Unicode ones Java's \s misses.
     stripped_len = F.length(
-        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+        F.regexp_replace(F.col(text_col), f"^{PY_WS_RUN}|{PY_WS_RUN}$", "")
     )
     hashed = docs.filter(stripped_len >= MIN_CONTENT_LENGTH).withColumn(
         "content_sha", content_hash_col(text_col)

@@ -156,7 +156,12 @@ def stream_dedup_documents(
     if ts_col is not None:
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         stream = stream.withWatermark(ts_col, watermark)
-        deduped = stream.dropDuplicates(["content_sha", ts_col])
+        # Key on content_sha ONLY: identical documents arriving with different
+        # timestamps are still duplicates. dropDuplicatesWithinWatermark keeps
+        # the content-only key while letting the watermark evict old state
+        # (plain dropDuplicates(["content_sha", ts_col]) would treat each
+        # timestamp as a distinct document).
+        deduped = stream.dropDuplicatesWithinWatermark(["content_sha"])
     else:
         deduped = stream.dropDuplicates(["content_sha"])
     name = f"dedup_{abs(hash(docs_path)) % 10_000_000}"

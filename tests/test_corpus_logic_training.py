@@ -53,6 +53,27 @@ def test_dedup_corpus(spark, corpus_dir):
     assert row["content_sha"] == expected
 
 
+def test_content_hash_unicode_whitespace_parity(spark):
+    """Unicode whitespace (\\u00a0, \\u2028, ...) must hash exactly like
+    Python's " ".join(text.split()) in the reference (prepare_data.py:124-128)
+    — Java's \\s does not match these, hence the explicit PY_WS_RUN class."""
+    import hashlib
+
+    texts = [
+        "alpha\u00a0beta\u2028gamma " * 5,
+        "x\u2003y\u3000z\u200aw\u0085v " * 10,
+        "\u00a0\u2029leading and trailing\u205f\u000b" + " body " * 10,
+        "plain ascii words " * 5,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", corpus.content_hash_col("text").alias("sha")
+    )
+    got = {r["text"]: r["sha"] for r in df.collect()}
+    for t in texts:
+        expected = hashlib.sha256(" ".join(t.split()).encode()).hexdigest()
+        assert got[t] == expected, f"hash mismatch for {t!r}"
+
+
 # ── J11 logic engine ───────────────────────────────────────────────────────
 
 
@@ -197,5 +218,29 @@ def test_stream_dedup_documents(spark, tmp_path):
     ).coalesce(1).write.parquet(str(src))
     out = stream_dedup_documents(spark, str(src))
     # docs 1 and 2 share a normalized content hash -> one survivor
+    assert out.count() == 2
+    assert out.select("content_sha").distinct().count() == 2
+
+
+def test_stream_dedup_documents_with_ts(spark, tmp_path):
+    """With ts_col set, identical content at DIFFERENT timestamps is still one
+    duplicate group — the dedup key must stay content-only inside the
+    watermark (dropDuplicatesWithinWatermark, not dropDuplicates on
+    (sha, ts))."""
+    import datetime as dt
+
+    from ai_knowledge_graph_spark.streaming.ingest import stream_dedup_documents
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "docs_ts"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta " * 10, t0),
+            (2, "alpha beta " * 10, t0 + dt.timedelta(minutes=5)),  # same content, later ts
+            (3, "gamma delta " * 10, t0 + dt.timedelta(minutes=1)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(str(src))
+    out = stream_dedup_documents(spark, str(src), ts_col="ts", watermark="1 hour")
     assert out.count() == 2
     assert out.select("content_sha").distinct().count() == 2

@@ -68,9 +68,25 @@ def test_pipeline_with_llm_stages_on(spark, std_triples):
     cfg = load_config()
     cfg["chunking"] = {"chunk_size": 20, "overlap": 5}
     cfg["standardization"]["use_llm_for_entities"] = True
+    cfg["standardization"]["entity_llm_fn"] = L.fake_resolution_llm
     cfg["inference"]["use_llm_for_inference"] = True
+    cfg["inference"]["inference_llm_fn"] = L.fake_inference_llm
     out = run_pipeline(spark, pages, cfg)
     assert out.count() > 0
     assert out.filter(F.col("stage") == "llm_inference").count() >= 0  # path runs
     # invariants hold with the LLM stages on
     assert out.filter(F.col("subject") == F.col("object")).count() == 0
+
+
+def test_llm_flag_without_fn_raises(spark):
+    from ai_knowledge_graph_spark.config import load_config
+    from ai_knowledge_graph_spark.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(
+        [("u1", None, b"", "the apple pie contains sweet apple .", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = load_config()
+    cfg["standardization"]["use_llm_for_entities"] = True
+    with pytest.raises(ValueError, match="entity_llm_fn"):
+        run_pipeline(spark, pages, cfg)

@@ -11,10 +11,12 @@ def test_entity_resolution_prompt(spark):
         "subject string, predicate string, object string",
     )
     row = prompts.entity_resolution_prompt(triples, cap=3).collect()[0]
-    assert row["n_entities"] == 3  # top-3 of {apple:2, fruit:1, tree:2, plant:1}
+    # raw-case counts like the reference: all six raw-case entities appear
+    # once; top-3 = the lexicographically-first ties (uppercase sorts first).
+    assert row["n_entities"] == 3
     body = row["user_prompt"]
-    # sorted, newline-joined entity list (reference: "\n".join(sorted(...)))
-    assert "apple\nfruit\ntree" in body or "apple\nplant\ntree" in body
+    # sorted, newline-joined raw-case entity list ("\n".join(sorted(...)))
+    assert "Apple\nTree\napple" in body
     assert body.startswith("Below is a list")
 
 
