@@ -13,8 +13,21 @@ from typing import Any
 
 DEFAULTS: dict[str, Any] = {
     "chunking": {"chunk_size": 500, "overlap": 50},  # reference config.toml:20-22
-    "standardization": {"enabled": True, "use_llm_for_entities": False},
-    "inference": {"enabled": True, "use_llm_for_inference": False, "apply_transitive": True},
+    # tie_order / pair_order: "auto" (default) switches between the exact
+    # reference-replay order ("reference", single-task set-order replay —
+    # cheap below engine.auto_order_threshold entities) and the fully
+    # distributed "lexicographic" order above it.
+    "standardization": {
+        "enabled": True,
+        "use_llm_for_entities": False,
+        "tie_order": "auto",
+    },
+    "inference": {
+        "enabled": True,
+        "use_llm_for_inference": False,
+        "apply_transitive": True,
+        "pair_order": "auto",
+    },
     "llm": {},  # model/base_url/api_key when an actual endpoint is wired in
     "engine": {
         # Shuffle/partition knobs; sized per input at submit time for a real
@@ -29,6 +42,9 @@ DEFAULTS: dict[str, Any] = {
         "max_block_size": 0,
         # Connected-components iteration cap (safety, converges way earlier).
         "cc_max_iterations": 50,
+        # Vocabulary size at which tie_order/pair_order "auto" switches from
+        # exact reference-replay to the distributed lexicographic order.
+        "auto_order_threshold": 200_000,
         "checkpoint_dir": None,  # parquet stage-checkpoint root (None = off)
     },
 }

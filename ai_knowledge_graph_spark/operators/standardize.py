@@ -155,6 +155,44 @@ def standard_form_set_rank(mapping: DataFrame) -> DataFrame:
     )
 
 
+def distributed_rank(df: DataFrame, order_cols: list, out: str = "rank") -> DataFrame:
+    """Dense global row_number over ``order_cols`` WITHOUT a single-task
+    window: range-repartition on the sort key, rank within each partition,
+    then add per-partition offsets (a partition-count-sized cumulative sum).
+
+    ``order_cols`` must be a total order (no ties) or ranks become
+    partition-placement-dependent. Output is 1-based like row_number().
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition ids: they feed two branches (ranks + offsets) and a
+        # recompute could re-range rows differently
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = ranged.withColumn("_lrn", F.row_number().over(w))
+    # Per-partition offsets: metadata-sized (≤ shuffle_partitions rows), so
+    # the cumulative sum runs on the driver — no single-partition exchange
+    # anywhere in the plan.
+    counts = {
+        r["_pid"]: r["_c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    odf = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (
+        ranked.join(F.broadcast(odf), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> DataFrame:
     """Distinct standard forms + word/stem features + a total-order rank.
 
@@ -182,17 +220,22 @@ def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> Da
         ),
     )
     if tie_order == "reference":
+        # Parity mode: the set-iteration replay is single-task by nature (it
+        # replays CPython set order); the global rank window that follows is
+        # the same cost class. Documented parity-only path.
         ranks = standard_form_set_rank(mapping)
         forms = forms.join(F.broadcast(ranks), forms.form == ranks.form).drop(ranks.form)
         w = Window.orderBy(F.col("clen").asc(), F.col("set_rank").asc())
+        ranked = forms.withColumn("rank", F.row_number().over(w))
     else:
-        w = Window.orderBy(F.col("clen").asc(), F.col("form").asc())
-    # Global rank over standard forms: acceptable because the form set is the
-    # *post-merge vocabulary* (orders of magnitude smaller than triples); at
-    # extreme scale swap for zipWithIndex on the sorted form table.
+        # Web-scale mode: distributed rank (range partition + local
+        # row_number + offsets) — no stage funnels the form vocabulary
+        # through one task.
+        ranked = distributed_rank(
+            forms, [F.col("clen").asc(), F.col("form").asc()], out="rank"
+        )
     return (
-        forms.withColumn("rank", F.row_number().over(w))
-        .select("form", "words", "stems", "clen", "rank")
+        ranked.select("form", "words", "stems", "clen", "rank")
         .localCheckpoint(eager=True)
     )
 

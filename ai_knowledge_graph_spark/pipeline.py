@@ -24,6 +24,27 @@ from .operators.inference import infer_relationships
 from .operators.standardize import standardize_triples
 
 
+def resolve_order(mode: str, triples: DataFrame, threshold: int = 200_000) -> str:
+    """Resolve an 'auto' ordering mode by vocabulary size.
+
+    Below ``threshold`` distinct (lowered) entities the exact
+    reference-replay order is cheap (its set-order replay stages are
+    single-task but only vocabulary-sized); above it the web-scale
+    'lexicographic' order runs fully distributed with no one-task stage.
+    One approx_count_distinct pass over the (checkpointed) input.
+    """
+    if mode != "auto":
+        return mode
+    n_vocab = (
+        triples.select(
+            F.explode(F.array(F.lower("subject"), F.lower("object"))).alias("e")
+        )
+        .agg(F.approx_count_distinct("e").alias("n"))
+        .first()["n"]
+    )
+    return "reference" if n_vocab <= threshold else "lexicographic"
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -55,6 +76,11 @@ def run_pipeline(
             return checkpoint_stage(spark, build(), ckpt, stage)
         return build().localCheckpoint(eager=True)
 
+    def _resolve_order(mode: str, df: DataFrame) -> str:
+        return resolve_order(
+            mode, df, int(engine.get("auto_order_threshold", 200_000))
+        )
+
     raw = _stage(
         "triples_raw",
         lambda: pages_to_raw_triples(
@@ -77,8 +103,10 @@ def run_pipeline(
             std = standardize_triples(
                 prev.repartition(stage_parts, "subject"),
                 # "reference" replays the reference's second-pass tie order
-                # exactly (parity); web-scale runs set "lexicographic".
-                tie_order=std_cfg.get("tie_order", "reference"),
+                # exactly (parity); "lexicographic" is the web-scale order;
+                # the "auto" default switches on vocabulary size so the
+                # shipped pipeline never runs a one-task stage at scale.
+                tie_order=_resolve_order(std_cfg.get("tie_order", "auto"), prev),
             )
             if std_cfg.get("use_llm_for_entities", False):
                 # Step 7 (entity_standardization.py:171-173,377-449), batched:
@@ -135,10 +163,10 @@ def run_pipeline(
                 apply_transitive=inf_cfg.get("apply_transitive", True),
                 max_block_size=int(engine.get("max_block_size", 0)),
                 # "reference" replays the reference's pair iteration order for
-                # exact parity; web-scale runs set "lexicographic" (no
-                # single-task rank replay; only the direction of symmetric
-                # `related to` edges differs).
-                pair_order=inf_cfg.get("pair_order", "reference"),
+                # exact parity (single-task set-order replay); "lexicographic"
+                # is fully distributed (only the direction of symmetric
+                # `related to` edges differs); "auto" switches on vocabulary.
+                pair_order=_resolve_order(inf_cfg.get("pair_order", "auto"), prev2),
                 extra_inferred=extra,
             )
 

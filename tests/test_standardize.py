@@ -109,3 +109,47 @@ def test_empty_normalized_entities_keep_original_case(spark):
     df = spark.createDataFrame(rows, schema="subject string, predicate string, object string, url string, chunk int, t_idx int, inferred boolean")
     out = standardize_triples(df).collect()
     assert out[0]["subject"] == "The Of"
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """distributed_rank == row_number over a global sort, without the
+    single-task window (VERDICT r1: the 100x-vocabulary straggler)."""
+    from pyspark.sql import Window
+
+    from ai_knowledge_graph_spark.operators.standardize import distributed_rank
+
+    rows = [(f"form {i:04d}", (i * 37) % 91 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "form string, clen int").repartition(16)
+    got = distributed_rank(df, [F.col("clen").asc(), F.col("form").asc()])
+    w = Window.orderBy(F.col("clen").asc(), F.col("form").asc())
+    want = df.withColumn("rank", F.row_number().over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_lexicographic_rank_has_no_single_partition_exchange(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from ai_knowledge_graph_spark.operators.standardize import distributed_rank
+
+    df = spark.createDataFrame(
+        [(f"f{i}", i % 7) for i in range(100)], "form string, clen int"
+    )
+    out = distributed_rank(df, [F.col("clen").asc(), F.col("form").asc()])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
+def test_resolve_order_auto_switches_on_vocabulary(spark):
+    from ai_knowledge_graph_spark.pipeline import resolve_order
+
+    t = spark.createDataFrame(
+        [(f"e{i}", "rel", f"e{i+1}") for i in range(50)],
+        "subject string, predicate string, object string",
+    )
+    assert resolve_order("auto", t, threshold=1000) == "reference"
+    assert resolve_order("auto", t, threshold=10) == "lexicographic"
+    assert resolve_order("reference", t, threshold=0) == "reference"
+    assert resolve_order("lexicographic", t, threshold=10**9) == "lexicographic"
