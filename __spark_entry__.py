@@ -570,6 +570,38 @@ def q_context_triples(spark, sf_dir):
     ).select(_doc_id(), "chunk", "subject", "predicate", "object")
 
 
+def q_rag_retrieve(spark, sf_dir):
+    # Hybrid RAG retrieval wired end-to-end (graph_retriever.py:219-326):
+    # chunk-embedding cosine top-5 -> concept extraction from retrieved
+    # chunks + query -> prioritized graph expansion with per-concept and
+    # global caps. Query = doc 0's text + embedding 0 (deterministic).
+    from ai_knowledge_graph_spark.graph.retrieve import retrieve
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id").alias("chunk_id"),
+        F.format_string("doc%012d", F.col("doc_id")).alias("source"),
+        "text",
+        "embedding",
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(
+        F.col("subject").alias("src"),
+        F.col("predicate").alias("relation"),
+        F.col("object").alias("dst"),
+    ).distinct()
+    nodes = std.select(
+        F.explode(F.array("subject", "object")).alias("entity")
+    ).distinct()
+    out = retrieve(qtext, qvec, chunks, edges, nodes, vector_top_k=5)
+    return out["graph_triples"].select(
+        "subject", "predicate", "object", "concept", "rank"
+    )
+
+
 def q_relation_cap(spark, sf_dir):
     # W5: <= 4 objects per (subject, predicate) group
     from ai_knowledge_graph_spark.operators.concepts import per_relation_cap
@@ -713,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "context_triples": q_context_triples,
         "relation_cap": q_relation_cap,
+        "rag_retrieve": q_rag_retrieve,
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
@@ -1412,6 +1445,77 @@ SELECT subject, predicate, object FROM (
     row_number() OVER (PARTITION BY subject, predicate ORDER BY object) AS rn
   FROM std
 ) WHERE rn <= 4"""
+
+    # Hybrid RAG retrieval (graph_retriever.py:219-326): cosine top-5 chunks,
+    # concept containment extraction, prioritized capped graph expansion.
+    sql["rag_retrieve"] = _PRELUDE_INFER + _STD_CTES + f"""
+, qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qt AS (SELECT lower(text) AS lt FROM documents WHERE doc_id = 0),
+chunkse AS (
+  SELECT d.doc_id AS chunk_id, lower(d.text) AS ltext, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+tops AS (
+  SELECT chunk_id, ltext FROM (
+    SELECT c.chunk_id, c.ltext,
+      row_number() OVER (
+        ORDER BY round({_sql_cos("q.embedding", "c.embedding")}, 6) DESC,
+                 c.chunk_id ASC) AS rk
+    FROM chunkse c, qv q
+  ) WHERE rk <= 5
+),
+ents AS (
+  SELECT DISTINCT e AS concept FROM (
+    SELECT subject AS e FROM std UNION SELECT object FROM std
+  ) WHERE length(e) >= 3
+),
+qconc AS (
+  SELECT DISTINCT concept FROM ents, qt
+  WHERE contains(qt.lt, lower(concept))
+     OR contains(qt.lt, replace(lower(concept), '_', ' '))
+),
+cconc AS (
+  SELECT DISTINCT concept FROM ents, tops t
+  WHERE contains(t.ltext, lower(concept))
+     OR contains(t.ltext, replace(lower(concept), '_', ' '))
+),
+conc AS (
+  SELECT concept, 0 AS priority FROM qconc
+  UNION ALL
+  SELECT concept, 1 FROM cconc WHERE concept NOT IN (SELECT concept FROM qconc)
+),
+top_conc AS (SELECT concept, priority FROM conc ORDER BY priority, concept LIMIT 20),
+eedges AS (SELECT DISTINCT subject AS src, predicate AS relation, object AS dst FROM std),
+nb0 AS (
+  SELECT t.concept, t.priority, e.src AS subject, e.relation AS predicate,
+         e.dst AS object, 0 AS dir_ord, e.dst AS nb
+  FROM eedges e JOIN top_conc t ON e.src = t.concept
+  UNION ALL
+  SELECT t.concept, t.priority, e.src, e.relation, e.dst, 1, e.src
+  FROM eedges e JOIN top_conc t ON e.dst = t.concept
+),
+nbd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY concept, predicate, nb ORDER BY dir_ord, subject, object) AS dup
+    FROM nb0
+  ) WHERE dup = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT concept, priority, subject, predicate, object,
+      row_number() OVER (
+        PARTITION BY concept ORDER BY dir_ord, nb, predicate) AS nb_rank
+    FROM nbd
+  ) WHERE nb_rank <= 5
+),
+ranked AS (
+  SELECT * FROM capped ORDER BY priority, concept, nb_rank LIMIT 50
+)
+SELECT subject, predicate, object, concept,
+  CAST(row_number() OVER (
+    ORDER BY priority, concept, nb_rank, predicate, object) AS INT) AS rank
+FROM ranked"""
 
     # S5: content dedup — normalize whitespace, sha256, min-path survivor.
     # The whitespace class mirrors Python str.split() (sources/corpus.py

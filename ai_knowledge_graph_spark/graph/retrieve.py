@@ -1,12 +1,17 @@
-"""Hybrid-RAG graph expansion (SURVEY §3.3; graph_retriever.retrieve
-:219-326). The vector-search step is an external service boundary; the
-graph-side steps rebuilt here:
+"""Hybrid-RAG retrieval (SURVEY §3.3; graph_retriever.retrieve :219-326),
+end-to-end:
 
-  1. prioritize concepts, expand only the top ``max_expand`` (:256-262)
-  2. per-concept neighbor cap ``graph_top_k``, global hard cap
+  0. chunk-embedding vector search (:231-234, Chroma similarity_search
+     replaced by ops/similarity.cosine_topk — exact baseline; srp_topk is
+     the bucketed scale path)
+  1. concept extraction from retrieved chunks + the query (:246-254,
+     _extract_concepts :436-451 as a broadcast containment join — the
+     retrieved-text side is tiny, the node table streams)
+  2. prioritize concepts, expand only the top ``max_expand`` (:256-262)
+  3. per-concept neighbor cap ``graph_top_k``, global hard cap
      ``max_total`` triples, + a ``defined_as`` row per concept with a
      definition (:264-301)
-  3. context string capped at ``max_context_chars`` (:304-318)
+  4. context string capped at ``max_context_chars`` (:304-318)
 
 The reference's greedy sequential loop with a running global cap is
 order-dependent; the rebuild totalizes the same priority order
@@ -20,6 +25,124 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk
+
+
+def vector_search_chunks(
+    chunks: DataFrame,
+    query_embedding: list[float],
+    k: int = 5,
+    id_col: str = "chunk_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Step 1 (:231-244): top-``k`` chunks by cosine for one query vector.
+
+    chunks(chunk_id, source, text, embedding) -> the same rows + (score, rk).
+    Exact cosine over the chunk corpus (the documented baseline; swap
+    cosine_topk for srp_topk when the chunk table outgrows a full scan per
+    query)."""
+    spark = chunks.sparkSession
+    q = spark.createDataFrame(
+        [(-1, [float(x) for x in query_embedding])],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+    hits = cosine_topk(
+        chunks.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        q.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        k=k,
+    ).select(F.col("neighbor_id").alias(id_col), F.col("cosine").alias("score"), "rk")
+    return hits.join(chunks.drop(vec_col), id_col)
+
+
+def extract_concepts(texts: DataFrame, nodes: DataFrame, text_col: str = "text") -> DataFrame:
+    """_extract_concepts (:436-451) over a bounded text set: node names of
+    length ≥ 3 whose raw or underscore→space form appears in the lowercased
+    text. The text side is ≤ vector_top_k+1 rows and broadcasts; the node
+    table streams through a containment predicate — linear in |nodes|, never
+    quadratic. Returns distinct (concept) rows."""
+    t = F.broadcast(
+        texts.select(F.lower(F.col(text_col)).alias("_lt")).distinct()
+    )
+    labels = nodes.select(F.col("entity").alias("concept")).distinct().filter(
+        F.length("concept") >= 3
+    )
+    lc = F.lower(F.col("concept"))
+    return (
+        labels.join(
+            t,
+            F.col("_lt").contains(lc)
+            | F.col("_lt").contains(F.replace(lc, F.lit("_"), F.lit(" "))),
+        )
+        .select("concept")
+        .distinct()
+    )
+
+
+def retrieve(
+    query_text: str,
+    query_embedding: list[float],
+    chunks: DataFrame,
+    edges: DataFrame,
+    nodes: DataFrame,
+    vector_top_k: int = 5,
+    graph_top_k: int = 5,
+    max_expand: int = 20,
+    max_total: int = 50,
+    max_context_chars: int = 6000,
+) -> dict:
+    """Full hybrid retrieval (graph_retriever.retrieve :219-326).
+
+    Returns the reference's dict surface: chunks, graph_context,
+    graph_entities, graph_triples (as a DataFrame), combined_context.
+    Query concepts get priority 0, chunk-only concepts priority 1
+    (:256-262); within a priority the order is totalized lexicographically
+    (the reference iterates a set).
+    """
+    spark = chunks.sparkSession
+    if "definition" not in nodes.columns:
+        nodes = nodes.withColumn("definition", F.lit(None).cast("string"))
+
+    top_chunks = vector_search_chunks(
+        chunks, query_embedding, k=vector_top_k
+    ).localCheckpoint(eager=True)
+
+    qtext = spark.createDataFrame([(query_text,)], "text string")
+    query_concepts = extract_concepts(qtext, nodes)
+    chunk_concepts = extract_concepts(top_chunks, nodes)
+    concepts = (
+        query_concepts.withColumn("priority", F.lit(0))
+        .unionByName(
+            chunk_concepts.join(query_concepts, "concept", "left_anti")
+            .withColumn("priority", F.lit(1))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    triples = graph_expand(
+        edges,
+        nodes,
+        concepts,
+        graph_top_k=graph_top_k,
+        max_expand=max_expand,
+        max_total=max_total,
+    ).localCheckpoint(eager=True)
+
+    chunk_rows = [
+        {"text": r["text"], "source": r["source"], "score": float(r["score"])}
+        for r in top_chunks.orderBy("rk").collect()
+    ]
+    graph_rows = triples.orderBy("rank").collect()
+    graph_context = "\n".join(
+        f"{r['subject']} {r['predicate']} {r['object']}" for r in graph_rows
+    )
+    return {
+        "chunks": chunk_rows,
+        "graph_context": graph_context,
+        "graph_entities": sorted(r["concept"] for r in concepts.collect()),
+        "graph_triples": triples,
+        "combined_context": format_context(triples, chunk_rows, max_context_chars),
+    }
 
 
 def graph_expand(
@@ -62,8 +185,17 @@ def graph_expand(
             F.col("src").alias("nb"),
         )
     )
-    nb = out_n.unionByName(in_n).dropDuplicates(
-        ["concept", "predicate", "nb"]  # the reference's seen-set key (:277)
+    # The reference's seen-set key is (concept, relation, neighbor) (:277);
+    # its first-encounter row wins, and out-edges are encountered first.
+    # row_number (not dropDuplicates) keeps that choice deterministic.
+    wdup = Window.partitionBy("concept", "predicate", "nb").orderBy(
+        "dir_ord", "subject", "object"
+    )
+    nb = (
+        out_n.unionByName(in_n)
+        .withColumn("_dup", F.row_number().over(wdup))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
     )
     w = Window.partitionBy("concept").orderBy("dir_ord", "nb", "predicate")
     capped = (

@@ -284,3 +284,61 @@ def test_graph_expand_caps_and_orientation(spark):
 
     tiny = format_context(got, max_context_chars=40)
     assert tiny.endswith("[context truncated]")
+
+
+def test_retrieve_end_to_end_hybrid(spark):
+    """Full hybrid retrieve (graph_retriever.retrieve :219-326): vector
+    search -> concept extraction -> graph expansion -> combined context."""
+    from ai_knowledge_graph_spark.graph.retrieve import retrieve
+
+    # 2-d embeddings with unambiguous cosine ordering vs query [1, 0]
+    chunks = spark.createDataFrame(
+        [
+            (0, "doc_a", "the fvg drives displacement", [1.0, 0.1]),
+            (1, "doc_b", "liquidity pools matter", [0.9, 0.4]),
+            (2, "doc_c", "unrelated cooking recipe", [-1.0, 0.2]),
+        ],
+        "chunk_id long, source string, text string, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("fvg", "requires", "displacement"),
+            ("liquidity", "enhances", "fvg"),
+            ("recipe", "needs", "salt"),
+        ],
+        "src string, relation string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("fvg", "a price gap"), ("displacement", None), ("liquidity", None),
+         ("recipe", None), ("salt", None)],
+        "entity string, definition string",
+    )
+    out = retrieve(
+        "what does the fvg require?",
+        [1.0, 0.0],
+        chunks,
+        edges,
+        nodes,
+        vector_top_k=2,
+    )
+    # top-2 chunks by cosine: doc_a then doc_b; the recipe chunk is excluded
+    assert [c["source"] for c in out["chunks"]] == ["doc_a", "doc_b"]
+    assert out["chunks"][0]["score"] >= out["chunks"][1]["score"]
+    # query concept fvg found; chunk concepts displacement/liquidity found;
+    # 'recipe'/'salt' never retrieved so never expanded
+    assert "fvg" in out["graph_entities"]
+    assert "recipe" not in out["graph_entities"]
+    spo = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in out["graph_triples"].collect()
+    }
+    assert ("fvg", "requires", "displacement") in spo
+    assert ("liquidity", "enhances", "fvg") in spo
+    assert ("recipe", "needs", "salt") not in spo
+    assert ("fvg", "defined_as", "a price gap") in spo
+    # query concepts (priority 0) expand before chunk-only concepts
+    first = out["graph_triples"].orderBy("rank").first()
+    assert first["concept"] == "fvg"
+    assert "## Retrieved Knowledge Base Content" in out["combined_context"]
+    assert "[Source: doc_a]" in out["combined_context"]
+    assert "fvg requires displacement" in out["graph_context"]
