@@ -602,6 +602,28 @@ def q_rag_retrieve(spark, sf_dir):
     )
 
 
+def q_training_qa_v3(spark, sf_dir):
+    # v3 QA families (training_generator_v3.py): multi-hop chain QA
+    # (:960-1087) + cross-reference QA (:2227-2455) over the std graph, with
+    # the seeded category balancing of generate_all (:120-172).
+    from ai_knowledge_graph_spark.operators.training import (
+        balance_categories,
+        cross_ref_qa,
+        multi_hop_qa,
+    )
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(
+        F.col("subject").alias("src"),
+        F.col("predicate").alias("relation"),
+        F.col("object").alias("dst"),
+    )
+    qa = multi_hop_qa(edges, max_fanout=2).unionByName(
+        cross_ref_qa(edges, max_per_anchor=2)
+    )
+    return balance_categories(qa, cap=25, seed=42)
+
+
 def q_relation_cap(spark, sf_dir):
     # W5: <= 4 objects per (subject, predicate) group
     from ai_knowledge_graph_spark.operators.concepts import per_relation_cap
@@ -746,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_triples": q_context_triples,
         "relation_cap": q_relation_cap,
         "rag_retrieve": q_rag_retrieve,
+        "training_qa_v3": q_training_qa_v3,
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
@@ -1445,6 +1468,68 @@ SELECT subject, predicate, object FROM (
     row_number() OVER (PARTITION BY subject, predicate ORDER BY object) AS rn
   FROM std
 ) WHERE rn <= 4"""
+
+    # v3 QA families: 2-hop path join + shared-neighbor pairs + seeded
+    # md5-portable category balancing (training_generator_v3.py).
+    sql["training_qa_v3"] = _PRELUDE_INFER + _STD_CTES + """
+, eedges AS (SELECT DISTINCT subject AS src, predicate AS relation, object AS dst FROM std),
+fcap AS (
+  SELECT src, relation, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY dst, relation) AS fr
+    FROM eedges
+  ) WHERE fr <= 2
+),
+paths AS (
+  SELECT replace(l.src, '_', ' ') AS la, replace(l.relation, '_', ' ') AS lr1,
+         replace(l.dst, '_', ' ') AS lb, replace(r.relation, '_', ' ') AS lr2,
+         replace(r.dst, '_', ' ') AS lc
+  FROM fcap l JOIN fcap r ON l.dst = r.src
+  WHERE l.src <> r.dst
+),
+walk AS (
+  SELECT printf('Walk me through the chain from %s to %s.', la, lc) AS instruction,
+         printf('The chain runs in two steps. Step 1: %s %s %s. Step 2: %s %s %s. Each step must complete before the next — without %s the link from %s to %s does not hold.',
+                la, lr1, lb, lb, lr2, lc, lb, la, lc) AS output,
+         'multi_hop_walkthrough' AS category
+  FROM paths
+),
+nxt AS (
+  SELECT printf('I have confirmed %s %s %s. What comes next?', la, lr1, lb) AS instruction,
+         printf('Good — that is the first link. Next: %s %s %s. Only once both links hold does the full chain from %s to %s apply.',
+                lb, lr2, lc, la, lc) AS output,
+         'multi_hop_next_step' AS category
+  FROM paths
+),
+acap AS (
+  SELECT src, relation, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY dst ORDER BY src, relation) AS ar
+    FROM eedges
+  ) WHERE ar <= 2
+),
+xpairs AS (
+  SELECT replace(l.src, '_', ' ') AS la, replace(l.relation, '_', ' ') AS lr1,
+         replace(r.src, '_', ' ') AS lb, replace(r.relation, '_', ' ') AS lr2,
+         replace(l.dst, '_', ' ') AS lx
+  FROM acap l JOIN acap r ON l.dst = r.dst
+  WHERE l.src < r.src
+),
+xref AS (
+  SELECT printf('How do %s and %s both relate to %s?', la, lb, lx) AS instruction,
+         printf('Both connect to %s, from different angles: %s %s %s, while %s %s %s. Understanding both links clarifies how %s sits between them.',
+                lx, la, lr1, lx, lb, lr2, lx, lx) AS output,
+         'cross_ref_qa' AS category
+  FROM xpairs
+),
+qa AS (
+  SELECT * FROM walk UNION ALL SELECT * FROM nxt UNION ALL SELECT * FROM xref
+)
+SELECT instruction, output, category FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY category
+    ORDER BY ('0x' || substr(md5(instruction || '|' || output || '|42'), 1, 15))::BIGINT,
+             instruction) AS br
+  FROM qa
+) WHERE br <= 25"""
 
     # Hybrid RAG retrieval (graph_retriever.py:219-326): cosine top-5 chunks,
     # concept containment extraction, prioritized capped graph expansion.

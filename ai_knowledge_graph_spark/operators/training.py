@@ -132,6 +132,153 @@ def relationship_qa(edges: DataFrame) -> DataFrame:
     return known.unionByName(generic)
 
 
+# ── v3 QA families (training_generator_v3.py) ─────────────────────────────
+# The reference v3 generator (3,809 LoC) renders domain prose from YAML
+# ontology/concept-rels files plus trade journals. The graph-derivable
+# families are rebuilt here as DataFrame ops over the engine's own
+# nodes/edges tables: definition QA (gen_core_concepts :173-510), multi-hop
+# chain QA (gen_causal_chains :960-1087 — the k-hop path-join exemplar),
+# cross-reference QA (gen_concept_cross_refs :2227-2455), category
+# balancing + the MIN_RESPONSE_LEN filter (generate_all :120-172). The
+# trade-scenario / session / chart families depend on external journals and
+# hand-written domain templates — out of engine scope (see SURVEY §2.1 K5).
+
+from pyspark.sql import Window
+
+
+def _label(col):
+    return F.replace(col, F.lit("_"), F.lit(" "))
+
+
+def definition_qa(nodes: DataFrame) -> DataFrame:
+    """Definition QA from nodes carrying a definition
+    (training_generator_v3.gen_core_concepts :173-233: 'What is X?' +
+    definition-grounded answer)."""
+    return nodes.filter(
+        F.col("definition").isNotNull() & (F.length("definition") > 0)
+    ).select(
+        F.format_string("What is %s?", _label(F.col("entity"))).alias("instruction"),
+        F.format_string(
+            "%s: %s", _label(F.col("entity")), F.col("definition")
+        ).alias("output"),
+        F.lit("definition_qa").alias("category"),
+    )
+
+
+def _capped_edges(edges: DataFrame, max_fanout: int) -> DataFrame:
+    """Deterministic per-source fanout cap — a hub node would otherwise make
+    the path join quadratic in its degree (the 100 TB guard; the reference
+    walks hand-curated chains so it never hits this)."""
+    if max_fanout <= 0:
+        return edges
+    w = Window.partitionBy("src").orderBy("dst", "relation")
+    return (
+        edges.withColumn("_fr", F.row_number().over(w))
+        .filter(F.col("_fr") <= max_fanout)
+        .drop("_fr")
+    )
+
+
+def multi_hop_qa(edges: DataFrame, max_fanout: int = 8) -> DataFrame:
+    """2-hop chain QA (gen_causal_chains :960-1087): for each path
+    a -r1-> b -r2-> c (a ≠ c), a walkthrough example and a what's-next
+    example. The path set is a self equi-join on the middle node — the same
+    shape as k-hop traversal (J8) — with a per-source fanout cap so hubs
+    don't explode the pair set."""
+    e = _capped_edges(edges.select("src", "relation", "dst").distinct(), max_fanout)
+    lhs = e.select(
+        F.col("src").alias("a"), F.col("relation").alias("r1"), F.col("dst").alias("b")
+    )
+    rhs = e.select(
+        F.col("src").alias("b"), F.col("relation").alias("r2"), F.col("dst").alias("c")
+    )
+    paths = lhs.join(rhs, "b").filter(F.col("a") != F.col("c"))
+    la, lb, lc = _label(F.col("a")), _label(F.col("b")), _label(F.col("c"))
+    lr1, lr2 = _label(F.col("r1")), _label(F.col("r2"))
+    walkthrough = paths.select(
+        F.format_string("Walk me through the chain from %s to %s.", la, lc).alias(
+            "instruction"
+        ),
+        F.format_string(
+            "The chain runs in two steps. Step 1: %s %s %s. Step 2: %s %s %s. "
+            "Each step must complete before the next — without %s the link "
+            "from %s to %s does not hold.",
+            la, lr1, lb, lb, lr2, lc, lb, la, lc,
+        ).alias("output"),
+        F.lit("multi_hop_walkthrough").alias("category"),
+    )
+    next_step = paths.select(
+        F.format_string("I have confirmed %s %s %s. What comes next?", la, lr1, lb).alias(
+            "instruction"
+        ),
+        F.format_string(
+            "Good — that is the first link. Next: %s %s %s. Only once both "
+            "links hold does the full chain from %s to %s apply.",
+            lb, lr2, lc, la, lc,
+        ).alias("output"),
+        F.lit("multi_hop_next_step").alias("category"),
+    )
+    return walkthrough.unionByName(next_step)
+
+
+def cross_ref_qa(edges: DataFrame, max_per_anchor: int = 8) -> DataFrame:
+    """Cross-reference QA (gen_concept_cross_refs :2227-2455): two concepts
+    sharing a neighbor get a compare/contrast example. Blocked on the shared
+    neighbor (equi-join, never a cross product) with a per-anchor cap on both
+    sides so a hub anchor stays bounded."""
+    e = edges.select("src", "relation", "dst").distinct()
+    w = Window.partitionBy("dst").orderBy("src", "relation")
+    capped = (
+        e.withColumn("_ar", F.row_number().over(w))
+        .filter(F.col("_ar") <= max_per_anchor)
+        .drop("_ar")
+    )
+    lhs = capped.select(
+        F.col("src").alias("a"), F.col("relation").alias("r1"), F.col("dst").alias("x")
+    )
+    rhs = capped.select(
+        F.col("src").alias("b"), F.col("relation").alias("r2"), F.col("dst").alias("x")
+    )
+    pairs = lhs.join(rhs, "x").filter(F.col("a") < F.col("b"))
+    la, lb, lx = _label(F.col("a")), _label(F.col("b")), _label(F.col("x"))
+    return pairs.select(
+        F.format_string("How do %s and %s both relate to %s?", la, lb, lx).alias(
+            "instruction"
+        ),
+        F.format_string(
+            "Both connect to %s, from different angles: %s %s %s, while %s %s %s. "
+            "Understanding both links clarifies how %s sits between them.",
+            lx, la, _label(F.col("r1")), lx, lb, _label(F.col("r2")), lx, lx,
+        ).alias("output"),
+        F.lit("cross_ref_qa").alias("category"),
+    )
+
+
+def min_length_filter(examples: DataFrame, min_chars: int = 150) -> DataFrame:
+    """Reject short answers (generate_all :166-171, MIN_RESPONSE_LEN)."""
+    return examples.filter(F.length("output") >= min_chars)
+
+
+def balance_categories(examples: DataFrame, cap: int, seed: int = 42) -> DataFrame:
+    """Cap examples per category. The reference samples with its seeded rng
+    (:120-172 family budgets); the distributed equivalent ranks by a seeded
+    hash of the example content — deterministic under any partitioning and
+    portable to SQL (md5-hex-prefix, same trick as the minhash family)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "instruction", "output", F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("category").orderBy(h, "instruction")
+    return (
+        examples.withColumn("_br", F.row_number().over(w))
+        .filter(F.col("_br") <= cap)
+        .drop("_br")
+    )
+
+
 def to_alpaca(examples: DataFrame) -> DataFrame:
     """(instruction, output) → alpaca records (training_generator.py:1062-1067)."""
     return examples.select(

