@@ -88,11 +88,23 @@ def main() -> None:
     lo, hi = CORE_PAIR
     best = {c: min(r["sec"] for r in runs if r["cores"] == c) for c in CORE_PAIR}
     eff = (best[lo] / best[hi]) / (hi / lo)
+    # Per-round A/B ratios: each round's lo and hi run are adjacent in time,
+    # so the ratio within a round is the least steal-confounded number; the
+    # median across rounds is the headline (best-of mixes time windows and
+    # can inflate either way under host variance).
+    lo_runs = [r["sec"] for r in runs if r["cores"] == lo]
+    hi_runs = [r["sec"] for r in runs if r["cores"] == hi]
+    round_effs = sorted(
+        round((a / b) / (hi / lo), 3) for a, b in zip(lo_runs, hi_runs)
+    )
+    median_eff = round_effs[len(round_effs) // 2]
     print(json.dumps({
         "cores_lo": lo, "cores_hi": hi,
         "best_sec_lo": best[lo], "best_sec_hi": best[hi],
         "speedup_lo_to_hi": round(best[lo] / best[hi], 3),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_bestof": round(eff, 3),
+        "per_round_efficiency": round_effs,
+        "scaling_efficiency": median_eff,
         "n_docs": N_DOCS,
     }), flush=True)
 

@@ -50,7 +50,12 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions else int(cores)),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver overhead); BENCH/shuffle_probe.py turns it
+        # on to read per-stage shuffle metrics from the REST API.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "on" else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Shuffle/checkpoint scratch on tmpfs: the sandboxed overlay FS
         # serializes concurrent writers (32 task slots thrash it); RAM-backed
