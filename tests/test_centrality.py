@@ -54,3 +54,42 @@ def test_approx_betweenness_hub_highest(spark, star_edges):
     got = {r["entity"]: r["betweenness"] for r in approx_betweenness(star_edges, sample_sources=4).collect()}
     assert got, "non-empty"
     assert max(got, key=got.get) == "h"
+
+
+def test_communities_track_louvain(spark):
+    """G8 fidelity pin (VERDICT r1 #9): the deterministic hub-attraction
+    communities must track networkx Louvain (seed 42) on a structured
+    fixture — measured corpus numbers live in COVERAGE.md."""
+    nx = pytest.importorskip("networkx")
+    from itertools import combinations
+
+    from networkx.algorithms.community import louvain_communities
+
+    from ai_knowledge_graph_spark.graph.centrality import (
+        label_propagation_communities,
+    )
+
+    # three hub-and-spoke clusters bridged spoke-to-spoke (hub-to-hub
+    # bridges would chain the hubs into one attraction tree — a known
+    # divergence from Louvain on degree-tied hub chains)
+    edges = []
+    for h, n in (("hub_a", 6), ("hub_b", 5), ("hub_c", 7)):
+        edges += [(h, f"{h}_s{i}") for i in range(n)]
+    edges += [("hub_a_s0", "hub_b_s0"), ("hub_b_s1", "hub_c_s0")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    eng = {
+        r["entity"]: r["community"]
+        for r in label_propagation_communities(df).collect()
+    }
+    G = nx.Graph(edges)
+    lv = louvain_communities(G, seed=42)
+    lvl = {n: i for i, com in enumerate(lv) for n in com}
+    nodes = sorted(eng)
+    agree = total = 0
+    for x, y in combinations(nodes, 2):
+        total += 1
+        agree += (eng[x] == eng[y]) == (lvl[x] == lvl[y])
+    # floor, not equality: Louvain's merge phase can group bridged spokes
+    # differently run-structure-wise; corpus-level agreement (COVERAGE.md)
+    # measured Rand 0.94-0.98
+    assert agree / total >= 0.85, agree / total
