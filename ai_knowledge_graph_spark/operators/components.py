@@ -170,6 +170,13 @@ def connected_components(
 
     assign = nodes.select("node", F.col("node").alias("comp"))
 
+    # A join key's multiplicity is bounded by the node count, so a graph
+    # with ≤ hot_threshold nodes cannot have a hot key — skip detection
+    # entirely (hands every lookup a statically-empty hot set, taking the
+    # plain-join fast path with zero per-iteration overhead).
+    use_salt = nodes.count() > hot_threshold
+    empty_hot = nodes.select(F.col("node").alias("_hk")).limit(0)
+
     for _ in range(max_iterations):
         if e.isEmpty():
             break
@@ -194,13 +201,14 @@ def connected_components(
             out_cols=["node", F.coalesce("label", "comp").alias("comp")],
             num_salts=num_salts,
             hot_threshold=hot_threshold,
+            hot=None if use_salt else empty_hot,
         ).localCheckpoint(eager=True)
         # Contract the edge set through the label map. Every endpoint has a
         # label row (e is symmetric), so the left lookup never misses; the
         # opposite endpoint is distinct within a hot group (e holds distinct
         # pairs) and serves as the salt source. e is symmetric, so one hot
         # scan of `a` covers the `b`-keyed lookup too.
-        hot_e = _hot_keys(e, "a", hot_threshold)
+        hot_e = _hot_keys(e, "a", hot_threshold) if use_salt else empty_hot
         la = label.select(F.col("lnode").alias("_la_n"), F.col("label").alias("alab"))
         e = _salted_left_lookup(
             e,
