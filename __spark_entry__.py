@@ -452,6 +452,18 @@ def q_srp_topk(spark, sf_dir):
     return srp_topk(emb, q, k=5, n_planes=8, tables=2, dim=64, seed=42)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    # Embedding-cosine near-dup pairs: SRP-bucketed candidates (2 tables x 8
+    # planes), exact cosine >= 0.3 — the embedding flavor of the near-dup
+    # family (threshold fits the synthetic corpus's cosine range).
+    from ai_knowledge_graph_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(
+        emb, threshold=0.3, n_planes=8, tables=2, dim=64, seed=42
+    )
+
+
 # --- graph query layer (J7-J9, W4) over the KG built from documents --------
 
 
@@ -769,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_cap": q_relation_cap,
         "rag_retrieve": q_rag_retrieve,
         "training_qa_v3": q_training_qa_v3,
+        "embedding_near_dup": q_embedding_near_dup,
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
@@ -1335,6 +1348,29 @@ SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5"""
+
+    # Embedding near-dup: same SRP bucketing, symmetric pair self-join,
+    # exact-cosine threshold.
+    _nd_cands = "\n  UNION ".join(
+        f"""SELECT a.vec_id AS a, b.vec_id AS b
+  FROM (SELECT vec_id, {_bucket_expr(make_planes(64, 8, 42 + 1000 * t), 'embedding')} AS bkt
+        FROM embeddings) a
+  JOIN (SELECT vec_id, {_bucket_expr(make_planes(64, 8, 42 + 1000 * t), 'embedding')} AS bkt
+        FROM embeddings) b
+    ON a.bkt = b.bkt AND a.vec_id < b.vec_id"""
+        for t in range(2)
+    )
+    sql["embedding_near_dup"] = f"""
+WITH cand AS (
+  {_nd_cands}
+)
+SELECT a, b, cosine FROM (
+  SELECT c.a, c.b,
+    round({_sql_cos("ea.embedding", "eb.embedding")}, 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+) WHERE cosine >= 0.3"""
 
     # --- graph query layer over the std KG slice ----------------------------
     graph_pre = _PRELUDE_INFER + _STD_CTES + """

@@ -224,3 +224,59 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
+    exact cosine ≥ ``threshold``, candidates restricted to pairs sharing an
+    SRP bucket in at least one of ``tables`` hash tables.
+
+    The all-pairs version is quadratic in the corpus; here the pair set is
+    Σ_buckets |bucket|² per table — at 100 TB tune n_planes up so buckets
+    stay task-sized (each extra plane halves the expected bucket). Recall
+    follows the standard multi-table SRP math: a pair at angle θ collides
+    per table with (1 - θ/π)^n_planes; for near-dups (θ small) the per-table
+    collision probability is high and the miss rate decays exponentially in
+    ``tables``. Same-bucket self-join, exact rescoring — no Python in the
+    plan.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    base = spread(embeddings).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    pairs = None
+    for t in range(tables):
+        planes = make_planes(dim, n_planes, seed + 1000 * t)
+        bucketed = base.withColumn("bucket", srp_signature(F.col("v"), planes)).select(
+            "id", "bucket"
+        )
+        lhs = bucketed.select(F.col("id").alias("a"), "bucket")
+        rhs = bucketed.select(F.col("id").alias("b"), "bucket")
+        hits = lhs.join(rhs, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = hits if pairs is None else pairs.unionByName(hits)
+    pairs = pairs.distinct()
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -154,3 +154,25 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         for r in ivf_topk(emb, q, k=5, nlist=16, n_probe=16).collect()
     }
     assert full == exact
+
+
+def test_embedding_near_dup(spark):
+    """Embedding-cosine near-dup: exact near-identical vectors always
+    collide in every SRP table (same signs), orthogonal ones score below
+    threshold even if bucketed together."""
+    from ai_knowledge_graph_spark.operators.similarity import embedding_near_dup
+
+    dim = 8
+    base = [1.0, -0.5, 0.25, -1.0, 0.75, -0.25, 0.5, -0.75]
+    near = [x * 1.01 + (0.001 if i % 2 else -0.001) for i, x in enumerate(base)]
+    ortho = [(-1.0) ** i * abs(base[dim - 1 - i]) for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["a"], r["b"]): r["cosine"] for r in
+           embedding_near_dup(emb, threshold=0.9, dim=dim, tables=2).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert (0, 2) not in out and (1, 2) not in out
+    # ordered pairs only (a < b), no self-pairs
+    assert all(a < b for a, b in out)
