@@ -24,12 +24,18 @@ def normalize_node_name(col):
 
 
 def materialize_graph(
-    triples: DataFrame, normalize_names: bool = False
+    triples: DataFrame, normalize_names: bool = False, id_bits: int = 64
 ) -> tuple[DataFrame, DataFrame]:
     """triples -> (nodes, edges).
 
     nodes(canonical_id, entity, degree, component_id)
     edges(src_id, dst_id, src, dst, relation, inferred, url, chunk)
+
+    ``id_bits=128`` switches every id column (canonical_id, src_id, dst_id,
+    component_id) to the two-seeded-xxhash64 struct<h,l> form for 10^10+
+    entity runs (see operators/components.node_id); bucketed table writes
+    then bucket on ``canonical_id.h`` (Iceberg's bucket transform needs a
+    primitive — the high half alone distributes uniformly).
     """
     t = triples
     if normalize_names:
@@ -39,8 +45,8 @@ def materialize_graph(
     t = t.localCheckpoint(eager=True)  # feeds edges, degree, components
 
     edges = t.select(
-        node_id(F.col("subject")).alias("src_id"),
-        node_id(F.col("object")).alias("dst_id"),
+        node_id(F.col("subject"), id_bits).alias("src_id"),
+        node_id(F.col("object"), id_bits).alias("dst_id"),
         F.col("subject").alias("src"),
         F.col("object").alias("dst"),
         F.col("predicate").alias("relation"),
@@ -54,11 +60,11 @@ def materialize_graph(
         .groupBy("entity")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    comps = components_for_triples(t).select(
+    comps = components_for_triples(t, id_bits=id_bits).select(
         "entity", F.col("component_id")
     )
     nodes = degree.join(comps, "entity", "left").select(
-        node_id(F.col("entity")).alias("canonical_id"),
+        node_id(F.col("entity"), id_bits).alias("canonical_id"),
         "entity",
         "degree",
         "component_id",
@@ -94,34 +100,45 @@ def write_graph_tables(
     the north_star layout); 'parquet' uses bucketed ``saveAsTable``;
     'auto' picks iceberg when its catalog is present (clusters), else
     parquet (this image). Returns the format used."""
+    from pyspark.sql import types as T
+
+    def _bucketable(df: DataFrame, col: str) -> tuple[DataFrame, str]:
+        # 128-bit struct ids: bucket/sort transforms need a primitive, so
+        # flatten the (uniformly distributed) high half into a key column.
+        if isinstance(df.schema[col].dataType, T.StructType):
+            return df.withColumn(f"{col}_h", F.col(f"{col}.h")), f"{col}_h"
+        return df, col
+
+    nodes, nodes_key = _bucketable(nodes, "canonical_id")
+    edges, edges_key = _bucketable(edges, "src_id")
     fmt = table_format
     if fmt == "auto":
         fmt = "iceberg" if iceberg_available(nodes.sparkSession) else "parquet"
     if fmt == "iceberg":
         (
             nodes.writeTo(nodes_table)
-            .partitionedBy(F.bucket(buckets, F.col("canonical_id")))
+            .partitionedBy(F.bucket(buckets, F.col(nodes_key)))
             .using("iceberg")
             .createOrReplace()
         )
         (
             edges.writeTo(edges_table)
-            .partitionedBy(F.bucket(buckets, F.col("src_id")))
+            .partitionedBy(F.bucket(buckets, F.col(edges_key)))
             .using("iceberg")
             .createOrReplace()
         )
         return fmt
     (
         nodes.write.mode("overwrite")
-        .bucketBy(buckets, "canonical_id")
-        .sortBy("canonical_id")
+        .bucketBy(buckets, nodes_key)
+        .sortBy(nodes_key)
         .format("parquet")
         .saveAsTable(nodes_table)
     )
     (
         edges.write.mode("overwrite")
-        .bucketBy(buckets, "src_id")
-        .sortBy("src_id")
+        .bucketBy(buckets, edges_key)
+        .sortBy(edges_key)
         .format("parquet")
         .saveAsTable(edges_table)
     )

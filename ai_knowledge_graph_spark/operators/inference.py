@@ -43,11 +43,16 @@ def last_predicate_edges(triples: DataFrame) -> DataFrame:
     order (entity_standardization.py:327-331), so the last triple per (s, o)
     defines the pair's predicate for transitive composition.
     """
-    w = Window.partitionBy("subject", "object").orderBy(*_pos_desc())
-    return (
-        triples.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("subject", "object", "predicate")
+    # max_by over a position struct instead of a window: aggregates get
+    # map-side partial combine, so the shuffle carries one candidate per
+    # (subject, object) per map partition instead of every triple row —
+    # this is the full-triple-table shuffle of the transitive branch.
+    # Struct comparison puts null fields lowest, matching desc_nulls_last
+    # per position column (positions are non-null for extracted triples
+    # anyway; inferred rows never reach this function).
+    key = F.struct(F.col("url"), F.col("chunk"), F.col("t_idx"))
+    return triples.groupBy("subject", "object").agg(
+        F.max_by("predicate", key).alias("predicate")
     )
 
 

@@ -342,3 +342,30 @@ def test_retrieve_end_to_end_hybrid(spark):
     assert "## Retrieved Knowledge Base Content" in out["combined_context"]
     assert "[Source: doc_a]" in out["combined_context"]
     assert "fvg requires displacement" in out["graph_context"]
+
+
+def test_materialize_128bit_ids_and_bucketed_write(spark, tmp_path):
+    """id_bits=128 threads the struct ids through nodes/edges and the
+    bucketed write flattens the high half into a primitive bucket key."""
+    from ai_knowledge_graph_spark.graph.materialize import (
+        materialize_graph,
+        write_graph_tables,
+    )
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b", False), ("b", "uses", "c", False)],
+        "subject string, predicate string, object string, inferred boolean",
+    )
+    nodes, edges = materialize_graph(triples, id_bits=128)
+    assert nodes.schema["canonical_id"].dataType.typeName() == "struct"
+    assert edges.schema["src_id"].dataType.typeName() == "struct"
+    # component ids are structs too and consistent per component
+    comp_ids = {tuple(r["component_id"]) for r in nodes.collect()}
+    assert len(comp_ids) == 1
+    fmt = write_graph_tables(
+        nodes, edges, nodes_table="kg_nodes128", edges_table="kg_edges128"
+    )
+    assert fmt == "parquet"
+    ddl = spark.sql("SHOW CREATE TABLE kg_nodes128").collect()[0][0]
+    assert "canonical_id_h" in ddl and "CLUSTERED BY" in ddl
+    assert spark.table("kg_nodes128").count() == 3
