@@ -408,6 +408,10 @@ def deduplicate_triples(triples: DataFrame) -> DataFrame:
     only fill empty slots (so the *first* wins — but inferred duplicates are
     content-identical, carrying no metadata, so any survivor is equivalent).
     """
+    # Window, not a payload-struct aggregate: a max_by/min_by split agg was
+    # measured (r2) to INCREASE the stage's shuffle 135->194 MB — partial
+    # aggregates carry two full payload structs per key while cross-branch
+    # duplicates don't collapse map-side, so the window's flat rows win.
     order = [F.col("inferred").asc(), *_pos_desc()]
     if "stage" in triples.columns:
         order.append(F.col("stage").asc_nulls_last())  # totalize inferred ties
