@@ -452,6 +452,18 @@ def q_srp_topk(spark, sf_dir):
     return srp_topk(emb, q, k=5, n_planes=8, tables=2, dim=64, seed=42)
 
 
+def q_stream_dedup(spark, sf_dir):
+    # Structured Streaming exact-dedup (AvailableNow, stateful
+    # dropDuplicates on the content hash): projected to the surviving hash
+    # set, which is deterministic under any arrival order — so the batch
+    # DuckDB oracle is exact even though the op runs through the streaming
+    # state store.
+    from ai_knowledge_graph_spark.streaming.ingest import stream_dedup_documents
+
+    out = stream_dedup_documents(spark, f"{sf_dir}/documents.parquet")
+    return out.select("content_sha").distinct()
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # Embedding-cosine near-dup pairs: SRP-bucketed candidates (2 tables x 8
     # planes), exact cosine >= 0.3 — the embedding flavor of the near-dup
@@ -782,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_retrieve": q_rag_retrieve,
         "training_qa_v3": q_training_qa_v3,
         "embedding_near_dup": q_embedding_near_dup,
+        "stream_dedup": q_stream_dedup,
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
@@ -1063,6 +1076,14 @@ def _sql_cos(a: str, b: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # The exact whitespace class Python's str.split() collapses, in RE2
+    # syntax — mirrors sources/corpus.PY_WS_RUN so both sides hash Unicode
+    # whitespace alike (used by corpus_dedup and stream_dedup).
+    _pyws = (
+        "[\\x{09}-\\x{0d}\\x{1c}-\\x{1f} \\x{85}\\x{a0}\\x{1680}"
+        "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+    )
 
     sql["chunks"] = (
         _PRELUDE
@@ -1348,6 +1369,13 @@ SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5"""
+
+    # Streaming exact-dedup, projected to the deterministic hash set (the
+    # streaming state store's first-arrival choice is not SQL-replayable,
+    # the surviving hash SET is).
+    sql["stream_dedup"] = f"""
+SELECT DISTINCT sha256(trim(regexp_replace(text, '{_pyws}', ' ', 'g'))) AS content_sha
+FROM documents"""
 
     # Embedding near-dup: same SRP bucketing, symmetric pair self-join,
     # exact-cosine threshold.
@@ -1639,12 +1667,8 @@ SELECT subject, predicate, object, concept,
 FROM ranked"""
 
     # S5: content dedup — normalize whitespace, sha256, min-path survivor.
-    # The whitespace class mirrors Python str.split() (sources/corpus.py
-    # PY_WS_RUN) in RE2 syntax so both sides hash Unicode whitespace alike.
-    _pyws = (
-        "[\\x{09}-\\x{0d}\\x{1c}-\\x{1f} \\x{85}\\x{a0}\\x{1680}"
-        "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
-    )
+    # (_pyws — the Python-whitespace class in RE2 syntax — is defined at the
+    # top of oracle_sql.)
     sql["corpus_dedup"] = f"""
 WITH hashed AS (
   SELECT doc_id, format('doc{{:012d}}.txt', doc_id) AS path,
