@@ -362,6 +362,12 @@ def test_materialize_128bit_ids_and_bucketed_write(spark, tmp_path):
     # component ids are structs too and consistent per component
     comp_ids = {tuple(r["component_id"]) for r in nodes.collect()}
     assert len(comp_ids) == 1
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("kg_nodes128", "kg_edges128"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     fmt = write_graph_tables(
         nodes, edges, nodes_table="kg_nodes128", edges_table="kg_edges128"
     )
