@@ -148,6 +148,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into ``nlist``
     inverted lists (nearest centroid), probe the query's ``n_probe`` nearest
@@ -155,9 +156,14 @@ def ivf_topk(
 
     Coarse centroids are picked deterministically without any global sort:
     ids hash into ``nlist`` buckets (md5-derived — portable to the DuckDB
-    oracle) and each bucket's min-id vector is its centroid (a seeded
-    k-means refinement drops in transparently; determinism keeps the oracle
-    exact). At 100 TB the corpus scan is the only big side: centroid
+    oracle) and each bucket's min-id vector is its centroid; determinism
+    keeps the oracle exact at the default ``kmeans_iters=0``.
+    ``kmeans_iters>0`` runs that many distributed Lloyd iterations
+    (assign to nearest centroid, recompute element-wise means via
+    posexplode + groupBy — every step an agg with map-side combine) to
+    tighten the lists; float-sum ordering makes refined centroids
+    bit-nondeterministic, so the refined mode is for recall, not for the
+    exact-oracle path. At 100 TB the corpus scan is the only big side: centroid
     selection is one groupBy over ids, assignment is a broadcast nested
     loop over nlist rows, the probe join is an equi-join on centroid_id,
     and per-list fan-out is corpus/nlist on average — tune nlist so each
@@ -178,6 +184,38 @@ def ivf_topk(
         base.select(F.col("neighbor_id").alias("rep_id"), F.col("cv").alias("centroid")),
         "rep_id",
     ).select("centroid_id", "centroid")
+    for _ in range(kmeans_iters):
+        cb = F.broadcast(centroids)
+        assigned = (
+            base.crossJoin(cb)
+            .withColumn(
+                "c_cos",
+                _dot(F.col("cv"), F.col("centroid"))
+                / (_norm(F.col("cv")) * _norm(F.col("centroid"))),
+            )
+            .withColumn(
+                "pr",
+                F.row_number().over(
+                    Window.partitionBy("neighbor_id").orderBy(
+                        F.desc("c_cos"), F.asc("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("pr") == 1)
+            .select("centroid_id", "cv")
+        )
+        dims = assigned.select(
+            "centroid_id", F.posexplode("cv").alias("pos", "val")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
     c = F.broadcast(centroids)
 
     def nearest(df, in_id, out_cols, probes):

@@ -176,3 +176,21 @@ def test_embedding_near_dup(spark):
     assert (0, 2) not in out and (1, 2) not in out
     # ordered pairs only (a < b), no self-pairs
     assert all(a < b for a, b in out)
+
+
+def test_ivf_kmeans_refinement(spark):
+    """kmeans_iters>0 runs distributed Lloyd refinement; results keep the
+    top-k contract and stay near the exact answer (measured on testdata:
+    recall@5 0.672 -> 0.700 at nlist=16/n_probe=4, see COVERAGE.md)."""
+    from ai_knowledge_graph_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    refined = ivf_topk(emb, q, k=5, nlist=8, n_probe=3, kmeans_iters=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
+    assert len(got & truth) / len(truth) >= 0.5
+    # contract: <= k rows per query, rk dense from 1
+    per_q = refined.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_q)
+    assert refined.filter(F.col("rk") < 1).count() == 0
