@@ -1239,11 +1239,11 @@ WITH sh AS (
   FROM (SELECT doc_id, {_w('lower(text)')} AS words FROM documents)
   WHERE len(words) >= 3
 ),
-h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT)::HUGEINT AS h0 FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh),
 sig AS (
   SELECT doc_id,
     {', '.join(
-        f"(min(({2 * (SEED + i) + 1}::HUGEINT * h0 + {SEED * 31 + i}) % {M61}))::BIGINT AS m{i}"
+        f"min(({2 * (SEED + i) + 1} * h0 + {SEED * 31 + i}) % {M61}) AS m{i}"
         for i in range(NH)
     )}
   FROM h GROUP BY doc_id
