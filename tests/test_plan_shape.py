@@ -92,3 +92,36 @@ def test_score_models_broadcasts_detected(spark):
     # detected side is broadcast: nested-loop join bounded by the signal set
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_is_bucket_equijoin(spark):
+    # candidates come from SRP-bucket equi-joins; never a cross product
+    from ai_knowledge_graph_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup(emb, threshold=0.3, dim=64, tables=2))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vector_search_broadcasts_query(spark):
+    # the one-row query side must broadcast; the chunk corpus streams
+    from ai_knowledge_graph_spark.graph.retrieve import vector_search_chunks
+
+    chunks = spark.createDataFrame(
+        [(i, f"s{i}", f"text {i}", [float(i), 1.0]) for i in range(50)],
+        "chunk_id long, source string, text string, embedding array<double>",
+    )
+    plan = _plan(vector_search_chunks(chunks, [1.0, 0.0], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_hop_qa_no_cartesian(spark):
+    from ai_knowledge_graph_spark.operators.training import multi_hop_qa
+
+    edges = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], "src string, relation string, dst string"
+    )
+    plan = _plan(multi_hop_qa(edges))
+    assert "CartesianProduct" not in plan
