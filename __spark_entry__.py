@@ -419,6 +419,31 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_groups(spark, sf_dir):
+    # dedup APPLICATION: verified pairs -> salted connected components ->
+    # min-id survivor label for every doc (singletons label themselves)
+    from ai_knowledge_graph_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dup(docs, k=3, num_hashes=8, bands=4, threshold=0.5)
+    return near_dup_groups(docs, pairs)
+
+
+def q_minhash_dedup_docs(spark, sf_dir):
+    # the corpus AFTER near-dup removal: cluster losers anti-joined out
+    from ai_knowledge_graph_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dup(docs, k=3, num_hashes=8, bands=4, threshold=0.5)
+    return near_dup_dedup(docs, pairs).select("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     from ai_knowledge_graph_spark.operators.dedup import simhash
 
@@ -777,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_groups": q_near_dup_groups,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -1229,25 +1256,27 @@ FROM cnts"""
 
     # --- near-dup family: md5-hex-prefix hashes are bit-identical in Spark
     # (conv(substring(md5(x),1,15),16,10)) and DuckDB ('0x'||substr)::HUGEINT.
-    M61 = (1 << 61) - 1
+    from ai_knowledge_graph_spark.operators.dedup import _M31, minhash_coeffs
+
     NH, SEED = 8, 7
-    _sh_cte = f"""
-WITH sh AS (
+    _coeffs = minhash_coeffs(NH, SEED)
+    _sh_body = f"""sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(len(words) - 2, 0) + 1),
     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
   FROM (SELECT doc_id, {_w('lower(text)')} AS words FROM documents)
   WHERE len(words) >= 3
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {_M31} AS h0 FROM sh),
 sig AS (
   SELECT doc_id,
     {', '.join(
-        f"min(({2 * (SEED + i) + 1} * h0 + {SEED * 31 + i}) % {M61}) AS m{i}"
-        for i in range(NH)
+        f"min(({a} * h0 + {b}) % {_M31}) AS m{i}"
+        for i, (a, b) in enumerate(_coeffs)
     )}
   FROM h GROUP BY doc_id
 )"""
+    _sh_cte = "WITH " + _sh_body
     sql["minhash_signatures"] = _sh_cte + f"""
 SELECT doc_id,
   unnest([{', '.join(str(i) for i in range(NH))}]) AS h_idx,
@@ -1258,7 +1287,7 @@ FROM sig"""
         f"SELECT doc_id, {b} AS band, m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR AS bucket FROM sig"
         for b in range(4)
     )
-    sql["minhash_lsh_pairs"] = _sh_cte + f""",
+    _pairs_body = f""",
 bands AS (
   {_band_selects}
 ),
@@ -1271,13 +1300,44 @@ inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
   FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
-)
-SELECT i.a, i.b, round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
-FROM inter i
-JOIN counts ca ON i.a = ca.doc_id
-JOIN counts cb ON i.b = cb.doc_id
-WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = i.a AND c.b = i.b)
-  AND round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5"""
+),
+npairs AS (
+  SELECT i.a, i.b, round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+  FROM inter i
+  JOIN counts ca ON i.a = ca.doc_id
+  JOIN counts cb ON i.b = cb.doc_id
+  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = i.a AND c.b = i.b)
+    AND round(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) >= 0.5
+)"""
+    sql["minhash_lsh_pairs"] = (
+        _sh_cte + _pairs_body + "\nSELECT a, b, jaccard FROM npairs"
+    )
+
+    # Cluster closure of the verified pair graph: group_id = min doc_id of
+    # the component (mirrors near_dup_groups' salted star contraction). The
+    # pair graph at the oracle SF is tiny, so a recursive reachability CTE
+    # (UNION dedups -> terminates) is an exact single-node replay.
+    _closure_body = """,
+ndedges AS (SELECT a AS s, b AS d FROM npairs UNION SELECT b, a FROM npairs),
+ndreach AS (
+  SELECT s, d FROM ndedges
+  UNION
+  SELECT r.s, e.d FROM ndreach r JOIN ndedges e ON r.d = e.s
+),
+ndlabels AS (
+  SELECT s AS doc_id, least(s, min(d)) AS group_id FROM ndreach GROUP BY s
+)"""
+    sql["near_dup_groups"] = (
+        "WITH RECURSIVE " + _sh_body + _pairs_body + _closure_body + """
+SELECT d.doc_id, coalesce(l.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN ndlabels l USING (doc_id)"""
+    )
+    sql["minhash_dedup_docs"] = (
+        "WITH RECURSIVE " + _sh_body + _pairs_body + _closure_body + """
+SELECT d.doc_id
+FROM documents d LEFT JOIN ndlabels l USING (doc_id)
+WHERE l.group_id IS NULL OR l.group_id = d.doc_id"""
+    )
 
     BITS = 60
     _simhash_cte = f"""

@@ -99,7 +99,13 @@ def write_graph_tables(
     bucket partitioning (``writeTo(...).partitionedBy(bucket(N, col))`` —
     the north_star layout); 'parquet' uses bucketed ``saveAsTable``;
     'auto' picks iceberg when its catalog is present (clusters), else
-    parquet (this image). Returns the format used."""
+    parquet (this image). Returns the format used.
+
+    Saved schema note (id_bits=128): alongside the struct id, the tables
+    persist a flattened ``canonical_id_h`` / ``src_id_h`` long column — the
+    bucketing/sort key (bucket transforms need a primitive, and parquet
+    bucketing requires its key column to persist). Readers should treat it
+    as the partitioning key, not data; it equals ``<id>.h``."""
     from pyspark.sql import types as T
 
     def _bucketable(df: DataFrame, col: str) -> tuple[DataFrame, str]:

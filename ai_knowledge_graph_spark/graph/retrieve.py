@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk
+from ..operators.similarity import cosine_topk, ivf_topk, srp_topk
 
 
 def vector_search_chunks(
@@ -35,22 +35,32 @@ def vector_search_chunks(
     k: int = 5,
     id_col: str = "chunk_id",
     vec_col: str = "embedding",
+    ann: str = "exact",
+    **ann_kwargs,
 ) -> DataFrame:
     """Step 1 (:231-244): top-``k`` chunks by cosine for one query vector.
 
     chunks(chunk_id, source, text, embedding) -> the same rows + (score, rk).
-    Exact cosine over the chunk corpus (the documented baseline; swap
-    cosine_topk for srp_topk when the chunk table outgrows a full scan per
-    query)."""
+    ``ann`` selects the search strategy: ``'exact'`` (cosine_topk full scan —
+    the parity baseline), ``'srp'`` (multi-table SRP-LSH bucket probe) or
+    ``'ivf'`` (inverted-list probe) for chunk tables that outgrow a full
+    scan per query; extra ``ann_kwargs`` (n_planes/tables/nlist/n_probe/...)
+    pass through to the chosen operator."""
     spark = chunks.sparkSession
     q = spark.createDataFrame(
         [(-1, [float(x) for x in query_embedding])],
         f"{id_col} long, {vec_col} array<double>",
     )
-    hits = cosine_topk(
+    searchers = {"exact": cosine_topk, "srp": srp_topk, "ivf": ivf_topk}
+    if ann not in searchers:
+        raise ValueError(f"ann must be one of {sorted(searchers)}, got {ann!r}")
+    if ann == "srp":
+        ann_kwargs.setdefault("dim", len(query_embedding))
+    hits = searchers[ann](
         chunks.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         q.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         k=k,
+        **ann_kwargs,
     ).select(F.col("neighbor_id").alias(id_col), F.col("cosine").alias("score"), "rk")
     return hits.join(chunks.drop(vec_col), id_col)
 
@@ -90,6 +100,7 @@ def retrieve(
     max_expand: int = 20,
     max_total: int = 50,
     max_context_chars: int = 6000,
+    ann: str = "exact",
 ) -> dict:
     """Full hybrid retrieval (graph_retriever.retrieve :219-326).
 
@@ -97,14 +108,15 @@ def retrieve(
     graph_entities, graph_triples (as a DataFrame), combined_context.
     Query concepts get priority 0, chunk-only concepts priority 1
     (:256-262); within a priority the order is totalized lexicographically
-    (the reference iterates a set).
+    (the reference iterates a set). ``ann`` selects the vector-search
+    strategy ('exact' | 'srp' | 'ivf' — see vector_search_chunks).
     """
     spark = chunks.sparkSession
     if "definition" not in nodes.columns:
         nodes = nodes.withColumn("definition", F.lit(None).cast("string"))
 
     top_chunks = vector_search_chunks(
-        chunks, query_embedding, k=vector_top_k
+        chunks, query_embedding, k=vector_top_k, ann=ann
     ).localCheckpoint(eager=True)
 
     qtext = spark.createDataFrame([(query_text,)], "text string")
@@ -136,10 +148,16 @@ def retrieve(
     graph_context = "\n".join(
         f"{r['subject']} {r['predicate']} {r['object']}" for r in graph_rows
     )
+    # Bounded collect: the reference returns the UNCAPPED concept set
+    # (graph_retriever.py:323) but only ever expands max_expand of them
+    # (:256-262); against a web-scale node vocabulary an uncapped set is an
+    # unbounded driver collect, so we return exactly the expansion set —
+    # the same (priority, concept) order the expansion itself uses.
+    entity_rows = concepts.orderBy("priority", "concept").limit(max_expand).collect()
     return {
         "chunks": chunk_rows,
         "graph_context": graph_context,
-        "graph_entities": sorted(r["concept"] for r in concepts.collect()),
+        "graph_entities": sorted(r["concept"] for r in entity_rows),
         "graph_triples": triples,
         "combined_context": format_context(triples, chunk_rows, max_context_chars),
     }

@@ -131,43 +131,18 @@ def _salted_left_lookup(
     return cold.unionByName(hot_joined)
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    max_iterations: int = 50,
-    id_bits: int = 64,
-    num_salts: int = 32,
-    hot_threshold: int = 1_000_000,
+def _contract_components(
+    e: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int,
+    num_salts: int,
+    hot_threshold: int,
 ) -> DataFrame:
-    """(src, dst) string edges -> (entity, node, component_id).
-
-    Undirected reachability, matching the reference DFS that follows both
-    edge directions (entity_standardization.py:296-303).
-
-    ``num_salts``/``hot_threshold`` tune the large-component salting (see
-    module docstring); ``hot_threshold`` is rows-per-join-key, so the default
-    only engages for components (or hubs) above a million members — at which
-    point an unsalted join would put all of them on one reducer.
-    """
-    pairs = edges.select(
-        node_id(F.col(src), id_bits).alias("a"),
-        node_id(F.col(dst), id_bits).alias("b"),
-    ).filter(F.col("a") != F.col("b"))
-    e = (
-        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    nodes = (
-        edges.select(F.col(src).alias("entity"))
-        .unionByName(edges.select(F.col(dst).alias("entity")))
-        .distinct()
-        .select("entity", node_id(F.col("entity"), id_bits).alias("node"))
-        .localCheckpoint(eager=True)
-    )
-
+    """Shared star-contraction fixpoint: ``e`` = symmetric distinct id pairs
+    (a, b), localCheckpoint'd; ``nodes`` = distinct (node) ids,
+    localCheckpoint'd. Returns (node, comp) with one representative per
+    component. Ids may be any orderable/joinable type (long or the 128-bit
+    struct)."""
     assign = nodes.select("node", F.col("node").alias("comp"))
 
     # A join key's multiplicity is bounded by the node count, so a graph
@@ -251,10 +226,89 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
+    return assign
 
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    id_bits: int = 64,
+    num_salts: int = 32,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(src, dst) string edges -> (entity, node, component_id).
+
+    Undirected reachability, matching the reference DFS that follows both
+    edge directions (entity_standardization.py:296-303).
+
+    ``num_salts``/``hot_threshold`` tune the large-component salting (see
+    module docstring); ``hot_threshold`` is rows-per-join-key, so the default
+    only engages for components (or hubs) above a million members — at which
+    point an unsalted join would put all of them on one reducer.
+    """
+    pairs = edges.select(
+        node_id(F.col(src), id_bits).alias("a"),
+        node_id(F.col(dst), id_bits).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    e = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    nodes = (
+        edges.select(F.col(src).alias("entity"))
+        .unionByName(edges.select(F.col(dst).alias("entity")))
+        .distinct()
+        .select("entity", node_id(F.col("entity"), id_bits).alias("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    assign = _contract_components(
+        e, nodes.select("node"), max_iterations, num_salts, hot_threshold
+    )
     return nodes.join(assign, "node").select(
         "entity", "node", F.col("comp").alias("component_id")
     )
+
+
+def components_from_pairs(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+    num_salts: int = 32,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Components over already-numeric id pairs -> (node, group_id) with
+    ``group_id`` = the MINIMUM id in the node's component (normalized from
+    the contraction representative by one map-side-combined groupBy — the
+    deterministic survivor choice a dedup pipeline needs). Only ids that
+    appear in ``pairs`` come back; callers map absent ids to themselves.
+
+    Same salted star contraction as :func:`connected_components`; skew
+    bounds hold for a giant near-dup cluster (e.g. one boilerplate page
+    duplicated 10^8 times) exactly as for a giant entity component.
+    """
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        p.select(F.col("a").alias("node"))
+        .unionByName(p.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assign = _contract_components(e, nodes, max_iterations, num_salts, hot_threshold)
+    gmin = assign.groupBy("comp").agg(F.min("node").alias("group_id"))
+    return assign.join(gmin, "comp").select("node", "group_id")
 
 
 def components_for_triples(

@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,7 +31,29 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: the minhash universal-hash modulus. Small enough
+# that a*h < 2^62 stays in int64 (no decimal/ANSI overflow), large enough for
+# per-doc shingle ordering (32-bit minhash is the literature default).
+_M31 = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients mod 2^31-1.
+
+    md5-derived so Spark and the DuckDB oracle embed the SAME literals;
+    a_i ∈ [1, p-1], b_i ∈ [0, p-1] — the full Carter-Wegman family, so each
+    h_i(x) = (a_i·x + b_i) mod p genuinely wraps and reorders the shingle
+    space independently per i. (The earlier tiny-multiplier scheme kept
+    a·h < p, so the mod never wrapped and every slot was monotone in the
+    single min base hash — LSH banding collapsed to plain Jaccard; flagged
+    by the round-2 advisor.)
+    """
+    out = []
+    for i in range(num_hashes):
+        da = hashlib.md5(f"mh:{seed}:{i}:a".encode()).hexdigest()
+        db = hashlib.md5(f"mh:{seed}:{i}:b".encode()).hexdigest()
+        out.append((int(da[:12], 16) % (_M31 - 1) + 1, int(db[:12], 16) % _M31))
+    return out
 
 
 def normalized_text(col):
@@ -72,25 +96,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) — min over h_i(shingle) per doc.
 
-    h_i(x) = (a_i * md5long48(x) + b_i) mod M61 with (a_i, b_i) derived
-    deterministically from ``seed`` — portable to SQL.
+    h_i(x) = (a_i · (md5long48(x) mod p) + b_i) mod p with p = 2^31-1 and
+    (a_i, b_i) from :func:`minhash_coeffs` — a genuine universal family
+    (each slot an independent permutation-approximation), all int64, and
+    portable to SQL. The mod-p reduction of the 48-bit base hash can merge
+    two shingles with probability ~|shingles|²/2^32 per doc — the standard
+    32-bit-minhash regime, negligible Jaccard distortion.
     """
-    # 48-bit base hash so the affine step stays in int64: a ≤ ~2·num_hashes
-    # (< 2^7), a·x < 2^55, no overflow — the earlier decimal(38,0) version
-    # spent the stage in BigDecimal multiplies (measured ~30% of the LSH
-    # pipeline); 48 bits is far beyond what minhash collision resistance
-    # needs (it only has to order shingles distinctly within a doc).
     base = sh.withColumn(
-        "h0", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint")
+        "h0",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("bigint")
+        % F.lit(_M31),
     )
+    coeffs = minhash_coeffs(num_hashes, seed)
     mins = [
-        F.min(
-            (
-                F.lit(2 * (seed + i) + 1) * F.col("h0") + F.lit(seed * 31 + i)
-            )
-            % F.lit(_MERSENNE)
-        ).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_M31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     agged = base.groupBy("doc_id").agg(*mins)
     return agged.select(
@@ -202,6 +223,71 @@ def minhash_near_dup(
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_pairs(sh, candidates=cands, threshold=threshold)
+
+
+# --- Near-dup APPLICATION: pairs -> clusters -> survivors --------------------
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_salts: int = 32,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, group_id): every doc mapped to its near-dup cluster id.
+
+    ``pairs`` is any verified pair table from the generators in this family
+    (minhash_near_dup / simhash_near_dup / jaccard_pairs /
+    similarity.embedding_near_dup — or a union of several). Clusters are the
+    connected components of the pair graph (salted star contraction,
+    ops/components.py); ``group_id`` is the cluster's minimum doc id — the
+    deterministic survivor. Docs in no pair map to themselves.
+
+    Reference anchor for the exact case: scripts/prepare_data.py:124-177
+    (sha-groupBy keep-first); this operator is its near-dup generalization —
+    transitive closure is required because near-dup similarity is not
+    transitive but duplicate *clusters* are (A≈B≈C must collapse to one
+    survivor even when A,C never pair).
+    """
+    from .components import components_from_pairs
+
+    comp = components_from_pairs(
+        pairs, a_col, b_col, num_salts=num_salts, hot_threshold=hot_threshold
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_salts: int = 32,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """The corpus AFTER near-dup removal: one survivor (min id) per cluster,
+    all other cluster members anti-joined out; full doc rows pass through
+    untouched. The loser set is |duplicates| rows (≪ corpus when dup rate is
+    sane), so the anti-join's build side stays small; the corpus side
+    streams — no full-corpus shuffle beyond the id-hash anti-join."""
+    from .components import components_from_pairs
+
+    comp = components_from_pairs(
+        pairs, a_col, b_col, num_salts=num_salts, hot_threshold=hot_threshold
+    )
+    losers = comp.filter(F.col("node") != F.col("group_id")).select("node")
+    return docs.join(losers, docs[id_col] == losers["node"], "left_anti")
 
 
 # --- SimHash -----------------------------------------------------------------

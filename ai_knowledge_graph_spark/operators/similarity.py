@@ -30,6 +30,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row — costs one Spark job; pass
+    ``dim`` explicitly to skip it (required when the input may be empty)."""
+    row = embeddings.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null rows in {vec_col!r}; "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -104,7 +116,7 @@ def srp_topk(
     decays exponentially in ``tables``. n_planes trades bucket size (row
     reduction) against per-table recall."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _infer_dim(embeddings, vec_col)
     cand_base = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -288,7 +300,7 @@ def embedding_near_dup(
     plan.
     """
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _infer_dim(embeddings, vec_col)
     base = spread(embeddings).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -188,7 +188,9 @@ def distributed_rank(df: DataFrame, order_cols: list, out: str = "rank") -> Data
     odf = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     return (
         ranked.join(F.broadcast(odf), "_pid")
-        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
+        # long, not int: this function exists precisely for the >2^31-row
+        # regime where a single-task window would die
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
 
@@ -258,21 +260,16 @@ def _lsh_candidate_pairs(
     Jaccard can miss every band — measured recall vs the lossless blocking
     is recorded in COVERAGE.md; lossless stays the default.
     """
-    mersenne = (1 << 61) - 1
+    from .dedup import _M31, minhash_coeffs
+
     rows = num_hashes // bands
     toks = forms.select(
         "form", F.explode(F.array_union("words", "stems")).alias("tok")
     )
-    h0 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("decimal(38,0)")
+    h0 = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint") % F.lit(_M31)
     mins = [
-        F.min(
-            (
-                (F.lit(2 * (seed + i) + 1).cast("decimal(38,0)") * h0
-                 + F.lit(seed * 31 + i))
-                % F.lit(mersenne)
-            ).cast("bigint")
-        ).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * h0 + F.lit(b)) % F.lit(_M31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
     sig = toks.groupBy("form").agg(*mins)
     band_structs = [
@@ -296,7 +293,7 @@ def _lsh_candidate_pairs(
 
 
 # applyInPandas/mapInPandas scorer output schema for the second-pass rules.
-_SCORE_SCHEMA = "r1 int, r2 int, key string, value string"
+_SCORE_SCHEMA = "r1 long, r2 long, key string, value string"
 
 
 def _score_pairs_pandas(cands: DataFrame) -> DataFrame:

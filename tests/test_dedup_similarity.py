@@ -60,10 +60,115 @@ def test_minhash_lsh_candidates_cover_true_pairs(spark, docs):
     assert (0, 2) in cands  # high-jaccard pair lands in same band w.h.p.
 
 
+def test_minhash_slots_are_independent(spark, docs):
+    """Regression for the round-2 advisory: with the old tiny-multiplier
+    family the affine step never wrapped mod M61, so every signature slot was
+    achieved by the doc's single minimum base hash (argmin identical across
+    all slots — banding collapsed). A real universal family spreads the
+    argmins; with 39 shingles and 32 slots, P(all same argmin) ≈ 39^-31.
+    Also pins the Spark signatures to a pure-Python mirror of the same math
+    (the portability contract the DuckDB oracle relies on)."""
+    import hashlib as _h
+
+    from ai_knowledge_graph_spark.operators.dedup import _M31, minhash_coeffs
+
+    sh_rows = shingles(docs).filter(F.col("doc_id") == 0).collect()
+    shs = sorted({r["shingle"] for r in sh_rows})
+    assert len(shs) >= 30
+    coeffs = minhash_coeffs(32, 7)
+
+    def h0(s):
+        return int(_h.md5(s.encode()).hexdigest()[:12], 16) % _M31
+
+    argmins = set()
+    py_sig = []
+    for a, b in coeffs:
+        vals = [(a * h0(s) + b) % _M31 for s in shs]
+        py_sig.append(min(vals))
+        argmins.add(vals.index(min(vals)))
+    assert len(argmins) > 1, "all slots determined by one shingle (degenerate)"
+
+    spark_sig = (
+        minhash_signatures(shingles(docs), num_hashes=32, seed=7)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]["sig"]
+    )
+    assert list(spark_sig) == py_sig
+
+
 def test_minhash_near_dup_end_to_end(spark, docs):
     out = {(r["a"], r["b"]) for r in minhash_near_dup(docs).collect()}
     assert (0, 1) in out and (0, 2) in out
     assert all(3 not in pair for pair in out)
+
+
+def test_near_dup_application_minhash_and_jaccard(spark, docs):
+    """Pairs -> components -> min-id survivor -> drop (the round-2 verdict's
+    missing application operator), composed with the minhash and exact-
+    jaccard pair generators."""
+    from ai_knowledge_graph_spark.operators.dedup import (
+        near_dup_dedup,
+        near_dup_groups,
+    )
+
+    pairs = minhash_near_dup(docs)
+    groups = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, pairs).collect()}
+    assert groups[0] == groups[1] == groups[2] == groups[4] == 0
+    assert groups[3] == 3 and groups[5] == 5
+    kept = sorted(r["doc_id"] for r in near_dup_dedup(docs, pairs).collect())
+    assert kept == [0, 3, 5]
+
+    jp = jaccard_pairs(shingles(docs), threshold=0.5)
+    kept_j = sorted(r["doc_id"] for r in near_dup_dedup(docs, jp).collect())
+    assert kept_j == [0, 3, 5]
+
+
+def test_near_dup_application_simhash(spark, docs):
+    from ai_knowledge_graph_spark.operators.dedup import near_dup_dedup
+
+    kept = sorted(
+        r["doc_id"] for r in near_dup_dedup(docs, simhash_near_dup(docs)).collect()
+    )
+    # 1 and 4 are content-identical to 0 (hamming 0) and must be dropped;
+    # 3 and 5 share nothing and must survive.
+    assert 1 not in kept and 4 not in kept
+    assert {0, 3, 5} <= set(kept)
+
+
+def test_near_dup_application_embedding_pairs(spark):
+    from ai_knowledge_graph_spark.operators.dedup import near_dup_dedup
+    from ai_knowledge_graph_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_near_dup(emb, threshold=0.95, n_planes=4, tables=4)
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    kept = sorted(r["doc_id"] for r in near_dup_dedup(docs, pairs).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """Near-dup similarity is not transitive; clusters must be. A chain
+    a-b, b-c with no (a,c) pair still collapses to one survivor."""
+    from ai_knowledge_graph_spark.operators.components import components_from_pairs
+    from ai_knowledge_graph_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31)], "a long, b long"
+    )
+    comp = {r["node"]: r["group_id"] for r in components_from_pairs(pairs).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame([(i,) for i in (10, 11, 12, 20, 30, 31)], "doc_id long")
+    groups = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, pairs).collect()}
+    assert groups == {10: 10, 11: 10, 12: 10, 20: 20, 30: 30, 31: 30}
 
 
 def test_simhash_identical_docs_equal_and_near_dup_close(spark, docs):

@@ -196,14 +196,51 @@ def test_write_graph_tables_bucketed(spark, tmp_path):
     for t in ("t_nodes", "t_edges"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
-    fmt = write_graph_tables(nodes, edges, "t_nodes", "t_edges", buckets=4)
-    # no Iceberg jar in this image -> auto resolves to bucketed parquet
-    assert iceberg_available(spark) is False
+    fmt = write_graph_tables(
+        nodes, edges, "t_nodes", "t_edges", buckets=4, table_format="parquet"
+    )
     assert fmt == "parquet"
     assert spark.table("t_nodes").count() == 3
     assert spark.table("t_edges").count() == 2
     ddl = spark.sql("SHOW CREATE TABLE t_nodes").collect()[0][0]
     assert "CLUSTERED BY" in ddl and "canonical_id" in ddl  # bucket spec kept
+    # 'auto' resolves to parquet exactly when no Iceberg catalog is present
+    # (this image ships no jar; on a cluster the iceberg test below runs)
+    if not iceberg_available(spark):
+        fmt_auto = write_graph_tables(nodes, edges, "t_nodes", "t_edges", buckets=4)
+        assert fmt_auto == "parquet"
+
+
+def test_write_graph_tables_iceberg_gated(spark):
+    """Validates the writeTo(...).partitionedBy(bucket(N, col)) Iceberg
+    branch (the north_rule's table layout). Auto-skips in this sandbox (no
+    iceberg-spark-runtime jar); the first suite run on a real cluster with
+    an Iceberg catalog configured (spark.sql.catalog.<name> set and e.g.
+    spark.sql.defaultCatalog pointing at it) exercises it for free."""
+    from ai_knowledge_graph_spark.graph.materialize import (
+        iceberg_available,
+        materialize_graph,
+        write_graph_tables,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar/catalog in this environment")
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b", "u1", 1, False), ("b", "uses", "c", "u1", 1, True)],
+        "subject string, predicate string, object string, url string, chunk int, inferred boolean",
+    )
+    nodes, edges = materialize_graph(triples)
+    spark.sql("DROP TABLE IF EXISTS t_ice_nodes")
+    spark.sql("DROP TABLE IF EXISTS t_ice_edges")
+    fmt = write_graph_tables(
+        nodes, edges, "t_ice_nodes", "t_ice_edges", buckets=4, table_format="iceberg"
+    )
+    assert fmt == "iceberg"
+    assert spark.table("t_ice_nodes").count() == 3
+    assert spark.table("t_ice_edges").count() == 2
+    parts = spark.sql("SELECT partition FROM t_ice_nodes.files").collect()
+    assert len(parts) >= 1  # hidden bucket partitioning materialized
 
 
 def test_related_concepts_parity_vs_reference(spark):
@@ -342,6 +379,52 @@ def test_retrieve_end_to_end_hybrid(spark):
     assert "## Retrieved Knowledge Base Content" in out["combined_context"]
     assert "[Source: doc_a]" in out["combined_context"]
     assert "fvg requires displacement" in out["graph_context"]
+
+
+def test_retrieve_ann_modes_and_bounded_entities(spark):
+    """Round-2 verdict fixes: (a) ann='srp' is selectable and returns the
+    exact-mode top-k on a fixture where every chunk is near the query (all
+    land in the query's SRP bucket); (b) graph_entities is capped at
+    max_expand — never an unbounded driver collect."""
+    from ai_knowledge_graph_spark.graph.retrieve import retrieve, vector_search_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            (i, f"doc_{i}", f"alpha{i} beta{i} text", [1.0, 0.01 * i, 0.0])
+            for i in range(6)
+        ],
+        "chunk_id long, source string, text string, embedding array<double>",
+    )
+    q = [1.0, 0.05, 0.0]
+    exact = [
+        (r["chunk_id"], r["rk"])
+        for r in vector_search_chunks(chunks, q, k=3).orderBy("rk").collect()
+    ]
+    srp = [
+        (r["chunk_id"], r["rk"])
+        for r in vector_search_chunks(chunks, q, k=3, ann="srp", tables=4)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert srp == exact
+
+    with pytest.raises(ValueError, match="ann must be one of"):
+        vector_search_chunks(chunks, q, k=3, ann="bogus")
+
+    # Node vocabulary dense in the chunk text -> many concepts extracted;
+    # the returned entity set must still be <= max_expand.
+    nodes = spark.createDataFrame(
+        [(f"alpha{i}", None) for i in range(6)]
+        + [(f"beta{i}", None) for i in range(6)],
+        "entity string, definition string",
+    )
+    edges = spark.createDataFrame(
+        [(f"alpha{i}", "rel", f"beta{i}") for i in range(6)],
+        "src string, relation string, dst string",
+    )
+    out = retrieve("alpha0 query", q, chunks, edges, nodes, max_expand=4)
+    assert len(out["graph_entities"]) <= 4
+    assert "alpha0" in out["graph_entities"]  # query concept (priority 0) kept
 
 
 def test_materialize_128bit_ids_and_bucketed_write(spark, tmp_path):
