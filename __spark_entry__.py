@@ -444,6 +444,67 @@ def q_minhash_dedup_docs(spark, sf_dir):
     return near_dup_dedup(docs, pairs).select("doc_id")
 
 
+def q_multimodal_stats(spark, sf_dir):
+    # REAL stdlib decode round-trip (no media libs): payloads are actual
+    # BMP / PPM-PGM / RIFF-WAV bytes synthesized deterministically from
+    # doc_id by the encoders in ops/multimodal.py, then parsed back by
+    # extract_media_metadata's struct decoders. The oracle recomputes every
+    # decoded field arithmetically from doc_id — a decoder that misreads any
+    # header offset mismatches.
+    import pandas as pd
+
+    from ai_knowledge_graph_spark.operators.multimodal import (
+        extract_media_metadata,
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+    from ai_knowledge_graph_spark.session import spread
+
+    docs = spread(_docs(spark, sf_dir).select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    payload = make_bmp(8 + did % 16, 4 + did % 8, seed=did)
+                    mtype = "image"
+                elif kind == 1:
+                    payload = make_ppm(
+                        5 + did % 12, 3 + did % 9, seed=did, gray=(did % 2 == 1)
+                    )
+                    mtype = "image"
+                else:
+                    payload = make_wav(
+                        8000 + 500 * (did % 5), 400 + did % 100, 1 + did % 2, seed=did
+                    )
+                    mtype = "audio"
+                rows.append(
+                    {"url": f"m{did}", "payload": payload, "media_type": mtype}
+                )
+            yield pd.DataFrame(rows, columns=["url", "payload", "media_type"])
+
+    media = docs.mapInPandas(
+        gen, "url string, payload binary, media_type string"
+    )
+    meta = extract_media_metadata(media)
+    return meta.select(
+        F.substring("url", 2, 20).cast("long").alias("doc_id"),
+        "media_type",
+        "codec",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     from ai_knowledge_graph_spark.operators.dedup import simhash
 
@@ -804,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_groups": q_near_dup_groups,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "multimodal_stats": q_multimodal_stats,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -1338,6 +1400,34 @@ SELECT d.doc_id
 FROM documents d LEFT JOIN ndlabels l USING (doc_id)
 WHERE l.group_id IS NULL OR l.group_id = d.doc_id"""
     )
+
+    # Decoded-field mirror of q_multimodal_stats: the Spark side parses real
+    # BMP/PPM/WAV bytes; the oracle recomputes what those headers must say
+    # from the same doc_id arithmetic the encoders used.
+    sql["multimodal_stats"] = """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+    8 + doc_id % 16 AS bw, 4 + doc_id % 8 AS bh,
+    5 + doc_id % 12 AS pw, 3 + doc_id % 9 AS ph, doc_id % 2 AS podd,
+    8000 + 500 * (doc_id % 5) AS sr, 400 + doc_id % 100 AS ns, 1 + doc_id % 2 AS ch
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN kind = 2 THEN 'audio' ELSE 'image' END AS media_type,
+  CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS codec,
+  CAST(CASE kind
+    WHEN 0 THEN 54 + ((3 * bw + 3) // 4) * 4 * bh
+    WHEN 1 THEN 3 + length(pw::VARCHAR) + 1 + length(ph::VARCHAR) + 5
+              + (CASE WHEN podd = 1 THEN 1 ELSE 3 END) * pw * ph
+    ELSE 44 + ns * ch * 2 END AS BIGINT) AS n_bytes,
+  CAST(CASE kind WHEN 0 THEN bw WHEN 1 THEN pw END AS BIGINT) AS width,
+  CAST(CASE kind WHEN 0 THEN bh WHEN 1 THEN ph END AS BIGINT) AS height,
+  CAST(CASE kind WHEN 0 THEN 3 WHEN 1 THEN CASE WHEN podd = 1 THEN 1 ELSE 3 END
+       ELSE ch END AS BIGINT) AS n_channels,
+  CAST(CASE WHEN kind = 2 THEN sr END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN kind = 2 THEN ns * 1000 // sr END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN kind = 2 THEN ns ELSE 1 END AS BIGINT) AS n_frames
+FROM m"""
 
     BITS = 60
     _simhash_cte = f"""

@@ -80,6 +80,74 @@ def test_media_metadata_deterministic(spark):
     assert out1["m3"]["n_bytes"] == 0
 
 
+def test_multimodal_stdlib_decoders_round_trip(spark):
+    """Real decode, not the stub: BMP/PPM/PGM/WAV payloads built by the
+    encoders come back with exactly the encoded parameters."""
+    from ai_knowledge_graph_spark.operators.multimodal import (
+        make_bmp,
+        make_ppm,
+        make_wav,
+    )
+
+    rows = [
+        ("bmp1", make_bmp(17, 9, seed=3), "image"),
+        ("ppm1", make_ppm(12, 7, seed=4), "image"),
+        ("pgm1", make_ppm(5, 6, seed=5, gray=True), "image"),
+        ("wav1", make_wav(16000, 1234, channels=2, seed=6), "audio"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary, media_type string")
+    out = {r["url"]: r for r in extract_media_metadata(df).collect()}
+    b = out["bmp1"]
+    assert (b["codec"], b["width"], b["height"], b["n_channels"]) == ("bmp", 17, 9, 3)
+    p = out["ppm1"]
+    assert (p["codec"], p["width"], p["height"], p["n_channels"]) == ("ppm", 12, 7, 3)
+    g = out["pgm1"]
+    assert (g["codec"], g["width"], g["height"], g["n_channels"]) == ("ppm", 5, 6, 1)
+    w = out["wav1"]
+    assert (w["codec"], w["sample_rate"], w["n_channels"]) == ("wav", 16000, 2)
+    assert w["n_frames"] == 1234
+    assert w["duration_ms"] == 1234 * 1000 // 16000
+    assert w["width"] is None and w["height"] is None
+
+
+def test_multimodal_golden_bytes_no_spark():
+    """Pin the header offsets independently of the encoders: hand-assembled
+    bytes with known field values decode correctly (catches a symmetric
+    encoder/decoder offset bug that a round-trip alone would miss)."""
+    from ai_knowledge_graph_spark.operators.multimodal import _decode_payload
+
+    # BMP: width=2 (0x02 LE at 18), height=-3 top-down (abs -> 3), bpp=32
+    bmp = bytearray(54)
+    bmp[0:2] = b"BM"
+    bmp[18:22] = (2).to_bytes(4, "little", signed=True)
+    bmp[22:26] = (-3).to_bytes(4, "little", signed=True)
+    bmp[28:30] = (32).to_bytes(2, "little")
+    m = _decode_payload(bytes(bmp), "image")
+    assert (m["codec"], m["width"], m["height"], m["n_channels"]) == ("bmp", 2, 3, 4)
+
+    # PPM with comment lines and odd whitespace in the header
+    ppm = b"P6 # comment\n# another 99 88\n 21\t22 \n255\n" + b"\x00" * (3 * 21 * 22)
+    m = _decode_payload(ppm, "image")
+    assert (m["width"], m["height"], m["n_channels"]) == (21, 22, 3)
+
+    # WAV with a LIST chunk BEFORE fmt/data (chunk walk, not fixed offsets);
+    # 8-bit mono -> block align 1, 500 data bytes at 1000 Hz = 500 ms
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (1000).to_bytes(4, "little") + (1000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    wav = (
+        b"RIFF" + (0).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (500).to_bytes(4, "little") + b"\x00" * 500
+    )
+    m = _decode_payload(wav, "audio")
+    assert (m["codec"], m["sample_rate"], m["n_channels"]) == ("wav", 1000, 1)
+    assert m["n_frames"] == 500 and m["duration_ms"] == 500
+
+
 def test_sample_frames(spark):
     df = spark.createDataFrame(
         [("v1", b"\x09" * 64)], "url string, payload binary"
