@@ -119,19 +119,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """(a, b) candidate pairs: docs sharing at least one LSH band bucket.
-
-    Banding: split the signature into ``bands`` groups of ``rows_per_band``
-    values; bucket key = hash of the band slice; join within buckets only.
-    """
+    """(doc_id, band, bucket): one row per signature band. The materialized
+    form a corpus stores so future batches can be deduped against it
+    incrementally (see incremental_near_dup) — band-partitioned storage
+    makes the new-batch probe an equi-join into the right buckets only."""
     # Bucket key = the band slice itself, rendered as a string: equality of
     # keys <=> equality of slices, so candidate generation is exact AND the
     # DuckDB oracle reproduces it verbatim (xxhash64 would be JVM-only; at
     # petabyte scale swap in a hash of this string to shrink shuffle keys).
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -151,6 +150,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(a, b) candidate pairs: docs sharing at least one LSH band bucket.
+
+    Banding: split the signature into ``bands`` groups of ``rows_per_band``
+    values; bucket key = the band slice; join within buckets only.
+    """
+    banded = band_buckets(signatures, bands, rows_per_band)
     lhs = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     rhs = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
@@ -223,6 +233,100 @@ def minhash_near_dup(
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_pairs(sh, candidates=cands, threshold=threshold)
+
+
+# --- Incremental near-dup: new batch vs stored corpus signatures -------------
+
+
+def sig_est_jaccard_pairs(
+    cands: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(a, b, est_jaccard): Jaccard estimated as the fraction of agreeing
+    signature slots — the standard MinHash estimator (unbiased, variance
+    J(1-J)/num_hashes). Needs only stored signatures, never the text, which
+    is what makes the incremental path cheap: candidate count × one array
+    compare, all JVM-side."""
+    sigs_b = sigs_a if sigs_b is None else sigs_b
+    sa = sigs_a.select(F.col("doc_id").alias(a_col), F.col("sig").alias("_sa"))
+    sb = sigs_b.select(F.col("doc_id").alias(b_col), F.col("sig").alias("_sb"))
+    agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            a_col,
+            b_col,
+            F.round(agree / F.size("_sa"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_buckets: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Daily-ingest dedup: the NEW batch against an existing corpus, without
+    recomputing anything over the old corpus. Returns the new docs that
+    survive (not near-dup of a corpus doc, and one survivor per within-batch
+    cluster).
+
+    Only the new batch is shingled and signed; its band buckets equi-join
+    against the corpus's stored ``band_buckets`` (pass them precomputed —
+    e.g. read from a bands-partitioned table — or they derive from
+    ``corpus_sigs`` here). Matches against the corpus use the signature-
+    agreement Jaccard estimator (sig_est_jaccard_pairs) since old text is
+    not re-read; within-batch duplicates use the exact verified pipeline +
+    cluster application (minhash_near_dup -> near_dup_dedup). At 100 TB the
+    per-day cost is O(batch) + one bucket probe into the stored index —
+    never O(corpus).
+    """
+    rows_per_band = num_hashes // bands
+    sh_new = shingles(new_docs, id_col, text_col, k).localCheckpoint(eager=True)
+    sigs_new = minhash_signatures(sh_new, num_hashes).localCheckpoint(eager=True)
+    if corpus_buckets is None:
+        corpus_buckets = band_buckets(corpus_sigs, bands, rows_per_band)
+
+    nb = band_buckets(sigs_new, bands, rows_per_band)
+    vs_old = (
+        nb.select(F.col("doc_id").alias("a"), "band", "bucket")
+        .join(
+            corpus_buckets.select(F.col("doc_id").alias("b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    dup_vs_old = (
+        sig_est_jaccard_pairs(vs_old, sigs_new, corpus_sigs)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a")
+        .distinct()
+    )
+
+    batch_pairs = jaccard_pairs(
+        sh_new,
+        candidates=lsh_candidate_pairs(sigs_new, bands, rows_per_band),
+        threshold=threshold,
+    )
+    survivors = near_dup_dedup(new_docs, batch_pairs, id_col)
+    return survivors.join(
+        dup_vs_old, survivors[id_col] == dup_vs_old["a"], "left_anti"
+    )
 
 
 # --- Near-dup APPLICATION: pairs -> clusters -> survivors --------------------

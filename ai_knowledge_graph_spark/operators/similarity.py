@@ -152,6 +152,46 @@ def srp_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _farthest_first_centroids(base: DataFrame, nlist: int) -> DataFrame:
+    """Deterministic farthest-first traversal over (neighbor_id, cv): seed =
+    min-md5(id) vector; each step adds the point whose best (max) cosine to
+    the chosen set is lowest (ties -> min id). nlist driver-collected
+    vectors; each step is one broadcast compare + top-1 over the corpus."""
+    from .dedup import _md5_long as _h
+
+    spark = base.sparkSession
+    first = (
+        base.withColumn("_h", _h(F.col("neighbor_id").cast("string")))
+        .orderBy("_h", "neighbor_id")
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [list(first["cv"])]
+    for _ in range(1, nlist):
+        lits = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in chosen])
+        best_cos = F.array_max(
+            F.transform(
+                lits,
+                lambda c: F.round(
+                    _dot(F.col("cv"), c) / (_norm(F.col("cv")) * _norm(c)), 6
+                ),
+            )
+        )
+        nxt = (
+            base.withColumn("_bc", best_cos)
+            .orderBy(F.asc("_bc"), F.asc("neighbor_id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        chosen.append(list(nxt[0]["cv"]))
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chosen)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -161,15 +201,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    seeding: str = "hash",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into ``nlist``
     inverted lists (nearest centroid), probe the query's ``n_probe`` nearest
     lists, exact cosine within probed lists only.
 
-    Coarse centroids are picked deterministically without any global sort:
-    ids hash into ``nlist`` buckets (md5-derived — portable to the DuckDB
-    oracle) and each bucket's min-id vector is its centroid; determinism
-    keeps the oracle exact at the default ``kmeans_iters=0``.
+    ``seeding='hash'`` (default, the oracle path): ids hash into ``nlist``
+    buckets (md5-derived — portable to the DuckDB oracle) and each bucket's
+    min-id vector is its centroid; deterministic with no global sort.
+    ``seeding='kpp'``: deterministic farthest-first traversal (the k-means++
+    shape with the argmax instead of a random draw): start from the min-
+    hash-id vector, then repeatedly add the point with the LOWEST max-cosine
+    to any chosen centroid. Costs ``nlist`` corpus passes at index-build
+    time; not mirrored in SQL. MEASURED WORSE than 'hash' on the sf0.01
+    embeddings (recall@5 0.46 vs 0.73 at nlist=16/n_probe=4; full grid in
+    COVERAGE.md): the argmax picks outliers as centroids — the exact
+    failure k-means++ randomizes away with D²-sampling — leaving most mass
+    near few centroids. Kept as a documented dead end; use 'hash' (+
+    ``kmeans_iters`` for recall). Determinism keeps the oracle exact at the
+    default ``kmeans_iters=0`` + ``seeding='hash'``.
     ``kmeans_iters>0`` runs that many distributed Lloyd iterations
     (assign to nearest centroid, recompute element-wise means via
     posexplode + groupBy — every step an agg with map-side combine) to
@@ -186,16 +237,21 @@ def ivf_topk(
     base = spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    bucket = (_md5_long(F.col("neighbor_id").cast("string")) % nlist).cast("int")
-    reps = (
-        base.select(bucket.alias("centroid_id"), "neighbor_id")
-        .groupBy("centroid_id")
-        .agg(F.min("neighbor_id").alias("rep_id"))
-    )
-    centroids = reps.join(
-        base.select(F.col("neighbor_id").alias("rep_id"), F.col("cv").alias("centroid")),
-        "rep_id",
-    ).select("centroid_id", "centroid")
+    if seeding == "kpp":
+        centroids = _farthest_first_centroids(base, nlist)
+    elif seeding == "hash":
+        bucket = (_md5_long(F.col("neighbor_id").cast("string")) % nlist).cast("int")
+        reps = (
+            base.select(bucket.alias("centroid_id"), "neighbor_id")
+            .groupBy("centroid_id")
+            .agg(F.min("neighbor_id").alias("rep_id"))
+        )
+        centroids = reps.join(
+            base.select(F.col("neighbor_id").alias("rep_id"), F.col("cv").alias("centroid")),
+            "rep_id",
+        ).select("centroid_id", "centroid")
+    else:
+        raise ValueError(f"seeding must be 'hash' or 'kpp', got {seeding!r}")
     for _ in range(kmeans_iters):
         cb = F.broadcast(centroids)
         assigned = (

@@ -153,6 +153,13 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         "doc_minhash_lsh",
         lambda: entry_mod.q_minhash_lsh_pairs(spark, sf_dir).count(),
     )
+    # Dedup APPLICATION: pairs -> salted components -> survivor anti-join
+    # (includes recomputing the LSH pairs; delta over doc_minhash_lsh is the
+    # clustering+drop cost)
+    timed(
+        "doc_near_dup_dedup",
+        lambda: entry_mod.q_minhash_dedup_docs(spark, sf_dir).count(),
+    )
     timed("doc_token_count", lambda: entry_mod.q_token_count(spark, sf_dir).count())
     timed(
         "embedding_topk", lambda: entry_mod.q_embedding_topk(spark, sf_dir).count()

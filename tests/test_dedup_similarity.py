@@ -154,6 +154,59 @@ def test_near_dup_application_embedding_pairs(spark):
     assert kept == [0, 2, 3]
 
 
+def test_ivf_seeding_modes(spark):
+    """'kpp' (farthest-first, documented dead end) still runs and returns a
+    valid top-k; unknown seeding raises."""
+    from ai_knowledge_graph_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivf_topk(emb, q, k=3, nlist=4, n_probe=4, seeding="kpp").collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    assert all(1 <= r["rk"] <= 3 for r in out)
+    with pytest.raises(ValueError, match="seeding"):
+        ivf_topk(emb, q, k=3, nlist=4, n_probe=2, seeding="nope").collect()
+
+
+def test_incremental_near_dup_against_stored_corpus(spark, docs):
+    """Daily-ingest shape: new batch deduped against stored corpus
+    signatures/buckets only — corpus text never re-read. Doc 10 duplicates
+    corpus doc 0 (dropped vs corpus); 11/12 are mutual near-dups (one
+    within-batch survivor); 13 is fresh (kept)."""
+    from ai_knowledge_graph_spark.operators.dedup import (
+        band_buckets,
+        incremental_near_dup,
+        minhash_signatures,
+    )
+
+    corpus_sigs = minhash_signatures(shingles(docs)).localCheckpoint(eager=True)
+    stored_buckets = band_buckets(corpus_sigs).localCheckpoint(eager=True)
+
+    base0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    other = (
+        "entirely novel sentences describing glacier formation over many "
+        "thousand years of compacted snowfall and slow downhill movement "
+        "carving deep valleys into ancient mountain ranges everywhere"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base0),  # exact dup of corpus doc 0
+            (11, other),
+            (12, other.replace("slow", "gradual")),  # near-dup of 11
+            (13, "wholly unrelated short appendix about parquet file footers"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_near_dup(new, corpus_sigs, stored_buckets).collect()
+    )
+    assert kept == [11, 13]
+
+
 def test_near_dup_groups_transitive_closure(spark):
     """Near-dup similarity is not transitive; clusters must be. A chain
     a-b, b-c with no (a,c) pair still collapses to one survivor."""

@@ -104,6 +104,28 @@ def test_embedding_near_dup_is_bucket_equijoin(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_incremental_near_dup_probe_is_equijoin(spark):
+    # the new-batch probe into stored corpus buckets must be a (band, bucket)
+    # equi-join — O(batch) probe, never an O(corpus) cross product
+    from ai_knowledge_graph_spark.operators.dedup import (
+        band_buckets,
+        incremental_near_dup,
+        minhash_signatures,
+        shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingles(corpus))
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc 0")], "doc_id long, text string"
+    )
+    plan = _plan(incremental_near_dup(new, sigs, band_buckets(sigs)))
+    assert "CartesianProduct" not in plan
+
+
 def test_vector_search_broadcasts_query(spark):
     # the one-row query side must broadcast; the chunk corpus streams
     from ai_knowledge_graph_spark.graph.retrieve import vector_search_chunks
