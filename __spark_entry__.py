@@ -820,6 +820,82 @@ def q_training_qa(spark, sf_dir):
     return relationship_qa(edges)
 
 
+# --- web-crawl ingest operators (north-rule pages shape) -------------------
+
+
+def _crawl_pages(spark, sf_dir):
+    """Synthesize a multi-crawl pages table from documents: urls collide
+    across doc_ids (doc_id % 50 per source) so each url has several crawls;
+    warc_ts is minute-spaced from a fixed epoch. Deterministic, column-only."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/p"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id") * 60).alias("warc_ts"),
+        "doc_id",
+        "text",
+        "lang",
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    # North-rule per-row invariant: byte-identical extracted text per url.
+    # Wrap each doc's text into html bytes JVM-side (the exact column twin of
+    # the fixture wrapper), run the REAL extractor (Arrow pandas UDF over the
+    # binary column), and emit the byte-equality verdict + extracted sha.
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        html_roundtrip_check,
+        wrap_html_expr,
+    )
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", "text", wrap_html_expr("text").alias("html")
+    )
+    out = html_roundtrip_check(pages)
+    return out.select("doc_id", "roundtrip_ok", "extracted_sha256", "extracted_chars")
+
+
+def q_latest_crawl(spark, sf_dir):
+    # As-of dedup: newest crawl per url via map-side-combinable max_by agg.
+    from ai_knowledge_graph_spark.operators.webcrawl import latest_snapshot
+
+    pages = _crawl_pages(spark, sf_dir).select("url", "warc_ts", "doc_id", "text")
+    latest = latest_snapshot(pages, tie_cols=("doc_id",))
+    return latest.select(
+        "url",
+        F.col("doc_id").alias("latest_doc_id"),
+        F.sha2(F.col("text"), 256).alias("latest_sha256"),
+        "n_crawls",
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals: duplicate-bigram fraction + top-bigram
+    # mass per document.
+    from ai_knowledge_graph_spark.operators.webcrawl import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    # Per-domain corpus rollup (source acts as the registrable domain).
+    from ai_knowledge_graph_spark.operators.webcrawl import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir)).withColumnRenamed("source", "domain")
+
+
+def q_pagerank(spark, sf_dir):
+    # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
+    from ai_knowledge_graph_spark.graph.centrality import pagerank
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.select("entity", F.round("pagerank", 6).alias("pagerank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -888,6 +964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
         "ivf_topk": q_ivf_topk,
+        "html_extract": q_html_extract,
+        "latest_crawl": q_latest_crawl,
+        "repetition_stats": q_repetition_stats,
+        "domain_stats": q_domain_stats,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1971,6 +2052,134 @@ SELECT {_render.format(col="t.instr")} AS instruction,
 FROM edges e CROSS JOIN gtmpl t
 WHERE e.relation NOT IN (SELECT relation FROM tmpl)
   AND (length(e.src) + length(e.dst)) % t.n_templates = t.t_idx"""
+
+    # --- web-crawl ingest operators -------------------------------------
+
+    # html.escape(quote=True) order: & < > " ' — and the extractor's inverse
+    # (tag strip FIRST, then entity unescape, matching html_to_text).
+    _esc = (
+        "replace(replace(replace(replace(replace(text, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), chr(39), '&#x27;')"
+    )
+    _unesc = (
+        "replace(replace(replace(replace(replace({col}, '&#x27;', chr(39)), "
+        "'&quot;', '\"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&')"
+    )
+    sql["html_extract"] = f"""
+WITH wrapped AS (
+  SELECT doc_id, text,
+    '<html><body><p>' || {_esc} || '</p></body></html>' AS html
+  FROM documents
+), extracted AS (
+  SELECT doc_id, text,
+    {_unesc.format(col="regexp_replace(html, '<[^>]*>', '', 'g')")} AS ex
+  FROM wrapped
+)
+SELECT doc_id, ex = text AS roundtrip_ok, sha256(ex) AS extracted_sha256,
+       CAST(length(ex) AS INT) AS extracted_chars
+FROM extracted"""
+
+    sql["latest_crawl"] = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example.org/p' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         to_timestamp(1767225600 + doc_id * 60) AS warc_ts, doc_id, text
+  FROM documents
+)
+SELECT url,
+       max_by(doc_id, warc_ts) AS latest_doc_id,
+       sha256(max_by(text, warc_ts)) AS latest_sha256,
+       CAST(count(*) AS BIGINT) AS n_crawls
+FROM pages GROUP BY url"""
+
+    sql["repetition_stats"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), pg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2
+), s AS (
+  SELECT doc_id, sum(cnt) AS n_grams, count(*) AS distinct_grams, max(cnt) AS top_cnt
+  FROM pg GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.distinct_grams, 0) AS BIGINT) AS distinct_grams,
+       round(CASE WHEN COALESCE(s.n_grams, 0) > 0
+             THEN 1.0 - CAST(s.distinct_grams AS DOUBLE) / s.n_grams
+             ELSE 0.0 END, 6) AS dup_gram_frac,
+       round(CASE WHEN COALESCE(s.n_grams, 0) > 0
+             THEN CAST(s.top_cnt AS DOUBLE) / s.n_grams
+             ELSE 0.0 END, 6) AS top_gram_frac
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
+
+    sql["domain_stats"] = """
+WITH base AS (
+  SELECT source, lang,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT source, lang, len(words) AS n_words,
+    round(least(len(words) / 100.0, 1.0) *
+          (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+               ELSE 0.0 END), 6) AS quality
+  FROM base
+)
+SELECT source AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(avg(quality), 6) AS avg_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM q GROUP BY 1"""
+
+    # PageRank: unrolled fixed-iteration power method over the std edge
+    # multiset — same damping/teleport/dangling formulation as
+    # graph.centrality.pagerank, with float constants built by the same
+    # IEEE ops ((1.0 - 0.85), 0.85) so both sides round identically at 6dp.
+    _pr_iters = []
+    _prev = "pr0"
+    for _k in range(1, 6):
+        _pr_iters.append(f""",
+dang{_k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.pr), CAST(0 AS DOUBLE)) AS m
+  FROM {_prev} p LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL
+),
+mass{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr / o.od) AS m
+  FROM e JOIN {_prev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr{_k} AS MATERIALIZED (
+  SELECT n.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) *
+           (COALESCE(m.m, CAST(0 AS DOUBLE)) + (SELECT m FROM dang{_k}) / (SELECT n FROM nn)) AS pr
+  FROM nodes n LEFT JOIN mass{_k} m ON n.node = m.node
+)""")
+        _prev = f"pr{_k}"
+    sql["pagerank"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT subject AS src, object AS dst FROM std),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)"""
+        + "".join(_pr_iters)
+        + f"""
+SELECT node AS entity, round(pr, 6) AS pagerank FROM {_prev}"""
+    )
 
     return sql
 

@@ -66,6 +66,71 @@ def eigenvector_centrality(
     return scores
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(entity, pagerank): fixed-iteration PageRank over the directed edge
+    multiset (parallel edges count as extra weight, matching a KG where two
+    predicates between the same pair mean a stronger link).
+
+    Per iteration: one equi-join rank×edges on src, one hash agg on dst,
+    one scalar dangling-mass aggregate (a single driver double per round —
+    the standard PageRank shape; GraphX pays the same reduce), and a
+    left join back onto the node set so sinks keep receiving teleport mass.
+    Each round is localCheckpoint'd to cut the lineage — plan depth stays
+    O(1) per iteration, and the rank table is (node, double), the minimal
+    shuffle payload. Dangling mass is redistributed uniformly (standard
+    formulation), so ranks sum to 1 every round.
+
+    Not in the reference (its centrality surface is visualization.py:165-205);
+    included because link-graph PageRank is the canonical web-corpus quality
+    prior a Common-Crawl pipeline feeds into document scoring.
+    """
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("entity"), F.lit(0.0).alias("pagerank")
+        )
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = outdeg.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.e_src == ranks.node)
+            .join(outdeg, "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
+            .agg(F.sum("pr"))
+            .first()[0]
+            or 0.0
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("pr"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
+
+
 def label_propagation_communities(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

@@ -1,0 +1,212 @@
+"""Web-crawl ingest operators over the (url, warc_ts, html, text, lang) shape.
+
+The north-rule input is an Iceberg table of Common-Crawl-style pages whose
+per-row invariant is byte-identical extracted text per url. These operators
+cover the crawl-side of that contract:
+
+  wrap_html_expr      -> JVM-side deterministic text->html wrapper (the exact
+                         column twin of functions.text.wrap_text_as_html, so
+                         fixtures can be synthesized at scale with zero Python)
+  extract_html_text   -> the real extractor: Arrow-batched pandas UDF applying
+                         functions.text.html_to_text to the html binary column
+  html_roundtrip_check-> wrap + extract + byte-compare in one plan; the
+                         roundtrip gate the pipeline's P/R claim rests on
+  latest_snapshot     -> as-of dedup: newest crawl per url (max_by struct agg,
+                         map-side combinable — no window sort at 10^12 rows)
+  repetition_stats    -> Gopher-style repetition signals per doc: duplicate
+                         n-gram fraction + top-n-gram mass fraction
+  domain_stats        -> per-domain corpus rollup (doc counts, token mass,
+                         language spread, mean quality)
+
+The reference pipeline reads whole .txt files (main.py:283-284) and has no
+crawl layer; these ops are the scale-out ingest surface a Common-Crawl corpus
+needs before the reference's chunk/extract stages apply. All plans are
+shuffle-linear: one hash aggregation per operator, no windows, no collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import html_to_text
+from .textstats import quality_scores
+
+# html.escape(quote=True) replacement chain, in python's exact order
+# (& first, quotes last) — order matters for byte parity.
+_ESCAPES = (
+    ("&", "&amp;"),
+    ("<", "&lt;"),
+    (">", "&gt;"),
+    ('"', "&quot;"),
+    ("'", "&#x27;"),
+)
+
+HTML_PREFIX = "<html><body><p>"
+HTML_SUFFIX = "</p></body></html>"
+
+
+def wrap_html_expr(text_col: str | Column) -> Column:
+    """text -> utf-8 html bytes, byte-identical to wrap_text_as_html().
+
+    Pure JVM column expression (literal replace chain + concat + encode) so
+    a pages fixture can be synthesized from any text column with no Python
+    worker in the plan.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for src, dst in _ESCAPES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return F.encode(F.concat(F.lit(HTML_PREFIX), c, F.lit(HTML_SUFFIX)), "UTF-8")
+
+
+def extract_html_text(
+    pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Append ``out_col``: text extracted from the html binary column.
+
+    The extractor is the engine's real one (functions.text.html_to_text —
+    script/style drop, tag strip, entity unescape), applied as an
+    Arrow-batched scalar pandas UDF: one Python stage, vectorized transfer,
+    no per-row pickling. Everything upstream/downstream stays JVM-side.
+    """
+
+    @F.pandas_udf("string")
+    def _extract(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda p: html_to_text(p) if p is not None else None)
+
+    return pages.withColumn(out_col, _extract(F.col(html_col)))
+
+
+def html_roundtrip_check(
+    pages: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """Per-row gate for the north-rule invariant: extracted(html) == text.
+
+    Adds ``roundtrip_ok`` (byte equality) and ``extracted_sha256`` so a
+    driver can value-hash the extracted bytes without shipping them.
+    """
+    out = extract_html_text(pages, html_col=html_col, out_col="_extracted")
+    return out.select(
+        "*",
+        (F.col("_extracted") == F.col(text_col)).alias("roundtrip_ok"),
+        F.sha2(F.col("_extracted"), 256).alias("extracted_sha256"),
+        F.length("_extracted").alias("extracted_chars"),
+    ).drop("_extracted")
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep the newest crawl per url (as-of dedup of a multi-crawl corpus).
+
+    One aggregation: ``max_by(struct(row), struct(ts, *tie_cols))`` —
+    map-side combinable, so each partition reduces to one candidate row per
+    url before the single Exchange; no window, no per-key row buffering.
+    Physical note: the struct-valued buffer makes Spark pick SortAggregate
+    (structs aren't hash-agg mutable), so each map task does a LOCAL sort by
+    url before combining. That local, spillable sort still beats the
+    alternatives at 10^12 rows: a window would shuffle the FULL table then
+    sort per key; a max(ts)+self-join would pay a second full-table network
+    shuffle. Shuffle bytes here stay O(urls x partitions).
+
+    ``tie_cols`` break exact ts ties deterministically (pass e.g. a digest
+    column); with no tie column the ts must be unique per url.
+    """
+    payload = [c for c in pages.columns if c != url_col]
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in tie_cols])
+    out = pages.groupBy(url_col).agg(
+        F.max_by(F.struct(*payload), order).alias("_row"),
+        F.count(F.lit(1)).alias("n_crawls"),
+    )
+    return out.select(url_col, "_row.*", "n_crawls")
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    For word n-grams (default bigrams):
+
+      n_grams        total n-gram count
+      distinct_grams distinct n-gram count
+      dup_gram_frac  1 - distinct/total   (duplicate n-gram fraction)
+      top_gram_frac  max single-gram count / total (top n-gram mass)
+
+    Plan: array-transform to n-grams (JVM), explode, two hash aggregations
+    with map-side combine — linear in corpus size, the per-(doc, gram) key
+    space is bounded by document length so there is no skew beyond document
+    length itself. Docs with < n words report zeros.
+    """
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit(""))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    per_gram = (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", zero).alias("n_grams"),
+            F.coalesce("distinct_grams", zero).alias("distinct_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    1.0 - F.col("distinct_grams") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_gram_frac"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_gram_frac"),
+        )
+    )
+
+
+def domain_stats(
+    docs: DataFrame, domain_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus rollup: the aggregation behind crawl blocklists.
+
+    One hash aggregation keyed by domain. Domains are the canonical skewed
+    key of a web corpus (a head domain can hold 1e8 pages); every aggregate
+    used here is algebraic (count/sum/avg) so the map-side combine bounds
+    reducer input by (n_partitions x n_domains) regardless of skew — no
+    per-domain row lists are ever built. count_distinct(lang) partial-aggs
+    over the tiny (domain, lang) key space (|langs| is O(100)); for a
+    high-cardinality distinct swap in approx_count_distinct.
+    """
+    q = quality_scores(docs, text_col=text_col)
+    return q.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

@@ -52,6 +52,7 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     from ai_knowledge_graph_spark.operators.extraction import pages_to_raw_triples
     from ai_knowledge_graph_spark.operators.inference import infer_relationships
     from ai_knowledge_graph_spark.operators.standardize import standardize_triples
+    from ai_knowledge_graph_spark.graph.centrality import pagerank
 
     timings: dict[str, float] = {}
     extras: dict = {}
@@ -113,6 +114,15 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         e2e_sec = min(e2e_sec, round(time.time() - t_e2e, 3))
         timed("components", lambda: components_for_triples(std).count())
         timed("infer_reference", lambda: infer_relationships(std).count())
+        timed(
+            "kg_pagerank",
+            lambda: pagerank(
+                std.select(
+                    F.col("subject").alias("src"), F.col("object").alias("dst")
+                ),
+                iterations=5,
+            ).count(),
+        )
         for k, v in timings.items():
             best[k] = min(best.get(k, float("inf")), v)
     timings.update(best)
@@ -161,6 +171,13 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         lambda: entry_mod.q_minhash_dedup_docs(spark, sf_dir).count(),
     )
     timed("doc_token_count", lambda: entry_mod.q_token_count(spark, sf_dir).count())
+    timed(
+        "doc_repetition_stats",
+        lambda: entry_mod.q_repetition_stats(spark, sf_dir).count(),
+    )
+    # wrap->extract roundtrip: exercises the Arrow pandas-UDF extractor path
+    timed("doc_html_extract", lambda: entry_mod.q_html_extract(spark, sf_dir).count())
+    timed("doc_latest_crawl", lambda: entry_mod.q_latest_crawl(spark, sf_dir).count())
     timed(
         "embedding_topk", lambda: entry_mod.q_embedding_topk(spark, sf_dir).count()
     )

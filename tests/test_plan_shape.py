@@ -147,3 +147,51 @@ def test_multi_hop_qa_no_cartesian(spark):
     )
     plan = _plan(multi_hop_qa(edges))
     assert "CartesianProduct" not in plan
+
+
+def test_latest_snapshot_is_one_agg_no_window(spark):
+    # as-of dedup must be a single map-side-combinable aggregation: one
+    # shuffle, no window sort (a window over url would buffer per-key row
+    # groups — the shape that dies at 10^12 rows)
+    from ai_knowledge_graph_spark.operators.webcrawl import latest_snapshot
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("url"),
+        F.timestamp_seconds(F.col("id")).alias("warc_ts"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = _plan(latest_snapshot(df, tie_cols=("doc_id",)))
+    assert "Window" not in plan
+    # formatted mode lists each node twice (tree + detail): one Exchange node
+    assert plan.count("+- Exchange") == 1, plan
+    # map-side combine must be present: the Exchange carries one candidate
+    # row per (partition, url), not the full table (the SortAggregate pair
+    # with a LOCAL pre-agg sort is expected — struct buffers aren't
+    # hash-aggregable; see latest_snapshot docstring)
+    assert "partial_max_by" in plan
+
+
+def test_repetition_stats_no_window_no_cartesian(spark):
+    from ai_knowledge_graph_spark.operators.webcrawl import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    plan = _plan(repetition_stats(df))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_html_extract_is_arrow_batched(spark):
+    # the extractor must run as an Arrow-batched pandas UDF (ArrowEvalPython),
+    # never a row-at-a-time BatchEvalPython
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        extract_html_text,
+        wrap_html_expr,
+    )
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    pages = df.select(wrap_html_expr("text").alias("html"))
+    plan = _plan(extract_html_text(pages))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
