@@ -896,6 +896,75 @@ def q_pagerank(spark, sf_dir):
     return pr.select("entity", F.round("pagerank", 6).alias("pagerank"))
 
 
+# --- event analytics + deterministic sampling ------------------------------
+
+
+def q_asof_purchase_signup(spark, sf_dir):
+    # backward as-of join: each purchase -> latest preceding signup by the
+    # same user (union-tag window shape, not a theta-join)
+    from ai_knowledge_graph_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        purchases,
+        signups,
+        payload_cols=("event_id", "ts"),
+        tiebreak_col="event_id",
+        prefix="anchor_",
+    )
+    return out.select(
+        "event_id",
+        "anchor_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("anchor_ts")).alias("gap_sec"),
+    )
+
+
+def q_sessions(spark, sf_dir):
+    # gap sessionization (30 min) + per-session rollup
+    from ai_knowledge_graph_spark.operators.events import session_stats, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return session_stats(sessionize(ev))
+
+
+def q_event_windows(spark, sf_dir):
+    # tumbling 1-hour windowed aggregation (batch twin of the streaming op)
+    from ai_knowledge_graph_spark.streaming.ingest import windowed_event_counts_batch
+
+    out = windowed_event_counts_batch(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic per-language hash sampling (corpus mixing)
+    from ai_knowledge_graph_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, "lang", SAMPLE_RATES, key_col="doc_id", default_rate=0.75
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_hash_split(spark, sf_dir):
+    # leakage-safe train/val/test assignment by document-key hash
+    from ai_knowledge_graph_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -969,6 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
         "pagerank": q_pagerank,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "sessions": q_sessions,
+        "event_windows": q_event_windows,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2180,6 +2254,73 @@ pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
         + f"""
 SELECT node AS entity, round(pr, 6) AS pagerank FROM {_prev}"""
     )
+
+    # --- event analytics + deterministic sampling -----------------------
+
+    sql["asof_purchase_signup"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup'),
+j AS (
+  SELECT p.event_id, s.event_id AS anchor_event_id,
+         CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS gap_sec,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY s.ts DESC, s.event_id DESC) AS rn
+  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+)
+SELECT p.event_id, j.anchor_event_id, j.gap_sec
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.event_id"""
+
+    sql["sessions"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+), x AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS idx
+  FROM f
+)
+SELECT CAST(user_id AS VARCHAR) || '-' || CAST(idx AS VARCHAR) AS session_id,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       round(sum(value), 6) AS total_value
+FROM x GROUP BY user_id, idx"""
+
+    sql["event_windows"] = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_sec,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2"""
+
+    _bucket = (
+        "(('0x' || substr(md5(CAST({k} AS VARCHAR) || ':{salt}'), 1, 8))::BIGINT"
+        " % 10000)"
+    )
+    _rate_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{lang}' THEN {int(rate * 10000)}"
+            for lang, rate in sorted(SAMPLE_RATES.items())
+        )
+        + " ELSE 7500 END"
+    )
+    sql["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket.format(k='doc_id', salt='stratified')} < {_rate_case}"""
+
+    sql["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_bucket.format(k='doc_id', salt='split')} < 9000 THEN 'train'
+            WHEN {_bucket.format(k='doc_id', salt='split')} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
 
     return sql
 

@@ -1,0 +1,146 @@
+"""Event-stream analytics operators: as-of join, sessionization, windows.
+
+The build brief names as-of joins and range/window operations as the custom
+operators Spark's DataFrame API lacks as primitives; the reference engine has
+no event layer at all (its inputs are whole text files, main.py:283-284), so
+these are the from-scratch event-side surface over the driver's ``events``
+table (event_id, ts, user_id, event_type, value, props).
+
+All three operators are single-shuffle shapes keyed by the entity id:
+
+  asof_join        union-tag trick: one shuffle by key, one per-key ordered
+                   window carrying last-known right-side payload forward —
+                   the kdb/Flink temporal-join shape, linear in rows
+  sessionize       lag + running-sum windows per key (gap sessionization)
+  session_stats    hash agg over (key, session)
+
+Per-key windows sort within each key partition; at web scale the key is a
+user/entity id with bounded per-key cardinality (hot keys are bounded by a
+user's own event count, not corpus size), which is exactly when per-key
+windows are the right plan. For a key-free global as-of, range-bucket the
+timestamp instead (see time-bucket note in asof_join docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("event_id",),
+    tiebreak_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right.ts <= left.ts`` for the same key (inclusive, like DuckDB ASOF).
+
+    Implementation is the union-tag trick, NOT a theta-join: tag right rows
+    0 and left rows 1, union, then one window per key ordered by
+    (ts, tag, tiebreak) carrying ``last(payload, ignorenulls=True)``
+    forward. Cost is one shuffle of |L|+|R| rows plus a per-key sort —
+    linear, no per-left-row candidate scan, no range condition the
+    optimizer would turn into a broadcast-nested-loop. Left rows with no
+    preceding right row keep nulls (left-outer semantics).
+
+    Ties: right rows sharing (key, ts) are resolved by ``tiebreak_col``
+    (max wins); required for determinism when right timestamps may repeat.
+    For a key-free global as-of at scale, add a coarse time-bucket column
+    to both sides and use it as ``key_col`` (with the previous bucket's
+    tail replicated), keeping the same single-shuffle shape.
+    """
+    tag = F.lit(1)
+    lhs = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        tag.alias("_tag"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    rhs = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).cast("long").alias("_tie"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_row"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_tag"), F.col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "_tag",
+        "_row",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        "_row.*", *[f"{prefix}{c}" for c in payload_cols]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Append ``session_id``: gap-based sessions per key (new session when
+    the inter-event gap exceeds ``gap_seconds``).
+
+    Two stacked windows over the same (key, ts, order) sort — Catalyst
+    plans them in ONE shuffle + one per-key sort: lag() marks session
+    starts, a running sum numbers them. session_id = "<key>-<idx>" is
+    stable under re-partitioning (derived from data, not task ids).
+    Second-resolution gap arithmetic (unix_timestamp floor) keeps the SQL
+    oracle byte-identical.
+    """
+    order = (F.col(ts_col), F.col(order_col))
+    w_lag = Window.partitionBy(key_col).orderBy(*order)
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = F.unix_timestamp(ts_col)
+    prev_sec = F.lag(sec).over(w_lag)
+    new_session = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > gap_seconds), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.concat_ws(
+            "-",
+            F.col(key_col).cast("string"),
+            F.sum(new_session).over(w_run).cast("string"),
+        ),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: one hash aggregation (all algebraic, map-side
+    combined): event count, duration in whole seconds, total value."""
+    sec = F.unix_timestamp(ts_col)
+    return sessions.groupBy("session_id").agg(
+        F.first(key_col).alias(key_col),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(sec) - F.min(sec)).alias("duration_sec"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )
