@@ -965,6 +965,14 @@ def q_hash_split(spark, sf_dir):
     return hash_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
 
 
+def q_curate_corpus(spark, sf_dir):
+    # the composed curation funnel: lang -> quality -> repetition -> exact
+    # dedup -> near-dup dedup -> split assignment
+    from ai_knowledge_graph_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -1043,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -2321,6 +2330,61 @@ SELECT doc_id,
             WHEN {_bucket.format(k='doc_id', salt='split')} < 9500 THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
+
+    # Composed curation funnel: reuses the minhash-LSH + closure fragments
+    # scoped to the filtered survivor set (replace the corpus source), so
+    # every gate matches curation.curate_corpus stage-for-stage.
+    _split_case = (
+        f"CASE WHEN {_bucket.format(k='d.doc_id', salt='split')} < 9000 THEN 'train' "
+        f"WHEN {_bucket.format(k='d.doc_id', salt='split')} < 9500 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    sql["curate_corpus"] = (
+        """WITH RECURSIVE cbase AS (
+  SELECT doc_id, lang, text,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS words,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents WHERE lang = 'en'
+), qual AS (
+  SELECT doc_id, lang, text,
+    round(least(len(words) / 100.0, 1.0) *
+          (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+               ELSE 0.0 END), 6) AS quality
+  FROM cbase
+), qkept AS (SELECT * FROM qual WHERE quality >= 0.3),
+rw AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM qkept
+), rg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM rw WHERE len(ws) >= 2
+), rpg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2
+), rs AS (
+  SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_gram_frac
+  FROM rpg GROUP BY doc_id
+), rkept AS (
+  SELECT q.doc_id, q.lang, q.text, q.quality,
+         COALESCE(rs.dup_gram_frac, 0.0) AS dup_gram_frac
+  FROM qkept q LEFT JOIN rs USING (doc_id)
+  WHERE COALESCE(rs.dup_gram_frac, 0.0) <= 0.06
+), cshad AS (
+  SELECT *, sha256(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS sha FROM rkept
+), ckeep AS (SELECT sha, min(doc_id) AS doc_id FROM cshad GROUP BY sha),
+kept AS (
+  SELECT s.doc_id, s.lang, s.text, s.quality, s.dup_gram_frac
+  FROM cshad s JOIN ckeep k ON s.sha = k.sha AND s.doc_id = k.doc_id
+),
+"""
+        + _sh_body.replace("FROM documents)", "FROM kept)")
+        + _pairs_body
+        + _closure_body
+        + f"""
+SELECT d.doc_id, d.lang, d.quality, d.dup_gram_frac, {_split_case} AS split
+FROM kept d LEFT JOIN ndlabels l USING (doc_id)
+WHERE l.group_id IS NULL OR l.group_id = d.doc_id"""
+    )
 
     return sql
 

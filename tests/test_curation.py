@@ -1,0 +1,65 @@
+"""curate_corpus: the composed training-data curation funnel."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.operators.curation import curate_corpus
+
+GOOD = (
+    "the railway network enables trade and the factory system drives "
+    "industry while coal mining supports steel production and urban "
+    "population grows with mass production of textile goods in every "
+    "region of the country through modern commerce and shipping lanes"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curation_funnel_gates(spark):
+    rows = [
+        (0, GOOD, "en"),                          # survives
+        (1, GOOD, "de"),                          # lang gate
+        (2, "short", "en"),                       # quality gate (5 words -> 0.05)
+        (3, "spam spam " * 40, "en"),             # repetition gate
+        (4, GOOD, "en"),                          # exact dup of 0 -> dropped
+        (5, GOOD + " extra tail words here now", "en"),  # near-dup of 0 -> dropped
+        (6, GOOD.replace("railway", "canal").replace("factory", "mill")
+            .replace("coal", "ore").replace("urban", "rural")
+            .replace("textile", "ceramic").replace("trade", "barter")
+            .replace("industry", "craft").replace("steel", "iron"), "en"),  # distinct enough
+    ]
+    out = {r["doc_id"]: r for r in curate_corpus(_docs(spark, rows)).collect()}
+    assert 0 in out and 6 in out
+    for dropped in (1, 2, 3, 4, 5):
+        assert dropped not in out, dropped
+    assert out[0]["split"] in ("train", "val", "test")
+    assert out[0]["lang"] == "en"
+    assert out[0]["quality"] >= 0.3
+    assert out[0]["dup_gram_frac"] <= 0.06
+
+
+def test_curation_survivor_is_min_id(spark):
+    rows = [(7, GOOD, "en"), (3, GOOD, "en"), (9, GOOD, "en")]
+    ids = {r["doc_id"] for r in curate_corpus(_docs(spark, rows)).collect()}
+    assert ids == {3}
+
+
+def test_curation_lang_filter_reaches_scan(spark, tmp_path):
+    # the cheapest gate must push into the parquet scan (the 100 TB funnel
+    # property: later stages only read survivors)
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, [(0, GOOD, "en"), (1, GOOD, "de")]).write.parquet(p)
+    docs = spark.read.parquet(p)
+    q = docs.filter(F.col("lang").isin("en"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(lang,en)" in pushed[0], plan
