@@ -886,6 +886,81 @@ def q_domain_stats(spark, sf_dir):
     return domain_stats(_docs(spark, sf_dir)).withColumnRenamed("source", "domain")
 
 
+def q_canonical_crawl(spark, sf_dir):
+    # Canonical-URL as-of dedup: deterministic messy-URL variants (host case,
+    # fragment, default port, tracking params, param order) collapse to one
+    # identity; newest crawl per identity survives. The oracle computes the
+    # expected canonical form directly from (source, doc_id) — independent of
+    # the engine's regex normalizer.
+    from ai_knowledge_graph_spark.operators.webcrawl import canonical_url_dedup
+
+    docs = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p"), k
+    )
+    url = (
+        F.when(v == 0, base)
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(F.col("source")),
+                F.lit(".EXAMPLE.ORG/p"), k, F.lit("#sec"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.org:443/p"), k, F.lit("?utm_source=bench"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?b=2&a=1")))
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id") * 60).alias(
+            "warc_ts"
+        ),
+        "doc_id",
+        "text",
+    )
+    out = canonical_url_dedup(pages, tie_cols=("doc_id",))
+    return out.select(
+        "canonical_url",
+        "url",
+        F.col("doc_id").alias("latest_doc_id"),
+        F.sha2(F.col("text"), 256).alias("latest_sha256"),
+        "n_crawls",
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    # Incremental re-crawl delta: full-outer 1:1 digest join between two
+    # snapshot cuts — added / removed / changed / unchanged per url.
+    from ai_knowledge_graph_spark.operators.webcrawl import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/d"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"), F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"),
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("content_sha"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -963,6 +1038,25 @@ def q_hash_split(spark, sf_dir):
     from ai_knowledge_graph_spark.operators.sampling import hash_split
 
     return hash_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
+def q_line_dedup(spark, sf_dir):
+    # CCNet/RefinedWeb-style corpus-level boilerplate-line removal: lines
+    # occurring > 2x across the corpus (synthetic nav header on every doc,
+    # per-source copyright footer) are dropped from every document.
+    from ai_knowledge_graph_spark.operators.curation import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return line_dedup(synth, max_occurrences=2)
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -1043,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "html_extract": q_html_extract,
         "latest_crawl": q_latest_crawl,
+        "canonical_crawl": q_canonical_crawl,
+        "snapshot_diff": q_snapshot_diff,
         "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
         "pagerank": q_pagerank,
@@ -1052,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "curate_corpus": q_curate_corpus,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2174,6 +2271,53 @@ SELECT url,
        CAST(count(*) AS BIGINT) AS n_crawls
 FROM pages GROUP BY url"""
 
+    sql["canonical_crawl"] = """
+WITH pages AS (
+  SELECT doc_id, text, lower(source) AS lsrc, source,
+         CAST(doc_id % 50 AS VARCHAR) AS k, doc_id % 4 AS v,
+         to_timestamp(1767225600 + doc_id * 60) AS warc_ts
+  FROM documents
+), messy AS (
+  SELECT doc_id, text, warc_ts,
+    CASE v
+      WHEN 0 THEN 'https://' || source || '.example.org/p' || k
+      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.ORG/p' || k || '#sec'
+      WHEN 2 THEN 'https://' || source || '.example.org:443/p' || k
+                  || '?utm_source=bench'
+      ELSE 'https://' || source || '.example.org/p' || k || '?b=2&a=1'
+    END AS url,
+    'https://' || lsrc || '.example.org/p' || k ||
+      CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+  FROM pages
+)
+SELECT canonical_url,
+       max_by(url, warc_ts) AS url,
+       max_by(doc_id, warc_ts) AS latest_doc_id,
+       sha256(max_by(text, warc_ts)) AS latest_sha256,
+       CAST(count(*) AS BIGINT) AS n_crawls
+FROM messy GROUP BY canonical_url"""
+
+    sql["snapshot_diff"] = """
+WITH base AS (
+  SELECT doc_id, text,
+    'https://' || source || '.example.org/d' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), old AS (
+  SELECT url, sha256(text) AS old_sha FROM base WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT url,
+         sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+           AS new_sha
+  FROM base WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(old.url, new.url) AS url,
+  CASE WHEN old_sha IS NULL THEN 'added'
+       WHEN new_sha IS NULL THEN 'removed'
+       WHEN old_sha <> new_sha THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  old_sha, new_sha
+FROM old FULL OUTER JOIN new ON old.url = new.url"""
+
     sql["repetition_stats"] = """
 WITH w AS (
   SELECT doc_id,
@@ -2339,6 +2483,35 @@ FROM documents"""
         f"WHEN {_bucket.format(k='d.doc_id', salt='split')} < 9500 THEN 'val' "
         "ELSE 'test' END"
     )
+    sql["line_dedup"] = """
+WITH synth AS (
+  SELECT doc_id,
+    'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10) ||
+      'Copyright ' || source AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ls) + 1),
+                i -> struct_pack(pos := i, ln := ls[i])), recursive := true)
+  FROM l
+), hot AS (
+  SELECT ln FROM e GROUP BY ln HAVING count(*) > 2
+), kept AS (
+  SELECT doc_id, pos, ln FROM e WHERE ln NOT IN (SELECT ln FROM hot)
+), reb AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_lines FROM e GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id"""
+
     sql["curate_corpus"] = (
         """WITH RECURSIVE cbase AS (
   SELECT doc_id, lang, text,

@@ -82,3 +82,71 @@ def curate_corpus(
     return hash_split(survivors, "doc_id", weights=split_weights).select(
         "doc_id", "lang", "quality", "dup_gram_frac", "split"
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet / RefinedWeb boilerplate
+    pass): any line whose total occurrence count across the corpus exceeds
+    ``max_occurrences`` is dropped from EVERY document; surviving lines are
+    rejoined in original order.
+
+    Returns (id_col, text [cleaned], n_lines, n_dropped) — one row per input
+    document, including documents whose every line was dropped (text "").
+
+    The navigation headers, cookie banners and copyright footers of a web
+    corpus repeat across millions of pages; in-document signals
+    (repetition_stats) cannot see them. This is the cross-document
+    complement, and at 100 TB it is three linear passes:
+
+      1. posexplode the line arrays (JVM split, no Python)
+      2. hash-agg line -> total count; the over-threshold "hot" set IS the
+         boilerplate, which is tiny relative to the corpus but too big to
+         assume broadcastable at 10^12 docs — so survivors come from a
+         left_anti shuffle join on the line key (AQE turns it into a
+         broadcast join automatically when the hot side measures small)
+      3. re-group by document, array_sort by position, concat_ws —
+         per-document state is bounded by document length, so the
+         collect_list carries no skew beyond the longest page
+
+    The reference has no corpus layer at all (main.py:283-284 reads whole
+    local files); this operator exists for the Common-Crawl shape the north
+    rule targets.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
+    )
+    hot = (
+        lines.groupBy("_ln")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > max_occurrences)
+        .select("_ln")
+    )
+    kept = lines.join(hot, "_ln", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                lambda s: s["_ln"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )

@@ -210,3 +210,112 @@ def domain_stats(
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+# Query parameters dropped during URL canonicalization: the standard
+# click-tracking keys that vary per visitor without changing the resource.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def normalize_url(
+    url_col: str | Column, tracking_re: str = TRACKING_PARAM_RE
+) -> Column:
+    """Canonical form of an http(s) URL — a pure JVM column expression.
+
+    Canonicalization applied (the usual crawl-frontier/dedup set):
+
+      * scheme and host lowercased
+      * default ports stripped (http://h:80 -> http://h, https://h:443)
+      * empty path -> "/"
+      * fragment dropped
+      * tracking query params dropped (``tracking_re``), the rest sorted
+        bytewise and rejoined, so param order never splits a URL's identity
+
+    No Python in the plan: regexp extracts + a higher-order filter/sort over
+    the split query string, all whole-stage-codegen-able. URLs without a
+    ``scheme://`` prefix pass through unchanged (the expression only
+    rewrites rows the authority regex matches).
+
+    The reference has no crawl layer (main.py:283-284 reads local .txt
+    files); this is ingest surface the Common-Crawl shape needs so that
+    per-url invariants (north rule) key on one canonical identity.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    auth0 = F.lower(F.regexp_extract(c, _AUTHORITY_RE, 1))
+    authority = (
+        F.when(scheme == "http", F.regexp_replace(auth0, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth0, ":443$", ""))
+        .otherwise(auth0)
+    )
+    path0 = F.regexp_extract(c, _PATH_RE, 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    query = F.regexp_extract(c, _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(tracking_re),
+    )
+    qnorm = F.array_join(F.array_sort(kept), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+    return F.when(auth0 != "", rebuilt).otherwise(c)
+
+
+def canonical_url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_cols: tuple[str, ...] = (),
+    tracking_re: str = TRACKING_PARAM_RE,
+) -> DataFrame:
+    """As-of dedup keyed by the CANONICAL url, not the raw crawl string.
+
+    ``normalize_url`` collapses scheme/host case, default ports, fragments,
+    tracking params and param order into one identity, then
+    ``latest_snapshot`` keeps the newest crawl per identity (map-side
+    combinable max_by — same single-Exchange shape, see latest_snapshot).
+    Output carries ``canonical_url`` plus the surviving row's raw ``url``.
+    """
+    with_canon = pages.withColumn(
+        "canonical_url", normalize_url(url_col, tracking_re)
+    )
+    return latest_snapshot(
+        with_canon, url_col="canonical_url", ts_col=ts_col, tie_cols=tie_cols
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    sha_col: str = "content_sha",
+) -> DataFrame:
+    """Per-url delta between two crawl snapshots: added/removed/changed/unchanged.
+
+    Inputs are one-row-per-url snapshots (e.g. two ``latest_snapshot``
+    outputs at different cut points) carrying a content digest. One
+    full-outer hash join on url — both sides are unique on the key, so the
+    join is 1:1, skew-free, and shuffle bytes are O(|old| + |new|); the
+    digest comparison avoids shipping page bodies. This is the operator an
+    incremental re-crawl pipeline runs to decide which urls to re-extract.
+    """
+    o = old.select(F.col(url_col), F.col(sha_col).alias("old_sha"))
+    n = new.select(F.col(url_col), F.col(sha_col).alias("new_sha"))
+    j = o.join(n, url_col, "full_outer")
+    status = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(url_col, status.alias("status"), "old_sha", "new_sha")

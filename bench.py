@@ -37,6 +37,64 @@ from ai_knowledge_graph_spark.fixtures import generate_bench_pages  # noqa: E402
 from ai_knowledge_graph_spark.session import get_spark  # noqa: E402
 
 
+def _host_capacity_probe(cores: int, n_hashes: int = 2000) -> dict:
+    """Self-contained host-contention probe, run before and after the bench.
+
+    Times a fixed sha256 workload (64 KiB buffer per call — hashlib releases
+    the GIL on buffers this size, so threads run truly parallel) once
+    single-threaded, then ``cores`` concurrent copies. On an idle host with
+    >= ``cores`` real CPUs the wall times match (capacity ~1.0); under
+    noisy-neighbor steal the concurrent run inflates. This sandbox is a
+    microVM whose *parallel* capacity swings ~2x across minutes while
+    single-thread speed and load average stay flat — the probe makes a
+    contaminated bench window visible in the JSON instead of looking like a
+    code regression (observed: identical code 10.7s vs 93s e2e at 32 cores).
+
+    Also reports the steal fraction from /proc/stat over the probe window
+    (0.0 when the hypervisor hides steal, which is why the sha probe is the
+    primary signal).
+    """
+    import hashlib
+    import multiprocessing as mp
+
+    buf = b"\xa5" * 65536
+
+    def work() -> None:
+        for _ in range(n_hashes):
+            hashlib.sha256(buf).digest()
+
+    def steal_ticks() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except OSError:
+            return (0, 0)
+
+    t0 = time.perf_counter()
+    work()
+    t1 = time.perf_counter() - t0
+    total0, steal0 = steal_ticks()
+    # forked processes, not threads: sidesteps the GIL so the measurement is
+    # pure host capacity (fork is cheap; each child inherits buf/work)
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=work) for _ in range(cores)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    tn = time.perf_counter() - t0
+    total1, steal1 = steal_ticks()
+    dt = total1 - total0
+    return {
+        "t1_sec": round(t1, 3),
+        "tN_sec": round(tn, 3),
+        "parallel_capacity": round(t1 / tn, 3) if tn > 0 else None,
+        "steal_frac": round((steal1 - steal0) / dt, 4) if dt > 0 else None,
+    }
+
+
 def _sf_of(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -202,9 +260,14 @@ def main() -> None:
     sf = _sf_of(sf_dir)
     n_docs = int(os.environ.get("BENCH_DOCS", max(200, int(20000 * sf))))
 
+    probe_before = _host_capacity_probe(cores)
     spark = get_spark("bench", master=f"local[{cores}]", shuffle_partitions=cores)
     result = run_bench(spark, sf_dir, n_docs)
     result["cores"] = cores
+    result["host_probe"] = {
+        "before": probe_before,
+        "after": _host_capacity_probe(cores),
+    }
     print(json.dumps(result))
 
 

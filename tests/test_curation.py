@@ -63,3 +63,38 @@ def test_curation_lang_filter_reaches_scan(spark, tmp_path):
     plan = buf.getvalue()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "EqualTo(lang,en)" in pushed[0], plan
+
+
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    from ai_knowledge_graph_spark.operators.curation import line_dedup
+
+    hdr = "HOME | ABOUT"
+    rows = [
+        (0, hdr + "\nunique zero\nshared body"),
+        (1, hdr + "\nunique one\nshared body"),
+        (2, hdr + "\nunique two"),
+        (3, "only unique three"),
+        (4, hdr),  # all lines dropped -> empty text survives as a row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # hdr appears 4x (> 2) -> dropped; "shared body" 2x (<= 2) -> kept
+    out = {r["doc_id"]: r for r in line_dedup(df, max_occurrences=2).collect()}
+    assert out[0]["text"] == "unique zero\nshared body"
+    assert out[0]["n_lines"] == 3 and out[0]["n_dropped"] == 1
+    assert out[1]["text"] == "unique one\nshared body"
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "only unique three" and out[3]["n_dropped"] == 0
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 1
+    assert len(out) == 5
+
+
+def test_line_dedup_counts_within_doc_repeats(spark):
+    from ai_knowledge_graph_spark.operators.curation import line_dedup
+
+    # "x" appears twice in ONE doc: total occurrences 2 > 1 -> dropped
+    df = spark.createDataFrame(
+        [(0, "x\nmid\nx"), (1, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_occurrences=1).collect()}
+    assert out[0]["text"] == "mid" and out[0]["n_dropped"] == 2
+    assert out[1]["text"] == "solo"

@@ -18,11 +18,14 @@ from pyspark.sql import functions as F
 from ai_knowledge_graph_spark.functions.text import html_to_text, wrap_text_as_html
 from ai_knowledge_graph_spark.graph.centrality import pagerank
 from ai_knowledge_graph_spark.operators.webcrawl import (
+    canonical_url_dedup,
     domain_stats,
     extract_html_text,
     html_roundtrip_check,
     latest_snapshot,
+    normalize_url,
     repetition_stats,
+    snapshot_diff,
     wrap_html_expr,
 )
 
@@ -168,3 +171,80 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df).count() == 0
+
+
+NORMALIZE_CASES = [
+    # (raw, canonical)
+    ("https://Example.ORG/Path", "https://example.org/Path"),
+    ("HTTPS://EXAMPLE.org/p#frag", "https://example.org/p"),
+    ("https://example.org:443/p", "https://example.org/p"),
+    ("http://example.org:80/p", "http://example.org/p"),
+    ("http://example.org:8080/p", "http://example.org:8080/p"),
+    ("https://example.org", "https://example.org/"),
+    ("https://example.org/p?b=2&a=1", "https://example.org/p?a=1&b=2"),
+    (
+        "https://example.org/p?utm_source=x&a=1&fbclid=z",
+        "https://example.org/p?a=1",
+    ),
+    ("https://example.org/p?utm_campaign=only", "https://example.org/p"),
+    ("https://example.org/p?a=1#frag", "https://example.org/p?a=1"),
+    # no scheme://authority -> passthrough, untouched
+    ("not a url at all", "not a url at all"),
+    ("mailto:x@example.org", "mailto:x@example.org"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in NORMALIZE_CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(normalize_url("url").alias("c")).collect()
+    ]
+    for (raw, want), have in zip(NORMALIZE_CASES, got):
+        assert have == want, f"{raw!r}: {have!r} != {want!r}"
+
+
+def test_canonical_url_dedup_collapses_variants(spark):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # three spellings of one identity; newest is the :443 variant
+        ("https://A.org/p?b=2&a=1", base + dt.timedelta(minutes=1), 1),
+        ("https://a.org/p?a=1&b=2&utm_source=t", base + dt.timedelta(minutes=2), 2),
+        ("https://a.org:443/p?a=1&b=2", base + dt.timedelta(minutes=3), 3),
+        # a distinct identity (different param value)
+        ("https://a.org/p?a=1&b=3", base, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, doc_id long"
+    )
+    out = {
+        r["canonical_url"]: r
+        for r in canonical_url_dedup(df, tie_cols=("doc_id",)).collect()
+    }
+    assert set(out) == {
+        "https://a.org/p?a=1&b=2",
+        "https://a.org/p?a=1&b=3",
+    }
+    winner = out["https://a.org/p?a=1&b=2"]
+    assert winner["doc_id"] == 3 and winner["n_crawls"] == 3
+    # surviving row keeps its RAW url alongside the canonical key
+    assert winner["url"] == "https://a.org:443/p?a=1&b=2"
+    assert out["https://a.org/p?a=1&b=3"]["n_crawls"] == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "s1"), ("u2", "s2"), ("u3", "s3")],
+        "url string, content_sha string",
+    )
+    new = spark.createDataFrame(
+        [("u2", "s2"), ("u3", "s3x"), ("u4", "s4")],
+        "url string, content_sha string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
