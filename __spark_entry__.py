@@ -1067,6 +1067,60 @@ def q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination (GPT-3/Pile 13-gram collision rule): the
+    # synthetic eval set is a 50-word slice (words 11-60) of every 19th
+    # document, so those docs (and any near-dups of them) self-flag.
+    from ai_knowledge_graph_spark.operators.curation import (
+        _word_array,
+        decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    words = _word_array(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % 19 == 0).select(
+        F.concat_ws(" ", F.slice(words, 11, 50)).alias("text")
+    )
+    return decontaminate(docs, bench, k=13, min_hits=1)
+
+
+def q_pii_redact(spark, sf_dir):
+    # PII scrubbing: deterministic synthetic email / IPv4 / phone suffixes
+    # (only some docs get each type, so counts vary), redacted in place.
+    from ai_knowledge_graph_spark.operators.curation import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact "), F.col("source"), F.lit("_"),
+                    did.cast("string"), F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" ip 10."), (did % 200).cast("string"),
+                    F.lit(".0."), (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(synth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline over sf0.001 documents."""
     from ai_knowledge_graph_spark.config import load_config
@@ -1149,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "curate_corpus": q_curate_corpus,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2511,6 +2567,73 @@ SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id"""
+
+    # k=13 grams: i ranges 1..len-12 (range upper bound is exclusive), the
+    # window is ws[i:i+12] (DuckDB slices are 1-based INCLUSIVE = 13 words);
+    # gram hash is the repo's portable 48-bit md5 prefix.
+    sql["decontaminate"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), bw AS (
+  SELECT ws[11:60] AS bs FROM w WHERE doc_id % 19 = 0
+), bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(bs) - 11),
+           i -> ('0x'||substr(md5(array_to_string(bs[i:i+12], ' ')),1,12))::BIGINT)) AS g
+  FROM bw WHERE len(bs) >= 13
+), dg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 11),
+           i -> ('0x'||substr(md5(array_to_string(ws[i:i+12], ' ')),1,12))::BIGINT)) AS g
+  FROM w WHERE len(ws) >= 13
+), hits AS (
+  SELECT doc_id, count(DISTINCT g) AS n_hits
+  FROM dg WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - 12, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits.n_hits, 0) >= 1 AS contaminated
+FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id"""
+
+    # Literal-for-literal the engine's PII_PATTERNS, applied in the same
+    # sequential order (each stage counts+replaces on the previous stage's
+    # output) — patterns live in the Java-regex ∩ RE2 common subset.
+    from ai_knowledge_graph_spark.operators.curation import PII_PATTERNS
+
+    _pii_email, _pii_ipv4, _pii_phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["phone"],
+    )
+    sql["pii_redact"] = f"""
+WITH synth AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '_' ||
+      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_pii_email}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{_pii_email}', '<EMAIL>', 'g') AS t1
+  FROM synth
+), s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t1, '{_pii_ipv4}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t1, '{_pii_ipv4}', '<IPV4>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g') AS text,
+  n_email, n_ipv4,
+  CAST(len(regexp_extract_all(t2, '{_pii_phone}')) AS BIGINT) AS n_phone
+FROM s2"""
 
     sql["curate_corpus"] = (
         """WITH RECURSIVE cbase AS (

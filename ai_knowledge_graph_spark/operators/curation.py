@@ -150,3 +150,128 @@ def line_dedup(
             ),
         )
     )
+
+
+def _gram_hashes(words, k: int):
+    """int64 hashes of every k-word window of ``words`` (array column).
+
+    Hash = first 12 hex digits of md5 of the space-joined window — the
+    repo's DuckDB-portable int64 hash (Spark ``conv(substring(md5,1,12))``
+    == DuckDB ``('0x'||substr(md5,1,12))::BIGINT``; 48 bits, N=12 so the
+    value stays exact in int64 arithmetic on both engines).
+    Documents shorter than k words produce an empty array (guarded: a bare
+    ``sequence(1, n-k+1)`` would DESCEND for n < k and emit phantom grams).
+    """
+    n = F.size(words)
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), gram),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _word_array(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any k-word
+    window with an evaluation set (the GPT-3/Pile "13-gram collision" rule).
+
+    Returns one row per input document:
+    (id_col, n_grams, n_hits [distinct colliding grams], contaminated).
+    Callers drop flagged docs with ``.filter(~F.col("contaminated"))``.
+
+    Scale shape (100 TB corpus, MB-scale eval suites):
+      * the benchmark side is grams -> distinct -> broadcast — eval sets
+        are tiny by construction, so the corpus-side probe is a broadcast
+        semi-join, never a shuffle of corpus grams
+      * the corpus side is one linear pass (JVM split/transform/explode,
+        48-bit gram hashes only — window text is never shipped)
+      * only COLLIDING grams reach the per-doc count agg, so the one
+        shuffle carries O(collisions), not O(corpus grams)
+      * per-doc gram totals come from arithmetic (len-k+1), not from
+        counting the exploded side — zero-gram docs still get a row
+
+    The reference has no decontamination (its corpus layer is whole-file
+    reads, main.py:283-284); this is a first-class training-data-pipeline
+    operator per the build brief.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                _gram_hashes(_word_array(F.col(bench_text_col)), k)
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    words = _word_array(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    hits = (
+        docs.select(F.col(id_col), F.explode(_gram_hashes(words, k)).alias("_g"))
+        .join(F.broadcast(bench_grams), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("_hits"))
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle runs the SAME pattern
+# strings. Insertion order IS redaction order: each pattern counts and
+# replaces on the text as left by the previous one (an email's +tag local
+# part must be consumed before the phone pattern can see its digits).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\-]{7,}\d",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers, in place.
+
+    Returns the input with ``text_col`` redacted (each match replaced by
+    ``<NAME>``) plus one ``n_<name>`` count column per pattern. Pure
+    sequential ``regexp_replace`` / ``regexp_extract_all`` column
+    expressions — row-local, shuffle-free, whole-stage-codegen-able, so the
+    pass is a linear scan at any corpus size.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(*others, redacted.alias(text_col), *counts)

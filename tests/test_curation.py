@@ -98,3 +98,71 @@ def test_line_dedup_counts_within_doc_repeats(spark):
     out = {r["doc_id"]: r for r in line_dedup(df, max_occurrences=1).collect()}
     assert out[0]["text"] == "mid" and out[0]["n_dropped"] == 2
     assert out[1]["text"] == "solo"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from ai_knowledge_graph_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),  # contains bench 3-gram
+            (1, "beta gamma delta zeta eta"),       # contains bench 3-gram
+            (2, "one two three four five"),         # clean
+            (3, "too short"),                        # < k words: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "xx beta gamma delta yy")], "bench_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, k=3, min_hits=1).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert out[0]["n_grams"] == 3 and out[2]["n_grams"] == 3
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from ai_knowledge_graph_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c x y z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f")], "bench_id long, text string"
+    )
+    # doc 0 shares 4 trigrams, doc 1 only 1
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, k=3, min_hits=2).collect()
+    }
+    assert out[0]["n_hits"] == 4 and out[0]["contaminated"]
+    assert out[1]["n_hits"] == 1 and not out[1]["contaminated"]
+
+
+def test_redact_pii(spark):
+    from ai_knowledge_graph_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.com now"),
+            (1, "server at 10.0.42.7 port 80"),
+            (2, "call +1-555-0100-321 today"),
+            (3, "clean text, nothing here"),
+            (4, "a@b.io and 1.2.3.4 and +12-3456-7890"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["text"] == "mail <EMAIL> now" and out[0]["n_email"] == 1
+    assert out[1]["text"] == "server at <IPV4> port 80" and out[1]["n_ipv4"] == 1
+    assert out[2]["text"] == "call <PHONE> today" and out[2]["n_phone"] == 1
+    assert out[3]["text"] == "clean text, nothing here"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["text"] == "<EMAIL> and <IPV4> and <PHONE>"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
