@@ -1067,6 +1067,19 @@ def q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_mix_corpus(spark, sf_dir):
+    # Data mixing with exact integer quotas (each source has 25 docs):
+    # src0 upsampled 2.4 epochs, src1 exactly 1, src2/src3 downsampled,
+    # all other sources dropped. Oracle replays the selection as a plain
+    # (bucket, hash, key) rank — the engine's histogram/boundary-bucket
+    # algorithm must produce the identical set.
+    from ai_knowledge_graph_spark.operators.sampling import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir), {"src0": 60, "src1": 25, "src2": 13, "src3": 5}
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     # Benchmark decontamination (GPT-3/Pile 13-gram collision rule): the
     # synthetic eval set is a 50-word slice (words 11-60) of every 19th
@@ -1205,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -2567,6 +2581,31 @@ SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id"""
+
+    sql["mix_corpus"] = """
+WITH q AS (
+  SELECT * FROM (VALUES ('src0', 60), ('src1', 25), ('src2', 13), ('src3', 5))
+    AS t(source, k)
+), d AS (
+  SELECT doc_id, source,
+    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,8))::BIGINT % 10000 AS b,
+    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,12))::BIGINT AS fh
+  FROM documents
+), n AS (
+  SELECT source, count(*) AS n FROM d GROUP BY source
+), qq AS (
+  SELECT q.source, k // n AS eps, k % n AS rem FROM q JOIN n USING (source)
+), r AS (
+  SELECT d.doc_id, d.source, eps, rem,
+         row_number() OVER (PARTITION BY d.source ORDER BY b, fh, doc_id) AS rn
+  FROM d JOIN qq ON d.source = qq.source
+), e AS (
+  SELECT doc_id, source,
+         eps + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS ep
+  FROM r
+)
+SELECT doc_id, source, CAST(unnest(range(1, ep + 1)) AS INT) AS epoch
+FROM e WHERE ep >= 1"""
 
     # k=13 grams: i ranges 1..len-12 (range upper bound is exclusive), the
     # window is ws[i:i+12] (DuckDB slices are 1-based INCLUSIVE = 13 words);

@@ -15,7 +15,7 @@ whatever scan or join precedes them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -81,3 +81,99 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    quotas: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    allow_upsample: bool = True,
+) -> DataFrame:
+    """Data mixing with EXACT per-source document quotas and epoch
+    upsampling: the step that turns per-source target proportions (a LLaMA/
+    Pile-style mixture spec, pre-multiplied into integer doc quotas) into
+    the actual training corpus.
+
+    Returns (key_col, source_col, epoch): source ``s`` contributes exactly
+    ``quotas[s]`` rows — every doc repeated ``quotas[s] // n_s`` times
+    ("epochs over the source") plus one extra epoch for the
+    ``quotas[s] % n_s`` docs ranked first by key hash. Sources absent from
+    ``quotas`` are dropped. With ``allow_upsample=False`` quotas clamp to
+    the source size (downsampling only). Deterministic: hash ranks, no RNG,
+    rerun- and partitioning-stable.
+
+    Selection never sorts the corpus. A doc's rank order inside its source
+    is (bucket, hash, key) over the 10k-bucket scheme, realized as:
+
+      1. per-(source, bucket) histogram — one hash agg, output is tiny
+         (|sources| x 10^4 rows), cumulated with a window OVER THE
+         HISTOGRAM, not the data
+      2. docs in buckets wholly under the remainder get the extra epoch via
+         a join against that histogram (AQE broadcasts it)
+      3. only the single boundary bucket per source — ~1/10^4 of the
+         source — is ranked with a row_number window
+
+    so the exact-top-k selection costs one linear agg + one join + a window
+    over 0.01% of the data, at any corpus size. (The approximate
+    alternative is stratified_sample; this operator is for when the mixture
+    spec must be hit exactly.)
+
+    The reference has no mixing layer (single-corpus, whole-file reads);
+    this is a first-class training-data-pipeline operator per the brief.
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, int(k)) for s, k in sorted(quotas.items())],
+        f"{source_col} string, _q long",
+    )
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    d = df.select(
+        F.col(key_col),
+        F.col(source_col),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS).alias("_b"),
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_fh"),
+    )
+    hist = d.groupBy(source_col, "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    per_src = hist.groupBy(source_col).agg(F.sum("_bc").alias("_n"))
+    q = per_src.join(F.broadcast(qdf), source_col)
+    if not allow_upsample:
+        q = q.withColumn("_q", F.least("_q", "_n"))
+    q = q.withColumn("_eps", (F.col("_q") / F.col("_n")).cast("long")).withColumn(
+        "_rem", F.col("_q") - F.col("_eps") * F.col("_n")
+    )
+    cum = Window.partitionBy(source_col).orderBy("_b")
+    hinfo = (
+        hist.join(F.broadcast(q.select(source_col, "_eps", "_rem")), source_col)
+        .withColumn("_cum", F.sum("_bc").over(cum))
+        .withColumn("_prev", F.col("_cum") - F.col("_bc"))
+    )
+    joined = d.join(hinfo, [source_col, "_b"])
+    is_boundary = (F.col("_prev") < F.col("_rem")) & (F.col("_cum") > F.col("_rem"))
+    plain = joined.filter(~is_boundary).withColumn(
+        "_extra", (F.col("_cum") <= F.col("_rem")).cast("long")
+    )
+    bw = Window.partitionBy(source_col, "_b").orderBy("_fh", key_col)
+    boundary = (
+        joined.filter(is_boundary)
+        .withColumn("_rn", F.row_number().over(bw))
+        .withColumn(
+            "_extra",
+            (F.col("_rn") <= F.col("_rem") - F.col("_prev")).cast("long"),
+        )
+        .drop("_rn")
+    )
+    sel = plain.unionByName(boundary).withColumn(
+        "_e", F.col("_eps") + F.col("_extra")
+    )
+    return (
+        sel.filter(F.col("_e") >= 1)
+        .select(
+            F.col(key_col),
+            F.col(source_col),
+            F.explode(F.sequence(F.lit(1), F.col("_e").cast("int"))).alias(
+                "epoch"
+            ),
+        )
+    )

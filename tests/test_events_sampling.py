@@ -151,3 +151,55 @@ def test_sampling_is_shuffle_free(spark):
         stratified_sample(df, "lang", {"en": 0.5}, "doc_id").explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan
+
+
+def test_mix_corpus_exact_quotas_and_epochs(spark):
+    from ai_knowledge_graph_spark.operators.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(s, i) for s in ("a", "b", "c", "d") for i in range(10)],
+        "source string, doc_id long",
+    ).withColumn("doc_id", F.col("doc_id") + F.when(F.col("source") == "b", 100).when(F.col("source") == "c", 200).when(F.col("source") == "d", 300).otherwise(0))
+    quotas = {"a": 24, "b": 10, "c": 4}  # upsample 2.4x / exact / downsample
+    out = mix_corpus(docs, quotas).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append((r["doc_id"], r["epoch"]))
+    # exact quota per source; unlisted source dropped entirely
+    assert {s: len(v) for s, v in per_src.items()} == {"a": 24, "b": 10, "c": 4}
+    # a: every doc has epochs 1,2; 4 hash-chosen docs get epoch 3
+    a_epochs = {}
+    for d, e in per_src["a"]:
+        a_epochs.setdefault(d, set()).add(e)
+    assert all({1, 2} <= es for es in a_epochs.values())
+    assert sum(1 for es in a_epochs.values() if es == {1, 2, 3}) == 4
+    # b: exactly one epoch per doc, all docs
+    assert sorted(per_src["b"]) == [(100 + i, 1) for i in range(10)]
+    # deterministic: rerun gives the identical multiset
+    again = mix_corpus(docs, quotas).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_mix_corpus_no_upsample_clamps(spark):
+    from ai_knowledge_graph_spark.operators.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [("a", i) for i in range(5)], "source string, doc_id long"
+    )
+    out = mix_corpus(docs, {"a": 99}, allow_upsample=False).collect()
+    assert len(out) == 5 and all(r["epoch"] == 1 for r in out)
+
+
+def test_mix_corpus_selection_is_hash_rank_prefix(spark):
+    # the k selected docs must be the top-k by (bucket, hash, key) — i.e.
+    # raising the quota only ADDS docs (monotone), never swaps them
+    from ai_knowledge_graph_spark.operators.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [("a", i) for i in range(50)], "source string, doc_id long"
+    )
+    sel = {}
+    for k in (10, 20, 30):
+        sel[k] = {r["doc_id"] for r in mix_corpus(docs, {"a": k}).collect()}
+        assert len(sel[k]) == k
+    assert sel[10] < sel[20] < sel[30]
