@@ -16,7 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("BENCH_DOCS", "16000"))
+# 48k is the recorded protocol size: at 16k the fixed per-stage costs (JVM,
+# scheduling, python worker spawn) eat ~half the 8-core runtime and measured
+# efficiency drops ~0.15-0.25 below the 48k number on the same host window.
+N_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 # Default pair 2 vs 8: this sandbox exposes 32 logical CPUs but pure-CPU
 # multiprocessing shows only ~2.3x from 8->32 (SMT + host steal), so the

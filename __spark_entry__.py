@@ -1067,6 +1067,15 @@ def q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_classifier_score(spark, sf_dir):
+    # Hashed-BoW linear classifier gate with deterministic pseudo-weights;
+    # the dot product stays in int64 (raw_score) so it is exact and
+    # summation-order-independent on both engines.
+    from ai_knowledge_graph_spark.operators.textstats import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir), dim=4096)
+
+
 def q_mix_corpus(spark, sf_dir):
     # Data mixing with exact integer quotas (each source has 25 docs):
     # src0 upsampled 2.4 epochs, src1 exactly 1, src2/src3 downsampled,
@@ -1219,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "mix_corpus": q_mix_corpus,
+        "classifier_score": q_classifier_score,
     }
 
 
@@ -2581,6 +2591,31 @@ SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id"""
+
+    sql["classifier_score"] = r"""
+WITH w AS (
+  SELECT i AS bucket,
+         ('0x'||substr(md5(CAST(i AS VARCHAR)),1,8))::BIGINT % 2001 - 1000
+           AS weight
+  FROM range(4096) t(i)
+), tok AS (
+  SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT % 4096 AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+), s AS (
+  SELECT doc_id, sum(weight) AS sm
+  FROM tok JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'),
+           x -> x <> '')) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(s.sm, 0) AS BIGINT) AS raw_score,
+  1.0 / (1.0 + exp(-(COALESCE(s.sm, 0) / 1000.0))) AS score
+FROM documents d LEFT JOIN s USING (doc_id)"""
 
     sql["mix_corpus"] = """
 WITH q AS (

@@ -95,3 +95,83 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(normed, 256).alias("content_sha256"),
         sketch.alias("position_sketch"),
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    dim: int = 4096,
+    bias: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring — the shape of the
+    fasttext/logistic "quality classifier" gate a GPT-3-style curation
+    pipeline runs over every document.
+
+    Tokens hash into ``dim`` buckets (md5, portable); ``weights`` maps
+    bucket -> integer weight (milli-units). Returns
+    (id_col, n_tokens, raw_score [= bias + sum of token-bucket weights,
+    exact int64], score [= sigmoid(raw_score/1000), convenience double]).
+
+    Keeping the dot product in int64 makes the score exact and
+    summation-order-independent — the oracle can hash-compare raw_score;
+    only the sigmoid is floating point. Plan shape at 100 TB:
+
+      * one linear explode of tokens (JVM split, no Python)
+      * broadcast join against the weight table (|dim| rows — a learned
+        model's weights, tiny by definition)
+      * per-doc sum with map-side combine: a doc's tokens sit in one
+        partition, so the shuffle carries O(docs), not O(tokens)
+      * zero-token docs rejoin with raw_score = bias
+
+    ``weights=None`` uses deterministic pseudo-weights derived from the
+    bucket id's md5 (weight in [-1000, 1000]) — the stand-in for a learned
+    model in tests/benchmarks.
+
+    The reference has no classifier gate (its quality pass is the rule
+    filters in audit_quality.py:7-46); this is a first-class
+    training-data-pipeline operator per the brief.
+    """
+    spark = docs.sparkSession
+    if weights is None:
+        weights = spark.range(dim).select(
+            F.col("id").alias("bucket"),
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 2001
+                - 1000
+            ).alias("weight"),
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_words(F.col(text_col))).alias("_t"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        ).alias("bucket"),
+    )
+    sums = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight").alias("_sum"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    raw = F.coalesce(F.col("_sum"), F.lit(0)) + F.lit(bias)
+    return base.join(sums, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        raw.cast("long").alias("raw_score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(raw / F.lit(1000.0))))).alias(
+            "score"
+        ),
+    )

@@ -254,3 +254,46 @@ def test_streaming_extract_matches_batch(spark, tmp_path, pages_pdf):
         for r in df.collect()
     )
     assert key(streamed) == key(batch)
+
+
+def test_classifier_score_exact_and_custom_weights(spark):
+    from ai_knowledge_graph_spark.operators.textstats import classifier_score
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta"), (2, "")],
+        "doc_id long, text string",
+    )
+    # custom weights: hash buckets of 'alpha'/'beta' under dim=16
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    w = spark.createDataFrame(
+        [(bucket("alpha"), 7), (bucket("beta"), -3)], "bucket long, weight long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(docs, weights=w, dim=16, bias=5).collect()
+    }
+    assert out[0]["raw_score"] == 5 + 7 + 7 - 3 and out[0]["n_tokens"] == 3
+    assert out[1]["raw_score"] == 5 - 3
+    # zero-token doc still scores (bias only)
+    assert out[2]["raw_score"] == 5 and out[2]["n_tokens"] == 0
+    # sigmoid of raw/1000
+    import math
+
+    for r in out.values():
+        assert abs(r["score"] - 1 / (1 + math.exp(-r["raw_score"] / 1000))) < 1e-12
+
+
+def test_classifier_score_default_weights_deterministic(spark):
+    from ai_knowledge_graph_spark.operators.textstats import classifier_score
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, classifier_score(docs).collect()))
+    b = sorted(map(tuple, classifier_score(docs).collect()))
+    assert a == b and len(a) == 20
