@@ -239,6 +239,21 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timed(
         "embedding_topk", lambda: entry_mod.q_embedding_topk(spark, sf_dir).count()
     )
+    # round-3 curation family: corpus-level line dedup (3 linear passes),
+    # eval-set decontamination (broadcast gram semi-join), PII scrub
+    # (row-local regex), classifier gate (broadcast weight join), exact-quota
+    # mixing (histogram selection)
+    timed("doc_line_dedup", lambda: entry_mod.q_line_dedup(spark, sf_dir).count())
+    timed(
+        "doc_decontaminate",
+        lambda: entry_mod.q_decontaminate(spark, sf_dir).count(),
+    )
+    timed("doc_pii_redact", lambda: entry_mod.q_pii_redact(spark, sf_dir).count())
+    timed(
+        "doc_classifier_score",
+        lambda: entry_mod.q_classifier_score(spark, sf_dir).count(),
+    )
+    timed("doc_mix_corpus", lambda: entry_mod.q_mix_corpus(spark, sf_dir).count())
 
     return {
         "metric": "e2e_pipeline_sec",
