@@ -253,6 +253,10 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         "doc_classifier_score",
         lambda: entry_mod.q_classifier_score(spark, sf_dir).count(),
     )
+    # untimed warm-up: mix_corpus is the only doc stage whose plan shapes
+    # (histogram window + boundary window + explode) share nothing with the
+    # stages above, so one-shot timing would measure janino JIT, not the op
+    entry_mod.q_mix_corpus(spark, "/root/testdata/sf0.001").count()
     timed("doc_mix_corpus", lambda: entry_mod.q_mix_corpus(spark, sf_dir).count())
 
     return {
