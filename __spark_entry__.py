@@ -1161,6 +1161,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_pipeline(spark, pages, cfg)
 
 
+def q_pack_sequences(spark, sf_dir):
+    # GPT-style sequence packing: hash-shuffled concat of the corpus token
+    # stream sliced into 512-token packs; one row per (doc, pack) segment.
+    from ai_knowledge_graph_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    # CCNet-style LM gate: add-one bigram self-perplexity per document +
+    # exact rank-tertile head/middle/tail bucket. All counts int64; the
+    # only floats are the final ln()/divide, rounded to 6 on both engines.
+    from ai_knowledge_graph_spark.operators.lm import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir))
+
+
+BM25_QUERY = ["spark", "window", "merge"]
+
+
+def q_bm25(spark, sf_dir):
+    # Okapi BM25 top-50 lexical retrieval; query-term filter applied before
+    # any aggregation so the plan is query-sized past the token explode.
+    from ai_knowledge_graph_spark.operators.ranking import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), BM25_QUERY, top_n=50)
+
+
+def q_triangles(spark, sf_dir):
+    # per-node triangle counts + local clustering coefficient over the
+    # standardized KG edges (degree-oriented wedge join, skew-bounded).
+    from ai_knowledge_graph_spark.graph.centrality import triangle_counts
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunks": q_chunks,
@@ -1229,6 +1267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "mix_corpus": q_mix_corpus,
         "classifier_score": q_classifier_score,
+        "pack_sequences": q_pack_sequences,
+        "triangles": q_triangles,
+        "lm_perplexity": q_lm_perplexity,
+        "bm25": q_bm25,
     }
 
 
@@ -2755,6 +2797,151 @@ SELECT d.doc_id, d.lang, d.quality, d.dup_gram_frac, {_split_case} AS split
 FROM kept d LEFT JOIN ndlabels l USING (doc_id)
 WHERE l.group_id IS NULL OR l.group_id = d.doc_id"""
     )
+
+    # GPT-style sequence packing: deterministic hash-order concat of token
+    # counts, global running sum, slice into 512-token packs; one row per
+    # (doc, pack) segment. The Spark twin realizes the running sum as a
+    # range-partitioned two-pass cumsum (no single-task window).
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_w('text')}) AS BIGINT) AS n,
+         md5(CAST(doc_id AS VARCHAR) || ':pack') AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY ord, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS cs
+  FROM t WHERE n > 0
+), seg AS (
+  SELECT doc_id, n, cs,
+         unnest(range(cs // 512, (cs + n - 1) // 512 + 1)) AS pack_id
+  FROM c
+)
+SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+  CAST(GREATEST(pack_id * 512 - cs, 0) AS BIGINT) AS doc_offset,
+  CAST(GREATEST(cs - pack_id * 512, 0) AS BIGINT) AS pack_offset,
+  CAST(LEAST((pack_id + 1) * 512, cs + n)
+       - GREATEST(pack_id * 512, cs) AS BIGINT) AS seg_len
+FROM seg"""
+
+    # Triangle counts / local clustering over the std KG edges. With every
+    # undirected edge normalized a<b, each triangle u<v<w matches exactly
+    # once as (u,v)+(v,w) closed by (u,w) — the orientation trick the Spark
+    # twin uses (by degree, for skew) is unnecessary single-node.
+    sql["triangles"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subject, object) AS a, GREATEST(subject, object) AS b
+  FROM std WHERE subject <> object
+), tdeg AS MATERIALIZED (
+  SELECT entity, count(*) AS degree FROM (
+    SELECT a AS entity FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY entity
+), tri AS MATERIALIZED (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT entity, count(*) AS triangles FROM (
+    SELECT v1 AS entity FROM tri
+    UNION ALL SELECT v2 FROM tri
+    UNION ALL SELECT v3 FROM tri
+  ) GROUP BY entity
+)
+SELECT d.entity, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+  round(CASE WHEN d.degree >= 2
+        THEN 2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1))
+        ELSE 0.0 END, 6) AS clustering
+FROM tdeg d LEFT JOIN pn p USING (entity)"""
+    )
+
+    # CCNet-style LM perplexity gate: add-one bigram self-perplexity. The
+    # counts (c, cp, V, m) are exact int64 on both engines; ln() runs on
+    # the identical double ratio, so round(.,6) hash-compares. The bucket
+    # ranks the ROUNDED score, so it can only flip when the score column
+    # (hash-compared anyway) flips.
+    sql["lm_perplexity"] = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS a
+  FROM documents
+), t2 AS (
+  SELECT doc_id, a, len(a) AS n FROM tok WHERE len(a) > 0
+), bg AS (
+  SELECT doc_id,
+    CASE WHEN i = 1 THEN '<s>' ELSE a[CAST(i AS INT) - 1] END AS prev,
+    a[CAST(i AS INT)] AS nxt
+  FROM (SELECT doc_id, a, unnest(range(1, n + 1)) AS i FROM t2)
+), c2 AS (
+  SELECT prev, nxt, count(*) AS c FROM bg GROUP BY prev, nxt
+), c1 AS (
+  SELECT prev, count(*) AS cp FROM bg GROUP BY prev
+), v AS (
+  SELECT count(DISTINCT t) AS V FROM (SELECT unnest(a) AS t FROM t2)
+), dbg AS (
+  SELECT doc_id, prev, nxt, count(*) AS m FROM bg GROUP BY doc_id, prev, nxt
+), s AS (
+  SELECT doc_id,
+         CAST(sum(m) AS BIGINT) AS n_bigrams,
+         sum(m * ln((c + 1)::DOUBLE / (cp + V))) AS ll
+  FROM dbg JOIN c2 USING (prev, nxt) JOIN c1 USING (prev) CROSS JOIN v
+  GROUP BY doc_id
+), sc AS (
+  SELECT doc_id, n_bigrams, round(-ll / n_bigrams, 6) AS nll_per_token FROM s
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY nll_per_token, doc_id) AS rk,
+         count(*) OVER () AS cnt
+  FROM sc
+)
+SELECT doc_id, n_bigrams, nll_per_token,
+       CAST((3 * (rk - 1)) // cnt AS BIGINT) AS ppl_bucket
+FROM r"""
+
+    # Okapi BM25 top-50. Exact int64 tf/df/dl/N; avgdl = sum(dl)/N in one
+    # double division; constants CAST to DOUBLE (bare 1.2 parses DECIMAL in
+    # DuckDB and diverges at the last ulp); identical parenthesization to
+    # the Spark expression; ties at the cutoff broken by doc_id on both
+    # sides, and the rank/limit runs on the ROUNDED score.
+    sql["bm25"] = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM base
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS t
+    FROM documents
+  )
+  WHERE t IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t
+), sc AS (
+  SELECT tf.doc_id,
+    CAST(count(*) AS BIGINT) AS matched,
+    round(sum(
+      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+         + CAST(1.0 AS DOUBLE))
+      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         / (tf + CAST(1.2 AS DOUBLE)
+            * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+    ), 6) AS bm25
+  FROM tf JOIN dfreq USING (t) JOIN base USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, matched, bm25 FROM sc
+ORDER BY bm25 DESC, doc_id LIMIT 50"""
 
     return sql
 

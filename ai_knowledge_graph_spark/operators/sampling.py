@@ -177,3 +177,107 @@ def mix_corpus(
             ),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: deterministically shuffle the corpus by
+    key hash, concatenate every document's token stream, slice the stream
+    into fixed ``ctx_len`` blocks ("packs"), and report each (document,
+    pack) segment — the physical batch layout an LLM pretraining run feeds
+    the model after :func:`mix_corpus` decides WHAT to train on.
+
+    Returns one row per segment:
+      (key_col, pack_id, doc_offset, pack_offset, seg_len) — all offsets in
+      tokens; a doc longer than ``ctx_len`` spans several packs, a short doc
+      shares its pack with neighbors. Every pack is exactly ``ctx_len``
+      tokens except the final partial one; document order (and therefore the
+      whole layout) is a pure function of the keys — rerun- and
+      partitioning-stable, no RNG.
+
+    Token counts default to whitespace tokens (textstats ws_tokens
+    semantics); pass ``tokens_col`` to pack by a precomputed count (e.g.
+    real BPE lengths).
+
+    Scale: the global concatenation offset is a cumulative sum realized as
+    range-repartition on the hash order + per-partition running sum + a
+    driver-side, partition-count-sized offset table broadcast back — the
+    same shape as standardize.distributed_rank, so there is NO single-task
+    global window at any corpus size. One range shuffle of (key, n) pairs
+    total; the explode emits ceil(n/ctx_len)+1 rows per doc. The reference
+    has no packing layer; this is a training-data-pipeline operator per the
+    brief.
+    """
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).cast("long")
+    )
+    toks = (
+        df.select(
+            F.col(key_col),
+            n_tok.alias("_n"),
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))).alias(
+                "_ord"
+            ),
+        )
+        .filter(F.col("_n") > 0)
+    )
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        toks.repartitionByRange(nparts, "_ord", key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition ids: they feed the running sum AND the offset table
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy("_ord", key_col)
+    local = ranged.withColumn("_cum_in", F.sum("_n").over(w))
+    # per-partition token totals: metadata-sized (<= shuffle partitions)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
+    }
+    running = 0
+    offs = []
+    for pid in sorted(totals):
+        offs.append((pid, running))
+        running += totals[pid]
+    odf = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+
+    ctx = F.lit(int(ctx_len)).cast("long")
+    seg = (
+        local.join(F.broadcast(odf), "_pid")
+        .withColumn("_start", F.col("_cum_in") + F.col("_off") - F.col("_n"))
+        .withColumn("_first", F.floor(F.col("_start") / ctx))
+        .withColumn("_last", F.floor((F.col("_start") + F.col("_n") - 1) / ctx))
+        .select(
+            key_col,
+            "_n",
+            "_start",
+            F.explode(F.sequence("_first", "_last")).alias("pack_id"),
+        )
+    )
+    pstart = F.col("pack_id") * ctx
+    pend = pstart + ctx
+    dend = F.col("_start") + F.col("_n")
+    return seg.select(
+        F.col(key_col),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.greatest(pstart - F.col("_start"), F.lit(0).cast("long")).alias(
+            "doc_offset"
+        ),
+        F.greatest(F.col("_start") - pstart, F.lit(0).cast("long")).alias(
+            "pack_offset"
+        ),
+        (F.least(pend, dend) - F.greatest(pstart, F.col("_start"))).alias("seg_len"),
+    )

@@ -93,3 +93,43 @@ def test_communities_track_louvain(spark):
     # differently run-structure-wise; corpus-level agreement (COVERAGE.md)
     # measured Rand 0.94-0.98
     assert agree / total >= 0.85, agree / total
+
+
+def test_triangle_counts_vs_networkx(spark):
+    import random
+
+    nx = pytest.importorskip("networkx")
+
+    from ai_knowledge_graph_spark.graph.centrality import triangle_counts
+
+    rng = random.Random(5)
+    edges = [
+        (f"n{rng.randint(0, 29)}", f"n{rng.randint(0, 29)}") for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: (r["triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+    G = nx.Graph()
+    for s, d in edges:
+        if s != d:
+            G.add_edge(s, d)
+    t, c = nx.triangles(G), nx.clustering(G)
+    assert set(got) == set(G.nodes)
+    for n in G.nodes:
+        assert got[n] == (t[n], round(c[n], 6)), n
+
+
+def test_triangle_counts_counts_each_triangle_once(spark):
+    from ai_knowledge_graph_spark.graph.centrality import triangle_counts
+
+    # K4 plus a self-loop and a reversed duplicate edge: 4 triangles, every
+    # node in 3 of them, clustering 1.0 everywhere
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    edges += [("a", "a"), ("b", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = triangle_counts(df).collect()
+    assert {r["entity"]: r["triangles"] for r in rows} == {n: 3 for n in nodes}
+    assert all(r["clustering"] == 1.0 for r in rows)

@@ -203,3 +203,87 @@ def test_mix_corpus_selection_is_hash_rank_prefix(spark):
         sel[k] = {r["doc_id"] for r in mix_corpus(docs, {"a": k}).collect()}
         assert len(sel[k]) == k
     assert sel[10] < sel[20] < sel[30]
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def _pack_docs(spark, n=80, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(rng.randint(0, 40)))) for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    from collections import defaultdict
+
+    from ai_knowledge_graph_spark.operators.sampling import pack_sequences
+
+    docs = _pack_docs(spark)
+    out = pack_sequences(docs, ctx_len=64).collect()
+
+    per_pack = defaultdict(int)
+    per_doc = defaultdict(list)
+    for r in out:
+        assert r["seg_len"] >= 1
+        assert 0 <= r["pack_offset"] < 64
+        per_pack[r["pack_id"]] += r["seg_len"]
+        per_doc[r["doc_id"]].append(r)
+
+    # every pack is exactly ctx_len tokens except the final partial one
+    last = max(per_pack)
+    assert set(per_pack) == set(range(last + 1)), "pack ids are contiguous"
+    assert all(v == 64 for p, v in per_pack.items() if p != last)
+    assert per_pack[last] <= 64
+
+    # total tokens conserved; per-doc segments tile the doc in order
+    exp_total = sum(
+        len(t.split()) for _, t in docs.collect() if t.strip()
+    )
+    assert sum(per_pack.values()) == exp_total
+    for _, segs in per_doc.items():
+        segs.sort(key=lambda r: r["pack_id"])
+        off = 0
+        for s in segs:
+            assert s["doc_offset"] == off
+            off += s["seg_len"]
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    # the layout is a pure function of keys: any input partitioning and any
+    # shuffle-partition setting yields the identical packing
+    from ai_knowledge_graph_spark.operators.sampling import pack_sequences
+
+    docs = _pack_docs(spark)
+    a = sorted(map(tuple, pack_sequences(docs, ctx_len=64).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13), ctx_len=64).collect()))
+    assert a == b
+
+
+def test_pack_sequences_long_doc_spans_packs(spark):
+    from ai_knowledge_graph_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(300)))], "doc_id long, text string"
+    )
+    segs = sorted(
+        pack_sequences(docs, ctx_len=64).collect(), key=lambda r: r["pack_id"]
+    )
+    assert [s["seg_len"] for s in segs] == [64, 64, 64, 64, 44]
+    assert [s["doc_offset"] for s in segs] == [0, 64, 128, 192, 256]
+    assert all(s["pack_offset"] == 0 for s in segs)
+
+
+def test_pack_sequences_tokens_col(spark):
+    from ai_knowledge_graph_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 7)], "doc_id long, bpe long"
+    )
+    out = pack_sequences(docs, ctx_len=8, tokens_col="bpe").collect()
+    assert {r["doc_id"] for r in out} == {1, 3}  # zero-token doc dropped
+    assert sum(r["seg_len"] for r in out) == 17
