@@ -1169,6 +1169,82 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), ctx_len=512)
 
 
+def q_hits(spark, sf_dir):
+    # Kleinberg HITS over the standardized KG edges (5 L1-normalized
+    # synchronous sweeps) — the web-graph companion to pagerank.
+    from ai_knowledge_graph_spark.graph.centrality import hits
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    out = hits(edges, iterations=5)
+    return out.select(
+        "entity",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _dsir_split(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return (
+        docs.filter(F.col("doc_id") % 19 != 0),
+        docs.filter(F.col("doc_id") % 19 == 0),
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    # DSIR log importance weights of the raw split against the held-out
+    # target split (same doc_id%19 partition as decontaminate).
+    from ai_knowledge_graph_spark.operators.dsir import dsir_weights
+
+    raw, tgt = _dsir_split(spark, sf_dir)
+    out = dsir_weights(raw, tgt, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+def q_dsir_sample(spark, sf_dir):
+    # deterministic Gumbel top-50 importance resample.
+    from ai_knowledge_graph_spark.operators.dsir import dsir_resample
+
+    raw, tgt = _dsir_split(spark, sf_dir)
+    out = dsir_resample(raw, tgt, k=50, n_buckets=4096)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
+def q_exact_substring(spark, sf_dir):
+    # Lee-et-al. ExactSubstr dedup over the documents table: every token
+    # position covered by a 12-token window occurring >= 2x corpus-wide is
+    # removed; cleaned text + removal stats per doc.
+    from ai_knowledge_graph_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return exact_substring_dedup(docs, k=12, min_count=2)
+
+
+def q_kcore(spark, sf_dir):
+    # 2-core of the standardized KG (undirected simple graph): iterative
+    # peel to fixpoint. k=2 strips the tree fringe and keeps the cyclic
+    # backbone (non-empty at both oracle SFs; the 3-core is empty).
+    from ai_knowledge_graph_spark.graph.centrality import k_core
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return k_core(edges, k=2)
+
+
 def q_lm_perplexity(spark, sf_dir):
     # CCNet-style LM gate: add-one bigram self-perplexity per document +
     # exact rank-tertile head/middle/tail bucket. All counts int64; the
@@ -1271,6 +1347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "lm_perplexity": q_lm_perplexity,
         "bm25": q_bm25,
+        "hits": q_hits,
+        "kcore": q_kcore,
+        "exact_substring": q_exact_substring,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2942,6 +3023,209 @@ WITH base AS (
 )
 SELECT doc_id, matched, bm25 FROM sc
 ORDER BY bm25 DESC, doc_id LIMIT 50"""
+
+    # HITS: unrolled 5 L1-normalized synchronous sweeps, mirroring the
+    # pagerank oracle's MATERIALIZED-per-iteration pattern (without
+    # MATERIALIZED DuckDB re-inlines the extraction prelude per unrolled
+    # step). auth_k uses hub_{k-1}; hub_k uses the NEW auth_k.
+    _hits_iters = []
+    _hprev, _aprev = "hub0", "hub0"
+    for _k in range(1, 6):
+        _hits_iters.append(f""",
+asum{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.s) AS m
+  FROM e JOIN {_hprev} h ON e.src = h.node GROUP BY e.dst
+),
+authu{_k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(m.m, CAST(0 AS DOUBLE)) AS s
+  FROM nodes n LEFT JOIN asum{_k} m ON n.node = m.node
+),
+anorm{_k} AS MATERIALIZED (
+  SELECT CASE WHEN sum(s) = 0 THEN CAST(1 AS DOUBLE) ELSE sum(s) END AS m
+  FROM authu{_k}
+),
+auth{_k} AS MATERIALIZED (
+  SELECT node, s / (SELECT m FROM anorm{_k}) AS s FROM authu{_k}
+),
+hsum{_k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.s) AS m
+  FROM e JOIN auth{_k} a ON e.dst = a.node GROUP BY e.src
+),
+hubu{_k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(m.m, CAST(0 AS DOUBLE)) AS s
+  FROM nodes n LEFT JOIN hsum{_k} m ON n.node = m.node
+),
+hnorm{_k} AS MATERIALIZED (
+  SELECT CASE WHEN sum(s) = 0 THEN CAST(1 AS DOUBLE) ELSE sum(s) END AS m
+  FROM hubu{_k}
+),
+hub{_k} AS MATERIALIZED (
+  SELECT node, s / (SELECT m FROM hnorm{_k}) AS s FROM hubu{_k}
+)""")
+        _hprev, _aprev = f"hub{_k}", f"auth{_k}"
+    sql["hits"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT subject AS src, object AS dst FROM std),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+hub0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS s FROM nodes
+)"""
+        + "".join(_hits_iters)
+        + f"""
+SELECT h.node AS entity, round(h.s, 6) AS hub, round(a.s, 6) AS authority
+FROM {_hprev} h JOIN {_aprev} a ON h.node = a.node"""
+    )
+
+    # k-core (k=2): unrolled peel rounds. Over-unrolled to 10 — measured
+    # fixpoint depth is 4 (sf0.001) / 5 (sf0.01) and extra rounds are
+    # no-ops once the core is stable. Same undirected-simple edge prep as
+    # the triangles oracle.
+    _kc_rounds = []
+    for _r in range(1, 11):
+        _kc_rounds.append(f""",
+kdeg{_r} AS MATERIALIZED (
+  SELECT entity, count(*) AS d FROM (
+    SELECT a AS entity FROM ke{_r - 1} UNION ALL SELECT b FROM ke{_r - 1}
+  ) GROUP BY entity
+),
+kkeep{_r} AS MATERIALIZED (SELECT entity FROM kdeg{_r} WHERE d >= 2),
+ke{_r} AS MATERIALIZED (
+  SELECT a, b FROM ke{_r - 1}
+  WHERE a IN (SELECT entity FROM kkeep{_r})
+    AND b IN (SELECT entity FROM kkeep{_r})
+)""")
+    sql["kcore"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ke0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subject, object) AS a, GREATEST(subject, object) AS b
+  FROM std WHERE subject <> object
+)"""
+        + "".join(_kc_rounds)
+        + """
+SELECT entity, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS entity FROM ke10 UNION ALL SELECT b FROM ke10
+) GROUP BY entity HAVING count(*) >= 2"""
+    )
+
+    # ExactSubstr dedup, k=12 / min_count=2 — mirrors curation.
+    # exact_substring_dedup stage-for-stage (0-based positions on both
+    # sides; gram hash is the shared 48-bit md5-prefix int64; span merge
+    # via the same UNBOUNDED-PRECEDING running-max-end window).
+    sql["exact_substring"] = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+  FROM documents
+), base AS (
+  SELECT doc_id, a, len(a) AS n FROM tok
+), w AS (
+  SELECT doc_id, i - 1 AS wpos,
+         ('0x'||substr(md5(array_to_string(a[i:i+11], ' ')),1,12))::BIGINT AS h
+  FROM (SELECT doc_id, a, unnest(range(1, n - 12 + 2)) AS i FROM base WHERE n >= 12)
+), hot AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, wpos FROM w WHERE h IN (SELECT h FROM hot)
+), cov AS (
+  SELECT DISTINCT doc_id, wpos + o AS pos
+  FROM (SELECT doc_id, wpos, unnest(range(0, 12)) AS o FROM dup)
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, a[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, a, unnest(range(1, n + 1)) AS i FROM base)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text2,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), spans AS (
+  SELECT doc_id,
+         sum(CASE WHEN pe IS NULL OR wpos > pe THEN 1 ELSE 0 END) AS n_spans
+  FROM (
+    SELECT doc_id, wpos,
+           max(wpos + 12) OVER (PARTITION BY doc_id ORDER BY wpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM dup
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.text2, '') AS text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans
+FROM base b
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN spans s USING (doc_id)"""
+
+    # DSIR (arXiv:2302.03169): hashed unigram+bigram bucket multinomials,
+    # add-1 smoothing, per-bucket log-ratio frozen to int64 micro-units
+    # (so the per-doc sum is exact integer arithmetic on both engines);
+    # resample = deterministic Gumbel top-k on hash-derived uniforms.
+    _dsir_core = r"""
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0),
+tgtd AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 = 0),
+rg AS MATERIALIZED (
+  SELECT doc_id, ('0x'||substr(md5(g),1,12))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id,
+      unnest(ws || list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+          FROM rawd)
+  )
+), tg AS MATERIALIZED (
+  SELECT ('0x'||substr(md5(g),1,12))::BIGINT % 4096 AS b
+  FROM (
+    SELECT unnest(ws || list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+          FROM tgtd)
+  )
+), tcnt AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+rcnt AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+ttot AS (SELECT count(*) AS t FROM tg),
+rtot AS (SELECT count(*) AS t FROM rg),
+lr AS MATERIALIZED (
+  SELECT ab.b,
+    CAST(round(
+      (ln((COALESCE(tcnt.c, 0) + 1.0) / ((SELECT t FROM ttot) + 1.0 * 4096))
+     - ln((COALESCE(rcnt.c, 0) + 1.0) / ((SELECT t FROM rtot) + 1.0 * 4096)))
+      * 1000000, 0) AS BIGINT) AS m
+  FROM (SELECT unnest(range(0, 4096)) AS b) ab
+  LEFT JOIN tcnt ON tcnt.b = ab.b
+  LEFT JOIN rcnt ON rcnt.b = ab.b
+), sc AS MATERIALIZED (
+  SELECT rg.doc_id, count(*) AS n_grams, sum(lr.m) AS wm
+  FROM rg JOIN lr ON rg.b = lr.b GROUP BY rg.doc_id
+), wtab AS MATERIALIZED (
+  SELECT r.doc_id,
+         CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(sc.wm, 0) AS DOUBLE) / 1000000 AS lw
+  FROM rawd r LEFT JOIN sc USING (doc_id)
+)"""
+    sql["dsir_weights"] = (
+        _dsir_core
+        + """
+SELECT doc_id, n_grams, round(lw, 6) AS log_weight FROM wtab"""
+    )
+    sql["dsir_sample"] = (
+        _dsir_core
+        + """
+SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+       round(lw - ln(-ln(
+         (('0x'||substr(md5('dsir' || CAST(doc_id AS VARCHAR)),1,12))::BIGINT + 1)
+         / 281474976710657.0)), 6) AS gumbel_key
+FROM wtab
+ORDER BY (lw - ln(-ln(
+         (('0x'||substr(md5('dsir' || CAST(doc_id AS VARCHAR)),1,12))::BIGINT + 1)
+         / 281474976710657.0))) DESC, doc_id
+LIMIT 50"""
+    )
 
     return sql
 

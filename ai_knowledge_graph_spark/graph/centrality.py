@@ -342,3 +342,119 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(entity, hub, authority): fixed-iteration HITS (Kleinberg) over the
+    directed edge multiset, L1-normalized each half-step.
+
+    The classic web-graph companion to :func:`pagerank` (the reference has
+    neither; its centrality surface is visualization.py:165-205): hubs
+    point at good authorities, authorities are pointed at by good hubs.
+    Per iteration: authority = L1-normalized in-sum of hub scores, then
+    hub = L1-normalized out-sum of the NEW authority scores — the standard
+    update order, matching networkx.hits with one synchronous sweep.
+
+    Plan shape per iteration: two equi-joins score×edges + two hash aggs
+    (map-side combined) + two scalar L1 norms (a single driver double each,
+    same shape as pagerank's dangling-mass reduce). Score tables stay
+    (node, double) — the minimal shuffle payload; each round is
+    localCheckpoint'd so plan depth stays O(1) per iteration.
+    """
+    e = edges.select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("entity"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    hub = nodes.select("node", F.lit(1.0 / n).alias("s"))
+    auth = hub
+    for _ in range(iterations):
+        in_sum = (
+            e.join(hub, e.e_src == hub.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("s").alias("_m"))
+        )
+        auth = nodes.join(in_sum, "node", "left").select(
+            "node", F.coalesce("_m", F.lit(0.0)).alias("s")
+        )
+        a_norm = auth.agg(F.sum("s")).first()[0] or 1.0
+        auth = auth.select(
+            "node", (F.col("s") / F.lit(float(a_norm))).alias("s")
+        ).localCheckpoint(eager=True)
+        out_sum = (
+            e.join(auth, e.e_dst == auth.node)
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum("s").alias("_m"))
+        )
+        hub = nodes.join(out_sum, "node", "left").select(
+            "node", F.coalesce("_m", F.lit(0.0)).alias("s")
+        )
+        h_norm = hub.agg(F.sum("s")).first()[0] or 1.0
+        hub = hub.select(
+            "node", (F.col("s") / F.lit(float(h_norm))).alias("s")
+        ).localCheckpoint(eager=True)
+    return (
+        hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "node")
+        .select(F.col("node").alias("entity"), "hub", "authority")
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(entity, core_degree): the k-core of the UNDIRECTED simple graph —
+    the maximal subgraph where every node has degree >= k — by iterative
+    peeling (drop all nodes with degree < k, recompute, repeat to
+    fixpoint). The standard dense-subgraph primitive for web/link graphs
+    (spam farms and boilerplate hubs concentrate in high cores); not in the
+    reference (§2.9 extension, same basis as pagerank/triangles).
+
+    Each peel round: one map-side-combined degree agg + two broadcast-or-
+    hash semi-joins against the surviving node set + one driver-side count
+    (the fixpoint test — a scalar, same shape as pagerank's dangling
+    reduce). Rounds are localCheckpoint'd so plan depth stays O(1); the
+    number of rounds is bounded by the graph's degeneracy ordering depth,
+    typically single-digit for web-shaped graphs.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        deg = (
+            und.select(F.explode(F.array("a", "b")).alias("entity"))
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .localCheckpoint(eager=True)
+        )
+        keep = deg.filter(F.col("core_degree") >= k)
+        if keep.count() == deg.count():
+            return keep
+        kn = keep.select(F.col("entity")).localCheckpoint(eager=True)
+        und = (
+            und.join(kn.withColumnRenamed("entity", "a"), "a", "left_semi")
+            .join(kn.withColumnRenamed("entity", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )

@@ -275,3 +275,115 @@ def redact_pii(
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     others = [c for c in docs.columns if c != text_col]
     return docs.select(*others, redacted.alias(text_col), *counts)
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every token position covered by a
+    k-token window whose exact content occurs >= ``min_count`` times in
+    the WHOLE corpus (across documents or repeated within one) is removed
+    from every document; survivors are rejoined in original order.
+
+    Returns (id_col, text [cleaned, single-space rejoined], n_tokens,
+    n_removed, n_spans) — one row per input document; ``n_spans`` is the
+    number of maximal contiguous removed regions (adjacent/overlapping
+    duplicate windows merge into one span).
+
+    This is the suffix-array dedup of the paper re-expressed for Spark:
+    instead of one global suffix array (inherently sequential to build),
+    hash every k-token window and count — identical removal semantics for
+    the fixed window length, and every stage is a linear scan or a hash
+    shuffle whose payload is (doc, pos, int64):
+
+      1. one posexplode of per-window hashes (the k-token window string is
+         hashed inside the projection and never shipped — bytes hashed are
+         n*k per doc, CPU-bounded, trivially partition-parallel; a rolling
+         Rabin-Karp inside mapInPandas would cut the k factor but leave
+         the JVM and is deliberately not the default)
+      2. hash-agg hash -> count; windows >= min_count join back
+         (AQE broadcasts the hot side when it measures small)
+      3. covered positions = explode of the k offsets of DUPLICATED
+         windows only (linear in duplicated volume, not corpus volume)
+      4. left_anti on (doc, pos) + per-doc ordered rebuild — per-doc state
+         bounded by document length, same shape as line_dedup
+      5. span count = interval merge over duplicate window starts (per-doc
+         window over the duplicated subset only)
+
+    48-bit window hashes: ~1e-6 collision odds at 1e9 distinct windows
+    per the birthday bound are acceptable for dedup (a collision removes
+    one innocent span); raise to N=16 hex digits off the DuckDB-parity
+    path if needed. Reference has no substring-level dedup at all (its
+    corpus layer is whole-file exact dedup, scripts/prepare_data.py:124).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        _word_array(F.col(text_col)).alias("_ws"),
+    ).select(id_col, "_ws", F.size("_ws").cast("long").alias("n_tokens"))
+    wins = base.select(
+        id_col, F.posexplode(_gram_hashes(F.col("_ws"), k)).alias("_wpos", "_h")
+    )
+    hot = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dup = wins.join(hot, "_h").select(id_col, "_wpos")
+    cov = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("_wpos"), F.col("_wpos") + F.lit(k - 1))
+        ).alias("_pos"),
+    ).distinct()
+    toks = base.select(id_col, F.posexplode("_ws").alias("_pos", "_tok"))
+    kept = toks.join(cov, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    prev_end = F.max(F.col("_wpos") + F.lit(k)).over(
+        Window.partitionBy(id_col)
+        .orderBy("_wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.select(id_col, "_wpos", prev_end.alias("_pe"))
+        .select(
+            id_col,
+            F.when(
+                F.col("_pe").isNull() | (F.col("_wpos") > F.col("_pe")), 1
+            )
+            .otherwise(0)
+            .alias("_new"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_new").alias("_n_spans"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("_n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
