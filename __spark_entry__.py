@@ -1220,6 +1220,18 @@ def q_dsir_sample(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    # SemDeDup over the embeddings table: hash-seeded 16-cluster index,
+    # keep-first in ascending-centroid-sim order, cosine >= 0.35 marks a
+    # semantic dup (synthetic embeddings top out near 0.49 in-cluster).
+    from ai_knowledge_graph_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return semdedup(emb, threshold=0.35, nlist=16)
+
+
 def q_exact_substring(spark, sf_dir):
     # Lee-et-al. ExactSubstr dedup over the documents table: every token
     # position covered by a 12-token window occurring >= 2x corpus-wide is
@@ -1352,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3226,6 +3239,44 @@ ORDER BY (lw - ln(-ln(
          / 281474976710657.0))) DESC, doc_id
 LIMIT 50"""
     )
+
+    # SemDeDup: same hash-seeded centroid CTEs as ivf_topk; in-cluster
+    # rank ascending by (rounded centroid sim, id); dup iff cosine to an
+    # earlier-ranked member of the SAME cluster >= 0.35.
+    sql["semdedup"] = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+buck AS (
+  SELECT vec_id,
+    CAST((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16) AS INT)
+      AS centroid_bucket
+  FROM base
+),
+reps AS (SELECT centroid_bucket AS centroid_id, min(vec_id) AS rep_id FROM buck GROUP BY 1),
+cents AS (SELECT r.centroid_id, b.embedding AS centroid FROM reps r JOIN base b ON b.vec_id = r.rep_id),
+asg AS MATERIALIZED (
+  SELECT vec_id, centroid_id, centroid_sim,
+    row_number() OVER (PARTITION BY centroid_id
+                       ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+  FROM (
+    SELECT b.vec_id, c.centroid_id,
+      round({_sql_cos("b.embedding", "c.centroid")}, 6) AS centroid_sim,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY round({_sql_cos("b.embedding", "c.centroid")}, 6) DESC,
+                 c.centroid_id ASC) AS pr
+    FROM base b CROSS JOIN cents c
+  ) WHERE pr = 1
+),
+dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND y.rn < x.rn
+  JOIN base a ON a.vec_id = x.vec_id
+  JOIN base b ON b.vec_id = y.vec_id
+  WHERE round({_sql_cos("a.embedding", "b.embedding")}, 6) >= 0.35
+)
+SELECT asg.vec_id, asg.centroid_id, asg.centroid_sim,
+       (dups.vec_id IS NULL) AS kept
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id"""
 
     return sql
 

@@ -386,3 +386,112 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication. Returns one row per input vector —
+    (id_col, centroid_id, centroid_sim, kept) — where ``kept=false`` marks
+    a semantic duplicate to drop.
+
+    The published recipe, re-expressed relationally: coarse-cluster the
+    corpus (here the engine's deterministic hash-seeded centroids, the
+    same index shape as :func:`ivf_topk`), order each cluster's members by
+    similarity TO the centroid ascending (the paper's best-performing
+    "keep low centroid-similarity" variant — the kept survivor of a dup
+    group is its least-prototypical member), and drop any item whose
+    cosine to an EARLIER member of its own cluster reaches ``threshold``.
+    Keep-first over a fixed order makes the survivor set well-defined and
+    rerun-stable with no iterative union-find: a dup group keeps exactly
+    its first element.
+
+    Scale shape — the entire point of SemDeDup is bounding the quadratic:
+    the pairwise stage is a self-equi-join ON centroid_id, so cost is
+    Σ_c |c|² not N²; nlist grows with the corpus (the paper uses 50k
+    clusters for LAION) keeping each cluster task-sized. The centroid
+    table stays a broadcast dim; assignment is a broadcast nested loop;
+    the in-cluster window ranks cluster-sized partitions. Rounded (6dp)
+    cosines everywhere keep ranking + threshold decisions bit-identical
+    to the DuckDB oracle across float summation orders.
+    """
+    from .dedup import _md5_long
+
+    base = spread(embeddings).select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    bucket = (_md5_long(F.col("_id").cast("string")) % nlist).cast("int")
+    reps = (
+        base.select(bucket.alias("centroid_id"), "_id")
+        .groupBy("centroid_id")
+        .agg(F.min("_id").alias("_rep"))
+    )
+    cents = F.broadcast(
+        reps.join(
+            base.select(F.col("_id").alias("_rep"), F.col("_v").alias("_c")),
+            "_rep",
+        ).select("centroid_id", "_c")
+    )
+    assigned = (
+        base.crossJoin(cents)
+        .withColumn(
+            "centroid_sim",
+            F.round(
+                _dot(F.col("_v"), F.col("_c"))
+                / (_norm(F.col("_v")) * _norm(F.col("_c"))),
+                6,
+            ),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(
+                    F.desc("centroid_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") == 1)
+        .select("_id", "_v", "centroid_id", "centroid_sim")
+    )
+    ranked = assigned.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("centroid_id").orderBy(
+                F.asc("centroid_sim"), F.asc("_id")
+            )
+        ),
+    ).localCheckpoint(eager=True)
+    earlier = ranked.select(
+        "centroid_id",
+        F.col("_id").alias("_eid"),
+        F.col("_v").alias("_ev"),
+        F.col("_rn").alias("_ern"),
+    )
+    dup_ids = (
+        ranked.join(earlier, "centroid_id")
+        .filter(F.col("_ern") < F.col("_rn"))
+        .withColumn(
+            "_cos",
+            F.round(
+                _dot(F.col("_v"), F.col("_ev"))
+                / (_norm(F.col("_v")) * _norm(F.col("_ev"))),
+                6,
+            ),
+        )
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .select("_id")
+        .distinct()
+    )
+    return ranked.join(
+        dup_ids.withColumn("_dup", F.lit(True)), "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "centroid_id",
+        "centroid_sim",
+        F.col("_dup").isNull().alias("kept"),
+    )
