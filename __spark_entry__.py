@@ -550,6 +550,31 @@ def q_stream_dedup(spark, sf_dir):
     return out.select("content_sha").distinct()
 
 
+def q_stream_sessions(spark, sf_dir):
+    # Stateful streaming sessionization (applyInPandasWithState): emits
+    # every CLOSED session; each user's trailing session stays open in
+    # state — so the batch oracle is sessions minus last-per-user.
+    import tempfile
+    import uuid
+
+    from ai_knowledge_graph_spark.streaming.ingest import stream_sessionize
+
+    out = stream_sessionize(
+        spark,
+        f"{sf_dir}/events.parquet",
+        checkpoint_dir=tempfile.mkdtemp(prefix="sess_q_ckpt_"),
+        gap_seconds=1800,
+        query_name=f"sess_q_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        "start_sec",
+        "end_sec",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # Embedding-cosine near-dup pairs: SRP-bucketed candidates (2 tables x 8
     # planes), exact cosine >= 0.3 — the embedding flavor of the near-dup
@@ -1365,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "semdedup": q_semdedup,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -3277,6 +3303,36 @@ dups AS (
 SELECT asg.vec_id, asg.centroid_id, asg.centroid_sim,
        (dups.vec_id IS NULL) AS kept
 FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id"""
+
+    # Streaming sessionizer: the batch replay of "every closed session" =
+    # gap sessions minus each user's last (trailing-open) one. Same
+    # floor-epoch second arithmetic as the sessions oracle.
+    sql["stream_sessions"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+), x AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS idx
+  FROM f
+), per AS (
+  SELECT user_id, idx,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS end_sec,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM x GROUP BY user_id, idx
+), last AS (
+  SELECT user_id, max(idx) AS mx FROM per GROUP BY user_id
+)
+SELECT p.user_id, p.start_sec, p.end_sec, p.n_events, p.total_value
+FROM per p JOIN last l ON p.user_id = l.user_id AND p.idx < l.mx"""
 
     return sql
 

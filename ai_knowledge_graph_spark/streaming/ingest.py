@@ -174,3 +174,112 @@ def stream_dedup_documents(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap sessionization with
+    ``applyInPandasWithState`` — the batch twin is
+    ``operators.events.sessionize`` + ``session_stats``.
+
+    Per user, the state is the OPEN trailing session
+    (start_sec, last_sec, n_events, total_value); each micro-batch sorts
+    its arrivals by (ts, event_id) — the batch twin's exact order — folds
+    them into the state, and EMITS every session that closed (a gap >
+    ``gap_seconds`` appeared). The final open session per user stays in
+    state: with AvailableNow over a static directory the emitted set is
+    exactly the batch sessions minus each user's last one — asserted in
+    tests — and a later run over appended data continues those sessions
+    from the checkpoint, which is the whole point of keeping them open.
+
+    Scale: state is O(1) per user (four scalars), grouped-map shuffles
+    only (user_id)-hashed Arrow batches, and emission is append-mode so
+    the sink never rewrites. Events arriving in a LATER micro-batch than
+    a chronologically-later event misorder the fold — production input
+    needs per-user batch ordering (file order here; a watermark +
+    transformWithState reorder buffer is the upgrade path).
+
+    Returns the drained result as a DataFrame (memory sink) with columns
+    (user_id, start_sec, end_sec, n_events, total_value).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("start_sec", LongType()),
+            StructField("end_sec", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("start_sec", LongType()),
+            StructField("last_sec", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        secs = batch["ts"].astype("int64") // 10**9
+        if state.exists:
+            start, last, n, tot = state.get
+        else:
+            start = last = None
+            n, tot = 0, 0.0
+        closed = []
+        for sec, val in zip(secs.tolist(), batch["value"].tolist()):
+            if last is not None and sec - last > gap_seconds:
+                closed.append((key[0], start, last, n, tot))
+                start, n, tot = sec, 0, 0.0
+            if start is None:
+                start = sec
+            last = sec
+            n += 1
+            tot += float(val)
+        state.update((start, last, n, tot))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "start_sec", "end_sec", "n_events", "total_value"],
+        )
+
+    src = _as_stream_dir(events_path)
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fold, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
