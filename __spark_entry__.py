@@ -911,6 +911,13 @@ def q_domain_stats(spark, sf_dir):
     return domain_stats(_docs(spark, sf_dir)).withColumnRenamed("source", "domain")
 
 
+def q_corpus_cube(spark, sf_dir):
+    # CUBE (source x lang) with exact interpolated size percentiles.
+    from ai_knowledge_graph_spark.operators.webcrawl import corpus_cube
+
+    return corpus_cube(_docs(spark, sf_dir))
+
+
 def q_canonical_crawl(spark, sf_dir):
     # Canonical-URL as-of dedup: deterministic messy-URL variants (host case,
     # fragment, default port, tracking params, param order) collapse to one
@@ -1391,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "semdedup": q_semdedup,
         "stream_sessions": q_stream_sessions,
+        "corpus_cube": q_corpus_cube,
     }
 
 
@@ -3333,6 +3341,19 @@ WITH o AS (
 )
 SELECT p.user_id, p.start_sec, p.end_sec, p.n_events, p.total_value
 FROM per p JOIN last l ON p.user_id = l.user_id AND p.idx < l.mx"""
+
+    # CUBE rollup: GROUPING() arithmetic mirrors Spark's grouping();
+    # quantile_cont is the same linear-interpolation percentile as Spark's
+    # exact percentile().
+    sql["corpus_cube"] = """
+SELECT source, lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_size,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_size,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_size
+FROM documents
+GROUP BY CUBE (source, lang)"""
 
     return sql
 

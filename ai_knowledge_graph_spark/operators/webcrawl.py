@@ -319,3 +319,37 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(url_col, status.alias("status"), "old_sha", "new_sha")
+
+
+def corpus_cube(
+    docs: DataFrame,
+    dims: tuple[str, str] = ("source", "lang"),
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """OLAP CUBE over two corpus dimensions with exact size percentiles:
+    (dim1, dim2, gid, n_docs, total_size, p50_size, p95_size) — one row
+    per (dim1, dim2) cell PLUS per-dim subtotals and the grand total;
+    ``gid`` = grouping(dim1)*2 + grouping(dim2) disambiguates a subtotal
+    NULL from a genuine NULL dimension value.
+
+    The dashboard query of a crawl corpus (how big is each
+    domain x language slice, and how are document sizes distributed in
+    it) in ONE pass: Spark expands CUBE into grouping sets inside a
+    single hash aggregation — 4x the key space of a plain groupBy, not 4
+    scans. ``percentile`` is the exact linear-interpolation quantile
+    (matches DuckDB ``quantile_cont``) — per-cell state is the cell's
+    sorted size multiset, bounded by cell cardinality; swap in
+    ``percentile_approx`` (t-digest, O(1) state) when cells reach 1e9
+    rows. Reference has no OLAP layer (nearest: graph_stats counters).
+    """
+    d1, d2 = dims
+    return (
+        docs.cube(d1, d2)
+        .agg(
+            (F.grouping(d1) * 2 + F.grouping(d2)).alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col).cast("bigint")).alias("total_size"),
+            F.round(F.percentile(size_col, F.lit(0.5)), 6).alias("p50_size"),
+            F.round(F.percentile(size_col, F.lit(0.95)), 6).alias("p95_size"),
+        )
+    )
