@@ -1278,6 +1278,27 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_dedup(docs, k=12, min_count=2)
 
 
+def q_trustrank(spark, sf_dir):
+    # Personalized PageRank from a deterministic hash-selected seed set
+    # (TrustRank shape): teleport restricted to ~1/7 of the node set.
+    from ai_knowledge_graph_spark.graph.centrality import (
+        personalized_pagerank,
+    )
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.conv(F.substring(F.md5("node"), 1, 8), 16, 10).cast("long") % 7 == 0
+    )
+    out = personalized_pagerank(edges, seeds, damping=0.85, iterations=5)
+    return out.select("entity", F.round("pagerank", 6).alias("pagerank"))
+
+
 def q_kcore(spark, sf_dir):
     # 2-core of the standardized KG (undirected simple graph): iterative
     # peel to fixpoint. k=2 strips the tree fringe and keeps the cyclic
@@ -1399,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "stream_sessions": q_stream_sessions,
         "corpus_cube": q_corpus_cube,
+        "trustrank": q_trustrank,
     }
 
 
@@ -3354,6 +3376,52 @@ SELECT source, lang,
        round(quantile_cont(n_chars, 0.95), 6) AS p95_size
 FROM documents
 GROUP BY CUBE (source, lang)"""
+
+    # TrustRank: the pagerank oracle with teleport restricted to the
+    # hash-selected seed set; same IEEE constant construction
+    # ((1.0 - 0.85) etc.) and MATERIALIZED-per-iteration unroll.
+    _ppr_iters = []
+    _pprev = "ppr0"
+    for _k in range(1, 6):
+        _ppr_iters.append(f""",
+pdang{_k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.pr), CAST(0 AS DOUBLE)) AS m
+  FROM {_pprev} p LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL
+),
+pmass{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr / o.od) AS m
+  FROM e JOIN {_pprev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+ppr{_k} AS MATERIALIZED (
+  SELECT tv.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tv.t
+         + CAST(0.85 AS DOUBLE) *
+           (COALESCE(m.m, CAST(0 AS DOUBLE)) + (SELECT m FROM pdang{_k}) * tv.t) AS pr
+  FROM tvec tv LEFT JOIN pmass{_k} m ON tv.node = m.node
+)""")
+        _pprev = f"ppr{_k}"
+    sql["trustrank"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT subject AS src, object AS dst FROM std),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT node FROM nodes WHERE ('0x'||substr(md5(node),1,8))::BIGINT % 7 = 0
+),
+sn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+tvec AS MATERIALIZED (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) / (SELECT n FROM sn) END AS t
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+ppr0 AS MATERIALIZED (SELECT node, t AS pr FROM tvec)"""
+        + "".join(_ppr_iters)
+        + f"""
+SELECT node AS entity, round(pr, 6) AS pagerank FROM {_pprev}"""
+    )
 
     return sql
 

@@ -458,3 +458,83 @@ def k_core(
             .join(kn.withColumnRenamed("entity", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(entity, pagerank): personalized PageRank — teleport restricted to
+    the ``seeds`` node set (TrustRank, Gyongyi et al. 2004, when seeds are
+    trusted pages). The standard seed-propagation quality prior of a web
+    corpus: mass flows outward from the trusted set, so spam farms that
+    inflate vanilla PageRank via link exchanges score near zero unless
+    they are reachable from trust.
+
+        pr_v = (1-d)*t_v + d*(in_mass_v + dangling_mass*t_v)
+
+    with t_v = 1/|S| on seed nodes present in the graph, else 0 (dangling
+    mass teleports back to the seeds — mass stays on the trust-reachable
+    set and ranks sum to 1 every round). Same plan shape per iteration as
+    :func:`pagerank` (one equi-join, one map-side-combined agg, one scalar
+    dangling reduce, localCheckpoint per round); the teleport column rides
+    the node table, adding nothing to the shuffle payload.
+
+    Raises ValueError if no seed occurs in the graph (the fixpoint would
+    be identically zero).
+    """
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    marked = nodes.join(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("_s", F.lit(1.0)),
+        "node",
+        "left",
+    ).localCheckpoint(eager=True)
+    n_seed = marked.filter(F.col("_s").isNotNull()).count()
+    if n_seed == 0:
+        raise ValueError("personalized_pagerank: no seed occurs in the graph")
+    nodes_t = marked.select(
+        "node",
+        (F.coalesce("_s", F.lit(0.0)) / F.lit(float(n_seed))).alias("t"),
+    ).localCheckpoint(eager=True)
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = outdeg.localCheckpoint(eager=True)
+    ranks = nodes_t.select("node", F.col("t").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.e_src == ranks.node)
+            .join(outdeg, "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
+            .agg(F.sum("pr"))
+            .first()[0]
+            or 0.0
+        )
+        ranks = nodes_t.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping)
+                * (
+                    F.coalesce("in_mass", F.lit(0.0))
+                    + F.lit(dangling) * F.col("t")
+                )
+            ).alias("pr"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
