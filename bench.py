@@ -253,6 +253,18 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
         "doc_classifier_score",
         lambda: entry_mod.q_classifier_score(spark, sf_dir).count(),
     )
+    # round-3 session-3 headliners: ExactSubstr span dedup (window-hash
+    # count + covered-position anti-join), DSIR weighting (gram explode +
+    # broadcast ratio join), SemDeDup (cluster-scoped pair join)
+    timed(
+        "doc_exact_substring",
+        lambda: entry_mod.q_exact_substring(spark, sf_dir).count(),
+    )
+    timed(
+        "doc_dsir_weights",
+        lambda: entry_mod.q_dsir_weights(spark, sf_dir).count(),
+    )
+    timed("doc_semdedup", lambda: entry_mod.q_semdedup(spark, sf_dir).count())
     # untimed warm-up: mix_corpus is the only doc stage whose plan shapes
     # (histogram window + boundary window + explode) share nothing with the
     # stages above, so one-shot timing would measure janino JIT, not the op
