@@ -195,3 +195,58 @@ def test_html_extract_is_arrow_batched(spark):
     plan = _plan(extract_html_text(pages))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_exact_substring_no_cartesian_and_linear_joins(spark):
+    # The removal path must be equi-joins (hash h / (doc,pos)) — never a
+    # cartesian — and the window-hash projection must stay JVM-side (no
+    # Python UDF in the plan)
+    from ai_knowledge_graph_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(exact_substring_dedup(docs, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    # The n_buckets-row log-ratio table is a broadcast dim at ANY corpus
+    # size; the per-doc score must be one hash agg over the gram explode
+    from ai_knowledge_graph_spark.operators.dsir import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    plan = _plan(dsir_weights(raw, tgt, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_pairwise_is_cluster_equijoin(spark):
+    # The quadratic stage must be a self-equi-join ON centroid_id; the only
+    # nested-loop allowed is the broadcast of the nlist-row centroid dim
+    from ai_knowledge_graph_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) for d in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(semdedup(emb, threshold=0.99, nlist=4))
+    assert "CartesianProduct" not in plan
+    # centroid assignment: broadcast nested loop over the tiny dim is fine,
+    # but the pair join itself must hash on centroid_id
+    assert "centroid_id" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 1
