@@ -1264,6 +1264,19 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, nlist=16)
 
 
+def q_winnow(spark, sf_dir):
+    # MOSS winnowing fingerprints: k=5 grams, window=4, rightmost-min.
+    from ai_knowledge_graph_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = winnow_fingerprints(docs, k=5, window=4)
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "fp_hash")
+
+
 def q_exact_substring(spark, sf_dir):
     # Lee-et-al. ExactSubstr dedup over the documents table: every token
     # position covered by a 12-token window occurring >= 2x corpus-wide is
@@ -1421,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "corpus_cube": q_corpus_cube,
         "trustrank": q_trustrank,
+        "winnow": q_winnow,
     }
 
 
@@ -3422,6 +3436,36 @@ ppr0 AS MATERIALIZED (SELECT node, t AS pr FROM tvec)"""
         + f"""
 SELECT node AS entity, round(pr, 6) AS pagerank FROM {_pprev}"""
     )
+
+    # Winnowing (k=5, window=4): grams explode to their covering window
+    # starts (DuckDB range() is empty when stop<=start, so the G<window
+    # case needs no guard here, unlike Spark's descending sequence);
+    # rightmost-min via min(h) then max(pos) among holders.
+    sql["winnow"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a
+  FROM documents
+), base AS (
+  SELECT doc_id, a, len(a) AS n FROM tok
+), g AS MATERIALIZED (
+  SELECT doc_id, n - 4 AS gcnt, i - 1 AS pos,
+         ('0x'||substr(md5(array_to_string(a[i:i+4], ' ')),1,12))::BIGINT AS h
+  FROM (SELECT doc_id, a, n, unnest(range(1, n - 5 + 2)) AS i
+        FROM base WHERE n >= 5)
+), mem AS MATERIALIZED (
+  SELECT doc_id, h, pos,
+         unnest(range(greatest(0, pos - 3), least(pos, gcnt - 4) + 1)) AS j
+  FROM g
+), wmin AS MATERIALIZED (
+  SELECT doc_id, j, min(h) AS mh FROM mem GROUP BY doc_id, j
+), sel AS (
+  SELECT m.doc_id, m.j, max(m.pos) AS pos, min(m.h) AS fp_hash
+  FROM mem m
+  JOIN wmin w ON m.doc_id = w.doc_id AND m.j = w.j AND m.h = w.mh
+  GROUP BY m.doc_id, m.j
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp_hash FROM sel"""
 
     return sql
 

@@ -175,3 +175,72 @@ def classifier_score(
             "score"
         ),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): (id_col, pos, fp_hash), the rightmost-minimum
+    k-gram hash of every ``window`` consecutive k-grams, deduplicated.
+
+    The published guarantee: any two documents sharing a token run of
+    length >= window + k - 1 share at least one fingerprint, while only
+    ~2/(window+1) of all gram hashes are kept — the local, position-robust
+    alternative to MinHash for plagiarism/near-dup detection.
+
+    Relational formulation (no per-row Python, exact int64 end to end):
+    grams explode to the <= ``window`` winnowing windows that contain them
+    (O(G*window) rows, same order as ExactSubstr's coverage explode), the
+    per-window rightmost minimum resolves in two map-side-combinable hash
+    aggregations (min(h) then max(pos) among its holders — NO rank window
+    over the exploded set), and the final distinct collapses adjacent
+    windows that picked the same gram. Grams are hashed inside the
+    projection (48-bit md5 prefix, the repo's DuckDB-portable int64 hash);
+    tokens are lowercased per MOSS's normalization.
+    """
+    words = _words(F.col(text_col))
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    n = F.size(words)
+    grams = docs.select(
+        F.col(id_col),
+        (n - F.lit(k - 1)).alias("_g"),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), gram),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_pos", "_h"),
+    )
+    # window starts containing gram _pos: [max(0,_pos-window+1), min(_pos, G-window)]
+    # NB: a bare sequence(start, stop) DESCENDS when start > stop (the
+    # phantom-gram trap _gram_hashes documents) — guard the G < window case
+    # (no complete winnowing window -> no fingerprints, per MOSS)
+    _start = F.greatest(F.lit(0), F.col("_pos") - F.lit(window - 1))
+    _stop = F.least(F.col("_pos"), F.col("_g") - F.lit(window))
+    members = grams.select(
+        id_col,
+        "_h",
+        "_pos",
+        F.explode(
+            F.when(_start <= _stop, F.sequence(_start, _stop)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_j"),
+    )
+    wmin = members.groupBy(id_col, "_j").agg(F.min("_h").alias("_mh"))
+    sel = (
+        members.join(wmin, [id_col, "_j"])
+        .filter(F.col("_h") == F.col("_mh"))
+        .groupBy(id_col, "_j")
+        .agg(F.max("_pos").alias("pos"), F.min("_mh").alias("fp_hash"))
+    )
+    return sel.select(id_col, "pos", "fp_hash").distinct()
