@@ -1264,6 +1264,17 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, nlist=16)
 
 
+def q_gopher(spark, sf_dir):
+    # Gopher quality rules (Rae et al. 2021): per-rule verdicts in exact
+    # integer arithmetic + round(6) info ratios.
+    from ai_knowledge_graph_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return gopher_rules(docs).drop("text")
+
+
 def q_winnow(spark, sf_dir):
     # MOSS winnowing fingerprints: k=5 grams, window=4, rightmost-min.
     from ai_knowledge_graph_spark.operators.textstats import (
@@ -1435,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "trustrank": q_trustrank,
         "winnow": q_winnow,
+        "gopher": q_gopher,
     }
 
 
@@ -3466,6 +3478,51 @@ WITH tok AS (
   GROUP BY m.doc_id, m.j
 )
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp_hash FROM sel"""
+
+    # Gopher rules: every verdict is exact integer arithmetic (10*x <= y),
+    # regexes in the Java∩RE2 common subset, ratios round(6) info-only.
+    sql["gopher"] = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS ls,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS symbols
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS nw,
+    CAST(len(ls) AS BIGINT) AS nl,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS chars,
+    CAST(symbols AS BIGINT) AS symbols,
+    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullets,
+    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS ellipses,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+           s -> list_contains(list_transform(ws, x -> lower(x)), s))) AS BIGINT)
+      AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+  nw AS n_words,
+  CASE WHEN nw > 0 THEN round(CAST(chars AS DOUBLE) / nw, 6) ELSE 0.0 END AS mean_word_len,
+  CASE WHEN nw > 0 THEN round(CAST(symbols AS DOUBLE) / nw, 6) ELSE 0.0 END AS symbol_ratio,
+  CASE WHEN nl > 0 THEN round(CAST(bullets AS DOUBLE) / nl, 6) ELSE 0.0 END AS bullet_frac,
+  CASE WHEN nl > 0 THEN round(CAST(ellipses AS DOUBLE) / nl, 6) ELSE 0.0 END AS ellipsis_frac,
+  CASE WHEN nw > 0 THEN round(CAST(alpha AS DOUBLE) / nw, 6) ELSE 0.0 END AS alpha_frac,
+  stop_hits AS n_stop_hits,
+  (nw >= 50 AND nw <= 100000) AS ok_word_count,
+  (3 * nw <= chars AND chars <= 10 * nw AND nw > 0) AS ok_mean_len,
+  (10 * symbols <= nw) AS ok_symbol,
+  (10 * bullets <= 9 * nl) AS ok_bullet,
+  (10 * ellipses <= 3 * nl) AS ok_ellipsis,
+  (5 * alpha >= 4 * nw) AS ok_alpha,
+  (stop_hits >= 2) AS ok_stop,
+  ((nw >= 50 AND nw <= 100000) AND (3 * nw <= chars AND chars <= 10 * nw AND nw > 0)
+   AND (10 * symbols <= nw) AND (10 * bullets <= 9 * nl)
+   AND (10 * ellipses <= 3 * nl) AND (5 * alpha >= 4 * nw)
+   AND (stop_hits >= 2)) AS gopher_pass
+FROM m"""
 
     return sql
 

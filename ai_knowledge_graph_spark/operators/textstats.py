@@ -244,3 +244,90 @@ def winnow_fingerprints(
         .agg(F.max("_pos").alias("pos"), F.min("_mh").alias("fp_hash"))
     )
     return sel.select(id_col, "pos", "fp_hash").distinct()
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, app. A, as
+    adopted by MassiveText/RefinedWeb/Dolma): per document, the measured
+    signals, each rule's verdict, and the overall gate.
+
+      ok_word_count  50 <= n_words <= 100,000
+      ok_mean_len    3 <= mean word length <= 10
+      ok_symbol      (count('#') + count('...')) / n_words <= 0.1
+      ok_bullet      <= 90% of lines start with a bullet (-, *, •)
+      ok_ellipsis    <= 30% of lines end with an ellipsis (... or …)
+      ok_alpha       >= 80% of words contain an alphabetic character
+      ok_stop        >= 2 distinct Gopher stop words present
+      gopher_pass    all of the above
+
+    Every verdict is computed in EXACT integer arithmetic (e.g.
+    ``10*symbols <= n_words`` instead of a double ratio compare), so the
+    gate can never flip on a float boundary and the SQL oracle matches
+    bit-for-bit; the reported ratio columns are round(6) doubles for
+    human consumption only. Row-local column expressions throughout —
+    shuffle-free, codegen-able, a linear scan at any corpus size.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    nw = F.size(words).cast("long")
+    nl = F.size(lines).cast("long")
+    chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    ).cast("long")
+    bullets = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    ).cast("long")
+    ellipses = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    low = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low, s),
+        )
+    ).cast("long")
+    ok_wc = (nw >= 50) & (nw <= 100_000)
+    ok_ml = (F.lit(3) * nw <= chars) & (chars <= F.lit(10) * nw) & (nw > 0)
+    ok_sym = F.lit(10) * symbols <= nw
+    ok_bul = F.lit(10) * bullets <= F.lit(9) * nl
+    ok_ell = F.lit(10) * ellipses <= F.lit(3) * nl
+    ok_alpha = F.lit(5) * alpha >= F.lit(4) * nw
+    ok_stop = stop_hits >= 2
+    ratio = lambda a, b: F.when(  # noqa: E731
+        b > 0, F.round(a.cast("double") / b, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "*",
+        nw.alias("n_words"),
+        ratio(chars, nw).alias("mean_word_len"),
+        ratio(symbols, nw).alias("symbol_ratio"),
+        ratio(bullets, nl).alias("bullet_frac"),
+        ratio(ellipses, nl).alias("ellipsis_frac"),
+        ratio(alpha, nw).alias("alpha_frac"),
+        stop_hits.alias("n_stop_hits"),
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbol"),
+        ok_bul.alias("ok_bullet"),
+        ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (
+            ok_wc & ok_ml & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
+        ).alias("gopher_pass"),
+    )
