@@ -321,12 +321,7 @@ def exact_substring_dedup(
     path if needed. Reference has no substring-level dedup at all (its
     corpus layer is whole-file exact dedup, scripts/prepare_data.py:124).
     """
-    from pyspark.sql import Window
-
-    base = docs.select(
-        F.col(id_col),
-        _word_array(F.col(text_col)).alias("_ws"),
-    ).select(id_col, "_ws", F.size("_ws").cast("long").alias("n_tokens"))
+    base = _substr_base(docs, id_col, text_col)
     wins = base.select(
         id_col, F.posexplode(_gram_hashes(F.col("_ws"), k)).alias("_wpos", "_h")
     )
@@ -337,6 +332,24 @@ def exact_substring_dedup(
         .select("_h")
     )
     dup = wins.join(hot, "_h").select(id_col, "_wpos")
+    return _apply_window_removal(base, dup, k, id_col, text_col)
+
+
+def _substr_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        _word_array(F.col(text_col)).alias("_ws"),
+    ).select(id_col, "_ws", F.size("_ws").cast("long").alias("n_tokens"))
+
+
+def _apply_window_removal(
+    base: DataFrame, dup: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared removal stage of the ExactSubstr family: duplicated window
+    starts -> covered positions -> anti-join + ordered rebuild + merged
+    span count (see exact_substring_dedup for the plan-shape notes)."""
+    from pyspark.sql import Window
+
     cov = dup.select(
         id_col,
         F.explode(
@@ -387,3 +400,60 @@ def exact_substring_dedup(
             F.coalesce("_n_spans", F.lit(0)).cast("long").alias("n_spans"),
         )
     )
+
+
+def exact_substring_hash_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """(_h, cnt): the persistable ExactSubstr index — corpus-wide k-token
+    window-hash counts. Write it out (bucketed by _h for probe joins) and
+    feed it to :func:`exact_substring_dedup_incremental` so daily batches
+    never rescan the historical corpus."""
+    base = _substr_base(docs, id_col, text_col)
+    return (
+        base.select(F.explode(_gram_hashes(F.col("_ws"), k)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def exact_substring_dedup_incremental(
+    new_docs: DataFrame,
+    base_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Daily-ingest ExactSubstr: dedup the NEW batch against an existing
+    corpus's stored window-hash counts (``base_counts`` from
+    :func:`exact_substring_hash_counts`) plus the batch itself — without
+    recomputing anything over the old corpus.
+
+    A window is removed when (its count within the new batch) + (its
+    stored corpus count) reaches ``min_count`` — identical semantics to
+    running :func:`exact_substring_dedup` over corpus ∪ batch and keeping
+    the batch rows, except historical docs are not re-cleaned (their text
+    is never read). Per-day cost is O(batch) plus one equi-join probe of
+    the batch's distinct window hashes into the stored index — never
+    O(corpus). Same output schema as exact_substring_dedup.
+    """
+    base = _substr_base(new_docs, id_col, text_col)
+    wins = base.select(
+        id_col, F.posexplode(_gram_hashes(F.col("_ws"), k)).alias("_wpos", "_h")
+    )
+    new_counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_cn"))
+    hot = (
+        new_counts.join(base_counts, new_counts["_h"] == base_counts["_h"], "left")
+        .select(
+            new_counts["_h"],
+            (F.col("_cn") + F.coalesce("cnt", F.lit(0))).alias("_c"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dup = wins.join(hot, "_h").select(id_col, "_wpos")
+    return _apply_window_removal(base, dup, k, id_col, text_col)
