@@ -1264,6 +1264,53 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, threshold=0.35, nlist=16)
 
 
+def q_robots(spark, sf_dir):
+    # robots.txt gate over synthesized per-domain policies: three policy
+    # variants by domain hash, four URL path shapes by doc_id. The oracle
+    # computes expected verdicts from the GENERATOR (not by replaying the
+    # parser), so an engine parse bug surfaces as a mismatch.
+    from ai_knowledge_graph_spark.operators.webcrawl import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    variant = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long") % 3
+    )
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("domain"),
+            F.when(
+                variant == 0,
+                F.lit(
+                    "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                    "\nUser-agent: badbot\nDisallow: /\n"
+                ),
+            )
+            .when(
+                variant == 1,
+                F.lit("User-agent: *\nDisallow: /\nAllow: /pub\n"),
+            )
+            .otherwise(F.lit("User-agent: badbot\nDisallow: /\n"))
+            .alias("robots_txt"),
+        )
+    )
+    k = F.col("doc_id").cast("string")
+    pcase = F.col("doc_id") % 4
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.when(pcase == 0, F.lit(""))
+            .when(pcase == 1, F.concat(F.lit("/private/doc"), k))
+            .when(pcase == 2, F.concat(F.lit("/private/ok/doc"), k))
+            .otherwise(F.concat(F.lit("/pub/doc"), k)),
+        ).alias("url"),
+    )
+    return robots_filter(urls, robots).select("doc_id", "url", "robots_allowed")
+
+
 def q_gopher(spark, sf_dir):
     # Gopher quality rules (Rae et al. 2021): per-rule verdicts in exact
     # integer arithmetic + round(6) info ratios.
@@ -1447,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "winnow": q_winnow,
         "gopher": q_gopher,
+        "robots": q_robots,
     }
 
 
@@ -3523,6 +3571,27 @@ SELECT doc_id,
    AND (10 * ellipses <= 3 * nl) AND (5 * alpha >= 4 * nw)
    AND (stop_hits >= 2)) AS gopher_pass
 FROM m"""
+
+    # robots gate: the oracle derives each verdict arithmetically from the
+    # (policy variant, path shape) pair the generator used — an engine-side
+    # robots PARSER bug therefore mismatches (canonical_crawl philosophy).
+    sql["robots"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    ('0x'||substr(md5(source),1,8))::BIGINT % 3 AS variant,
+    doc_id % 4 AS pcase
+  FROM documents
+)
+SELECT doc_id,
+  'https://' || source || CASE pcase
+     WHEN 0 THEN ''
+     WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+     WHEN 2 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+     ELSE '/pub/doc' || CAST(doc_id AS VARCHAR) END AS url,
+  CASE WHEN variant = 2 THEN true
+       WHEN variant = 0 THEN NOT (pcase = 1)
+       ELSE (pcase = 3) END AS robots_allowed
+FROM d"""
 
     return sql
 
