@@ -896,6 +896,31 @@ def q_latest_crawl(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    # SCD2 change timeline over the synthetic multi-crawl pages: digest
+    # runs of 2 consecutive crawls (dv = (crawl_idx div 2) % 4) exercise
+    # the collapse; intervals chain gap-free per url.
+    from ai_knowledge_graph_spark.operators.webcrawl import scd2_versions
+
+    pages = _crawl_pages(spark, sf_dir)
+    dv = F.expr("(doc_id div 50 div 2) % 4").cast("string")
+    snaps = pages.select(
+        "url",
+        "warc_ts",
+        "doc_id",
+        F.sha2(F.concat(F.col("url"), dv), 256).alias("digest"),
+    )
+    out = scd2_versions(snaps)
+    return out.select(
+        "url",
+        F.col("version").cast("long").alias("version"),
+        F.unix_timestamp("valid_from").alias("valid_from_sec"),
+        F.unix_timestamp("valid_to").alias("valid_to_sec"),
+        "is_current",
+        "digest",
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition signals: duplicate-bigram fraction + top-bigram
     # mass per document.
@@ -1495,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "gopher": q_gopher,
         "robots": q_robots,
+        "scd2": q_scd2,
     }
 
 
@@ -3592,6 +3618,30 @@ SELECT doc_id,
        WHEN variant = 0 THEN NOT (pcase = 1)
        ELSE (pcase = 3) END AS robots_allowed
 FROM d"""
+
+    # SCD2: replay the crawl synth arithmetically (warc_ts = epoch +
+    # doc_id*60 -> exact int seconds), lag-collapse + lead-close windows.
+    sql["scd2"] = """
+WITH s AS (
+  SELECT 'https://' || source || '.example.org/p' || CAST(doc_id % 50 AS VARCHAR) AS url,
+         1767225600 + doc_id * 60 AS ts_sec,
+         doc_id,
+         sha256('https://' || source || '.example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                || CAST((doc_id // 50 // 2) % 4 AS VARCHAR)) AS digest
+  FROM documents
+), chg AS (
+  SELECT *, lag(digest) OVER (PARTITION BY url ORDER BY ts_sec, doc_id) AS prev
+  FROM s
+), kept AS (
+  SELECT * FROM chg WHERE prev IS NULL OR prev <> digest
+)
+SELECT url,
+       row_number() OVER (PARTITION BY url ORDER BY ts_sec, doc_id) AS version,
+       ts_sec AS valid_from_sec,
+       lead(ts_sec) OVER (PARTITION BY url ORDER BY ts_sec, doc_id) AS valid_to_sec,
+       lead(ts_sec) OVER (PARTITION BY url ORDER BY ts_sec, doc_id) IS NULL AS is_current,
+       digest
+FROM kept"""
 
     return sql
 

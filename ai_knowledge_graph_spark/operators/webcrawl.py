@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import html_to_text
@@ -438,4 +438,43 @@ def robots_filter(
     )
     return joined.withColumn("robots_allowed", allowed).drop(
         "_dom", "_path", "_rules"
+    )
+
+
+def scd2_versions(
+    snapshots: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """SCD-type-2 version history from raw snapshots: collapse consecutive
+    identical captures, emit one row per CHANGE with a validity interval —
+    (key, version, valid_from, valid_to [null = current], is_current,
+    digest). The warehouse twin of snapshot_diff: diff answers "what
+    changed between two crawls", this builds the full change timeline a
+    temporal join (as-of on valid_from/valid_to) can query.
+
+    Plan: one shuffle on the key; change detection is lag(digest) over the
+    (ts, tiebreak) sort, interval close is lead(ts) over the surviving
+    change rows — two stacked windows, both partitioned by the key (crawl
+    cardinality per url bounds the partition, same skew envelope as
+    latest_snapshot). Nothing leaves the JVM.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = snapshots.withColumn(
+        "_prev", F.lag(digest_col).over(w)
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(digest_col)))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (
+        changed.withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            key_col,
+            "version",
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            digest_col,
+        )
     )
