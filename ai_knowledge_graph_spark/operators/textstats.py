@@ -331,3 +331,96 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ok_wc & ok_ml & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
         ).alias("gopher_pass"),
     )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    label_col: str = "label",
+    max_iter: int = 20,
+    reg_param: float = 0.01,
+):
+    """Train the fasttext-shaped quality gate in-engine and export it in
+    :func:`classifier_score`'s weight-table format.
+
+    Returns (weights_df, bias_milli): ``weights_df`` is (bucket, weight)
+    with weights in integer milli-units over the SAME md5 token-bucket
+    space classifier_score hashes into, so the trained model drops
+    straight into the pure-JVM scorer — train once on a labeled sample
+    with MLlib (driver-coordinated L-BFGS, executor-distributed gradient
+    passes), then score 100 TB with broadcast-join arithmetic and no
+    Python anywhere in the scoring path.
+
+    Feature assembly: per-doc hashed-BoW count vectors built entirely
+    JVM-side (bucket-count map -> dense array -> ``array_to_vector``) —
+    NO Python in the training-data path either; MLlib's L-BFGS does the
+    distributed gradient passes.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    spark = labeled.sparkSession
+    toks = labeled.select(
+        label_col,
+        F.monotonically_increasing_id().alias("_rid"),
+        _words(F.col(text_col)).alias("_ws"),
+    ).select(
+        label_col,
+        "_rid",
+        F.explode_outer("_ws").alias("_t"),
+    ).select(
+        label_col,
+        "_rid",
+        F.when(
+            F.col("_t").isNotNull(),
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+            % F.lit(dim),
+        ).alias("bucket"),
+    )
+    counts = (
+        toks.groupBy("_rid", label_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("_rid", label_col)
+        .agg(
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(
+                        F.when(
+                            F.col("bucket").isNotNull(),
+                            F.struct("bucket", "c"),
+                        )
+                    ),
+                    lambda e: e.isNotNull(),
+                )
+            ).alias("_m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0.0)
+        ),
+    )
+    train_df = counts.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(dense).alias("features"),
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    )
+    model = lr.fit(train_df)
+    coefs = model.coefficients
+    if hasattr(coefs, "indices"):
+        rows = [
+            (int(i), int(round(float(v) * 1000)))
+            for i, v in zip(coefs.indices, coefs.values)
+        ]
+    else:
+        rows = [
+            (int(i), int(round(float(v) * 1000)))
+            for i, v in enumerate(coefs)
+            if float(v) != 0.0
+        ]
+    weights = spark.createDataFrame(rows or [(0, 0)], "bucket long, weight long")
+    return weights, int(round(float(model.intercept) * 1000))
