@@ -1426,6 +1426,31 @@ def q_bm25(spark, sf_dir):
     return bm25_rank(_docs(spark, sf_dir), BM25_QUERY, top_n=50)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    # Hybrid retrieval: RRF-fuse BM25 top-50 (lexical) with cosine top-50
+    # around vec 0 (dense). Both ranks computed on rounded scores with id
+    # tiebreaks, so rank parity with the oracle is exact; the rank windows
+    # run over 50-row result lists (bounded by construction).
+    from pyspark.sql import Window
+
+    from ai_knowledge_graph_spark.operators.ranking import bm25_rank, rrf_fuse
+    from ai_knowledge_graph_spark.operators.similarity import cosine_topk
+
+    lex = bm25_rank(_docs(spark, sf_dir), BM25_QUERY, top_n=50)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    vec_r = vec.select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rank"))
+    return rrf_fuse([lex_r, vec_r], k=60)
+
+
 def q_triangles(spark, sf_dir):
     # per-node triangle counts + local clustering coefficient over the
     # standardized KG edges (degree-oriented wedge join, skew-bounded).
@@ -1521,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "robots": q_robots,
         "scd2": q_scd2,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -3642,6 +3668,32 @@ SELECT url,
        lead(ts_sec) OVER (PARTITION BY url ORDER BY ts_sec, doc_id) IS NULL AS is_current,
        digest
 FROM kept"""
+
+    # Hybrid RRF: wraps the bm25 oracle as a subquery (DuckDB allows WITH
+    # inside parenthesized subqueries) + the embedding_topk shape for
+    # query vec 0 / k=50; additions in list order (lex + vec) so the FP
+    # sum mirrors the engine exactly.
+    sql["hybrid_rrf"] = f"""
+WITH lex AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM ({sql["bm25"]})
+), vec AS MATERIALIZED (
+  SELECT neighbor_id AS doc_id, rk AS rank FROM (
+    SELECT e.vec_id AS neighbor_id,
+      row_number() OVER (
+        ORDER BY round({_sql_cos("e.embedding", "q.embedding")}, 6) DESC,
+                 e.vec_id ASC) AS rk
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) WHERE rk <= 50
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank), CAST(0 AS DOUBLE)), 6) AS rrf_score,
+       CAST((CASE WHEN l.rank IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN v.rank IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id"""
 
     return sql
 

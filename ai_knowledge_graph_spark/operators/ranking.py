@@ -89,3 +89,55 @@ def bm25_rank(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(top_n)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — THE
+    standard hybrid-retrieval combiner: given result lists each carrying
+    (id_col, rank [1-based]), score every id as
+
+        rrf_score = sum over lists of 1 / (k + rank)
+
+    (absent from a list contributes 0; k=60 is the published default).
+    Returns (id_col, rrf_score [round 6], n_lists) sorted by
+    (rrf_score desc, id) — rank-only fusion needs no score calibration
+    between BM25 and cosine, which is exactly why RRF beats weighted-sum
+    fusion in practice.
+
+    The fusion is a chain of full-outer hash equi-joins over the result
+    lists — each list is top-n-sized (query-bounded, tiny), so at 100 TB
+    the cost lives in the upstream retrievers, never here. The additions
+    run left-to-right in list order: deterministic FP summation, oracle
+    bit-parity after round(6).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    joined = None
+    cols: list[str] = []
+    for i, r in enumerate(rankings):
+        c = f"_rrf{i}"
+        t = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias(c),
+        )
+        joined = t if joined is None else joined.join(t, id_col, "full")
+        cols.append(c)
+    score = F.coalesce(F.col(cols[0]), F.lit(0.0))
+    for c in cols[1:]:
+        score = score + F.coalesce(F.col(c), F.lit(0.0))
+    n_lists = sum(
+        (F.col(c).isNotNull().cast("int") for c in cols[1:]),
+        F.col(cols[0]).isNotNull().cast("int"),
+    )
+    return (
+        joined.select(
+            id_col,
+            F.round(score, 6).alias("rrf_score"),
+            n_lists.cast("long").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
