@@ -182,6 +182,7 @@ def stream_sessionize(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     query_name: str = "stream_sessions",
+    out_path: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap sessionization with
     ``applyInPandasWithState`` — the batch twin is
@@ -204,8 +205,12 @@ def stream_sessionize(
     needs per-user batch ordering (file order here; a watermark +
     transformWithState reorder buffer is the upgrade path).
 
-    Returns the drained result as a DataFrame (memory sink) with columns
-    (user_id, start_sec, end_sec, n_events, total_value).
+    Returns the drained result as a DataFrame with columns
+    (user_id, start_sec, end_sec, n_events, total_value). With
+    ``out_path=None`` (tests/driver contract) the sink is an in-memory
+    table — DRIVER-BOUNDED, fine for bounded result sets only; pass
+    ``out_path`` to append closed sessions to parquet instead, the
+    at-scale sink (exactly-once via the checkpoint + append mode).
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -269,17 +274,18 @@ def stream_sessionize(
         .load(src)
         .select("user_id", "ts", "event_id", "value")
     )
-    q = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            fold, out_type, state_type, "append", GroupStateTimeout.NoTimeout
-        )
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if out_path is None:
+        q = writer.format("memory").queryName(query_name).start()
+        q.awaitTermination()
+        return spark.table(query_name)
+    q = writer.format("parquet").option("path", out_path).start()
     q.awaitTermination()
-    return spark.table(query_name)
+    return spark.read.parquet(out_path)

@@ -66,3 +66,29 @@ def test_streaming_matches_batch_closed_sessions(spark):
     )
     n_users = spark.read.parquet(path).select("user_id").distinct().count()
     assert len(got) == n_total - n_users
+
+
+def test_parquet_sink_matches_memory_sink(spark):
+    import tempfile
+
+    path = f"{SF_DIR}/events.parquet"
+    out_dir = tempfile.mkdtemp(prefix="sess_out_")
+    got = stream_sessionize(
+        spark,
+        path,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sess_ckpt2_"),
+        gap_seconds=1800,
+        query_name="sess_parity2",
+        out_path=out_dir,
+    )
+    rows = {
+        (r["user_id"], r["start_sec"], r["end_sec"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in got.collect()
+    }
+    exp = {
+        (r["user_id"], r["start_sec"], r["end_sec"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in _batch_sessions(spark, path, 1800).collect()
+    }
+    assert rows == exp
