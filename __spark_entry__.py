@@ -1251,6 +1251,25 @@ def _dsir_split(spark, sf_dir):
     )
 
 
+def q_exact_substring_incr(spark, sf_dir):
+    # Incremental ExactSubstr: docs < 400 are the stored corpus (only its
+    # (hash,count) index is used), docs >= 400 the new batch. Oracle = the
+    # full-run SQL over corpus ∪ batch restricted to batch rows — the
+    # equivalence the incremental path guarantees.
+    from ai_knowledge_graph_spark.operators.curation import (
+        exact_substring_dedup_incremental,
+        exact_substring_hash_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    counts = exact_substring_hash_counts(corpus, k=12)
+    return exact_substring_dedup_incremental(batch, counts, k=12, min_count=2)
+
+
 def q_dsir_weights(spark, sf_dir):
     # DSIR log importance weights of the raw split against the held-out
     # target split (same doc_id%19 partition as decontaminate).
@@ -1547,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "scd2": q_scd2,
         "hybrid_rrf": q_hybrid_rrf,
+        "exact_substring_incr": q_exact_substring_incr,
     }
 
 
@@ -3694,6 +3714,13 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
        CAST((CASE WHEN l.rank IS NULL THEN 0 ELSE 1 END)
             + (CASE WHEN v.rank IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
 FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id"""
+
+    # Incremental ExactSubstr == full run over corpus ∪ batch restricted
+    # to the batch (the operator's defining equivalence, also pinned in
+    # tests/test_exact_substring_incremental.py).
+    sql["exact_substring_incr"] = (
+        f"SELECT * FROM ({sql['exact_substring']}) WHERE doc_id >= 400"
+    )
 
     return sql
 
