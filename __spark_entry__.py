@@ -1251,6 +1251,55 @@ def _dsir_split(spark, sf_dir):
     )
 
 
+def q_sketch_bloom(spark, sf_dir):
+    # Bloom word-table over the corpus half (doc_id < 400), probed by every
+    # doc id: present keys must read true (no false negatives); the false
+    # positives on the absent half are deterministic and oracle-replayed.
+    from ai_knowledge_graph_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("doc_id").cast("string").alias("key")
+    )
+    bloom = bloom_build(docs.filter("doc_id < 400"), "key", n_bits=4096, k=4)
+    out = bloom_contains(docs, bloom, "key", n_bits=4096, k=4)
+    return out.select("doc_id", "maybe_present")
+
+
+def q_sketch_cms(spark, sf_dir):
+    # Count-Min over the source column (skewed repeats), point-queried per
+    # distinct source — exact int64 counters, overestimate-only.
+    from ai_knowledge_graph_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("key")
+    )
+    cms = cms_build(docs, "key", depth=4, width=64)
+    return cms_lookup(docs.distinct(), cms, "key", depth=4, width=64)
+
+
+def q_sketch_hll(spark, sf_dir):
+    # HyperLogLog distinct-token estimate (p=10): registers from exploded
+    # whitespace tokens; the harmonic sum stays exact integer so the one
+    # double division hash-compares.
+    from ai_knowledge_graph_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("key"))
+        .filter(F.col("key") != "")
+    )
+    return hll_estimate(hll_build(toks, "key", p=10), p=10)
+
+
 def q_exact_substring_incr(spark, sf_dir):
     # Incremental ExactSubstr: docs < 400 are the stored corpus (only its
     # (hash,count) index is used), docs >= 400 the new batch. Oracle = the
@@ -1567,6 +1616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "hybrid_rrf": q_hybrid_rrf,
         "exact_substring_incr": q_exact_substring_incr,
+        "sketch_bloom": q_sketch_bloom,
+        "sketch_cms": q_sketch_cms,
+        "sketch_hll": q_sketch_hll,
     }
 
 
@@ -3721,6 +3773,95 @@ FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id"""
     sql["exact_substring_incr"] = (
         f"SELECT * FROM ({sql['exact_substring']}) WHERE doc_id >= 400"
     )
+
+    # Sketch family: bit-exact replays — 63-bit bloom words (bit 63 never
+    # set), exact CMS counters, HLL harmonic sum as an exact HUGEINT of
+    # 2^(62-M_j) terms. Every double constant is CAST(... AS DOUBLE)
+    # (bare decimals are DECIMAL in DuckDB).
+    _bp = lambda expr, i: (  # noqa: E731
+        f"(('0x'||substr(md5('bloom{i}:' || {expr}),1,12))::BIGINT % 4096)"
+    )
+    sql["sketch_bloom"] = f"""
+WITH corpus AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents WHERE doc_id < 400),
+pos AS (
+  SELECT unnest([{", ".join(_bp("v", i) for i in range(4))}]) AS p FROM corpus
+),
+words AS MATERIALIZED (
+  SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, p // 63 AS word, p % 63 AS b FROM (
+    SELECT doc_id,
+      unnest([{", ".join(_bp("CAST(doc_id AS VARCHAR)", i) for i in range(4))}]) AS p
+    FROM documents
+  )
+)
+SELECT pr.doc_id,
+       min(CASE WHEN w.bits IS NOT NULL AND (w.bits >> CAST(pr.b AS INT)) % 2 = 1
+                THEN 1 ELSE 0 END) = 1 AS maybe_present
+FROM probes pr LEFT JOIN words w ON pr.word = w.word
+GROUP BY pr.doc_id"""
+
+    _cp = lambda expr, d: (  # noqa: E731
+        f"(('0x'||substr(md5('cms{d}:' || {expr}),1,12))::BIGINT % 64)"
+    )
+    sql["sketch_cms"] = f"""
+WITH cells AS (
+  SELECT r AS row, c AS cms_col FROM (
+    SELECT unnest([{", ".join(str(d) for d in range(4))}]) AS r,
+           unnest([{", ".join(_cp("source", d) for d in range(4))}]) AS c
+    FROM documents
+  )
+),
+cms AS MATERIALIZED (
+  SELECT row, cms_col, count(*) AS cnt FROM cells GROUP BY row, cms_col
+),
+keys AS (SELECT DISTINCT source AS key FROM documents),
+probes AS (
+  SELECT key, r AS row, c AS cms_col FROM (
+    SELECT key,
+           unnest([{", ".join(str(d) for d in range(4))}]) AS r,
+           unnest([{", ".join(_cp("key", d) for d in range(4))}]) AS c
+    FROM keys
+  )
+)
+SELECT p.key, CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_count
+FROM probes p LEFT JOIN cms ON p.row = cms.row AND p.cms_col = cms.cms_col
+GROUP BY p.key"""
+
+    sql["sketch_hll"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS key
+  FROM documents
+), h AS (
+  SELECT ('0x'||substr(md5('hll:' || key),1,12))::BIGINT AS hv FROM toks
+), regs AS MATERIALIZED (
+  SELECT hv // 274877906944 AS bucket,
+         max(CASE WHEN hv % 274877906944 = 0 THEN 39
+                  ELSE 38 - length(bin(hv % 274877906944)) + 1 END) AS register
+  FROM h GROUP BY 1
+), fullr AS (
+  SELECT COALESCE(r.register, 0) AS r
+  FROM (SELECT unnest(range(0, 1024)) AS bucket) ab
+  LEFT JOIN regs r ON ab.bucket = r.bucket
+), agg AS (
+  SELECT sum(1::BIGINT << CAST(62 - r AS INT)) AS s,
+         CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM fullr
+)
+SELECT round(CASE WHEN raw <= CAST(2560 AS DOUBLE) AND n_zero > 0
+             THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / n_zero)
+             ELSE raw END, 6) AS estimate,
+       n_zero AS n_zero_registers
+FROM (
+  SELECT CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))
+         * CAST(1024 AS DOUBLE) * CAST(1024 AS DOUBLE)
+         * CAST(4611686018427387904 AS DOUBLE) / CAST(s AS DOUBLE) AS raw,
+         n_zero
+  FROM agg
+)"""
 
     return sql
 
