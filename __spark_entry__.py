@@ -1415,6 +1415,216 @@ def q_gopher(spark, sf_dir):
     return gopher_rules(docs).drop("text")
 
 
+def _link_fixture_pages(spark, sf_dir):
+    """Deterministic crawl pages with six anchor shapes per doc: absolute
+    (mixed case), root-relative (+query/tracking/fragment), path-relative
+    (dot segments), protocol-relative (+default port), mailto (must drop),
+    and fragment-only (self). Everything below is arithmetic on doc_id, so
+    the oracle can state the EXPECTED edges without ever parsing html."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://host"), s(d % 7), F.lit(".example.com/sec"),
+        s(d % 5), F.lit("/sub/p"), s(d), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro</p>"),
+        F.lit('<a href="HTTPS://Host'), s((d + 1) % 7),
+        F.lit('.Example.Com/x/y.html">first link</a>'),
+        F.lit('<a href="/top/z'), s(d % 11),
+        F.lit('.html?b=2&utm_source=t&a=1#frag">second link</a>'),
+        F.lit('<a href="../rel'), s(d % 3),
+        F.lit('/page.html">third link</a>'),
+        F.lit('<a href="//host'), s((d + 2) % 7),
+        F.lit('.example.com:443/pr">fourth link</a>'),
+        F.lit('<a href="mailto:user@example.com">write us</a>'),
+        F.lit('<a href="#section">self anchor</a>'),
+        F.lit("</body></html>"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.select(
+        "doc_id", url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+_LINK_ORACLE_PRELUDE = """
+WITH u AS (
+  SELECT doc_id,
+    'https://host' || (doc_id % 7) || '.example.com/sec' || (doc_id % 5)
+      || '/sub/p' || doc_id || '.html' AS url
+  FROM documents
+), expected AS (
+  SELECT doc_id, url, p.pos,
+    CASE p.pos
+      WHEN 0 THEN 'HTTPS://Host' || ((doc_id + 1) % 7) || '.Example.Com/x/y.html'
+      WHEN 1 THEN '/top/z' || (doc_id % 11) || '.html?b=2&utm_source=t&a=1#frag'
+      WHEN 2 THEN '../rel' || (doc_id % 3) || '/page.html'
+      WHEN 3 THEN '//host' || ((doc_id + 2) % 7) || '.example.com:443/pr'
+      WHEN 4 THEN 'mailto:user@example.com'
+      ELSE '#section' END AS href_raw,
+    CASE p.pos
+      WHEN 0 THEN 'first link' WHEN 1 THEN 'second link'
+      WHEN 2 THEN 'third link' WHEN 3 THEN 'fourth link'
+      WHEN 4 THEN 'write us' ELSE 'self anchor' END AS anchor_text,
+    CASE p.pos
+      WHEN 0 THEN 'https://host' || ((doc_id + 1) % 7) || '.example.com/x/y.html'
+      WHEN 1 THEN 'https://host' || (doc_id % 7) || '.example.com/top/z'
+                  || (doc_id % 11) || '.html?a=1&b=2'
+      WHEN 2 THEN 'https://host' || (doc_id % 7) || '.example.com/sec'
+                  || (doc_id % 5) || '/rel' || (doc_id % 3) || '/page.html'
+      WHEN 3 THEN 'https://host' || ((doc_id + 2) % 7) || '.example.com/pr'
+      WHEN 4 THEN NULL
+      ELSE url END AS dst_url
+  FROM u, (VALUES (0), (1), (2), (3), (4), (5)) AS p(pos)
+)
+"""
+
+
+def q_link_graph(spark, sf_dir):
+    # Hyperlink extraction + RFC 3986 resolution + canonicalization over
+    # synthesized crawl html. The oracle never parses html: it states the
+    # expected (href_raw, anchor_text, dst_url) per (doc, position) directly
+    # from the generator arithmetic, so any extractor/resolver/normalizer
+    # bug surfaces as a hash mismatch.
+    from ai_knowledge_graph_spark.operators.webcrawl import extract_links
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    return extract_links(pages).select(
+        "url", "pos", "href_raw", "anchor_text", "dst_url"
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    # Host-level web graph from the extracted link table (map-side-combined
+    # count by host pair); oracle aggregates the arithmetic edge list.
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        extract_links,
+        host_graph,
+    )
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    return host_graph(extract_links(pages)).select(
+        "src_host", "dst_host", "n_links"
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    # Distributed BPE training (Sennrich et al. 2016), 8 merges over the
+    # documents corpus. The double-separator string representation makes the
+    # merge step a plain string replace with EXACT BPE semantics on both
+    # engines, so even this iterative operator is hash-gated (the oracle
+    # unrolls 8 rounds with MATERIALIZED CTEs, pagerank-style).
+    from ai_knowledge_graph_spark.operators.tokenizer import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return train_bpe(docs, n_merges=8)
+
+
+def _bpe_oracle_sql(k: int = 8) -> str:
+    sep = "chr(31)"
+    sep2 = "(chr(31) || chr(31))"
+    parts = [
+        f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '' AND NOT contains(x, chr(31)))) AS word
+    FROM documents) GROUP BY word
+), r0 AS MATERIALIZED (
+  SELECT {sep2} || array_to_string(list_append(regexp_extract_all(word, '.'), '</w>'),
+                                   {sep2}) || {sep2} AS rep,
+         wcount
+  FROM w0
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT syms[i] || {sep} || syms[i + 1] AS pair, SUM(wcount) AS c FROM (
+    SELECT syms, wcount, unnest(range(1, len(syms))) AS i FROM (
+      SELECT list_filter(string_split(rep, {sep2}), x -> x <> '') AS syms, wcount
+      FROM r{i}))
+  GROUP BY 1
+), b{i} AS MATERIALIZED (
+  SELECT {i} AS merge_rank,
+         string_split(pair, {sep})[1] AS lhs,
+         string_split(pair, {sep})[2] AS rhs,
+         c AS pair_count
+  FROM p{i} ORDER BY c DESC, pair LIMIT 1
+), r{i + 1} AS MATERIALIZED (
+  SELECT replace(rep, {sep} || b.lhs || {sep2} || b.rhs || {sep},
+                      {sep} || b.lhs || b.rhs || {sep}) AS rep, wcount
+  FROM r{i}, b{i} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + union
+
+
+def q_c4(spark, sf_dir):
+    # C4 cleaning rules (Raffel et al. 2020 §2.2): line retention + page
+    # gates. The fixture text has no line/punctuation structure, so it is
+    # synthesized deterministically JVM-side (word slices + doc_id-keyed
+    # terminal marks / rule-triggering injections); the oracle rebuilds the
+    # same text with the same SQL and applies its own independent DuckDB
+    # list-op rule implementation.
+    from ai_knowledge_graph_spark.operators.textstats import c4_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+
+    def j(a, n):
+        return F.array_join(F.slice(ws, a, n), " ")
+
+    m = F.col("doc_id") % 3
+    l1 = F.concat(j(1, 8), F.lit("."))
+    l2 = F.concat(
+        j(9, 8), F.when(m == 0, F.lit("!")).when(m == 1, F.lit("?")).otherwise(F.lit(""))
+    )
+    l3 = F.concat(j(17, 3), F.lit("."))
+    l4 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("Please enable javascript to view this page."),
+    ).otherwise(
+        F.concat(
+            j(20, 6),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        )
+    )
+    l5 = (
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.lit("Lorem ipsum dolor sit amet consectetur adipiscing."),
+        )
+        .when(F.col("doc_id") % 41 == 0, F.lit("function f() { return 1; }"))
+        .when(
+            F.col("doc_id") % 43 == 0,
+            F.lit("buy spamword pills online right now."),
+        )
+        .otherwise(F.concat(j(26, 7), F.lit('"')))
+    )
+    pages = docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text")
+    )
+    out = c4_rules(pages)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "has_bad_word",
+        "c4_pass",
+        F.sha2("clean_text", 256).alias("clean_sha256"),
+    )
+
+
 def q_winnow(spark, sf_dir):
     # MOSS winnowing fingerprints: k=5 grams, window=4, rightmost-min.
     from ai_knowledge_graph_spark.operators.textstats import (
@@ -1612,6 +1822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "winnow": q_winnow,
         "gopher": q_gopher,
+        "c4": q_c4,
+        "link_graph": q_link_graph,
+        "bpe_merges": q_bpe_merges,
+        "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3695,6 +3909,92 @@ SELECT doc_id,
    AND (10 * ellipses <= 3 * nl) AND (5 * alpha >= 4 * nw)
    AND (stop_hits >= 2)) AS gopher_pass
 FROM m"""
+
+    # C4 rules: the oracle rebuilds the synthesized line structure with the
+    # same slice/CASE arithmetic (shared generator, like gopher's shared
+    # text) and then applies an independent DuckDB list-op implementation of
+    # the line/page rules; every verdict is count/boolean arithmetic.
+    sql["c4"] = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    coalesce(array_to_string(list_slice(ws, 1, 8), ' '), '') || '.' AS l1,
+    coalesce(array_to_string(list_slice(ws, 9, 16), ' '), '') ||
+      CASE doc_id % 3 WHEN 0 THEN '!' WHEN 1 THEN '?' ELSE '' END AS l2,
+    coalesce(array_to_string(list_slice(ws, 17, 19), ' '), '') || '.' AS l3,
+    CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to view this page.'
+         ELSE coalesce(array_to_string(list_slice(ws, 20, 25), ' '), '') ||
+              CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END END AS l4,
+    CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing.'
+         WHEN doc_id % 41 = 0 THEN 'function f() { return 1; }'
+         WHEN doc_id % 43 = 0 THEN 'buy spamword pills online right now.'
+         ELSE coalesce(array_to_string(list_slice(ws, 26, 32), ' '), '') || '"' END AS l5
+  FROM base
+), doc AS (
+  SELECT doc_id,
+    l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 || chr(10) || l5 AS ctext
+  FROM built
+), r AS (
+  SELECT doc_id, ctext,
+    list_filter(list_transform(string_split(ctext, chr(10)), l -> trim(l)),
+                l -> l <> '') AS ls
+  FROM doc
+), k AS (
+  SELECT doc_id, ctext, ls,
+    list_filter(ls, l ->
+      regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM r
+), v AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT)
+      AS n_sentences,
+    contains(lower(ctext), 'lorem ipsum') AS has_lorem,
+    contains(ctext, '{') AS has_brace,
+    len(list_filter(
+      list_transform(
+        list_filter(string_split_regex(lower(ctext), '\s+'), w -> w <> ''),
+        w -> regexp_replace(w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+      w -> w IN ('spamword', 'scamword'))) > 0 AS has_bad_word,
+    sha256(array_to_string(kept, chr(10))) AS clean_sha256
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+  has_lorem, has_brace, has_bad_word,
+  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word)
+    AS c4_pass,
+  clean_sha256
+FROM v"""
+
+    # Link graph: expected edges stated arithmetically from the anchor
+    # generator (no html parsing in the oracle — extractor/resolver/
+    # normalizer bugs all mismatch). host_graph aggregates the same edges.
+    # BPE: iterative oracle, 8 unrolled rounds (MATERIALIZED CTEs).
+    sql["bpe_merges"] = _bpe_oracle_sql(8)
+
+    sql["link_graph"] = (
+        _LINK_ORACLE_PRELUDE
+        + """
+SELECT url, CAST(pos AS INTEGER) AS pos, href_raw, anchor_text, dst_url
+FROM expected"""
+    )
+
+    sql["host_graph"] = (
+        _LINK_ORACLE_PRELUDE
+        + """
+SELECT 'host' || (doc_id % 7) || '.example.com' AS src_host,
+  regexp_extract(dst_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS dst_host,
+  COUNT(*) AS n_links
+FROM expected
+WHERE dst_url IS NOT NULL
+GROUP BY 1, 2"""
+    )
 
     # robots gate: the oracle derives each verdict arithmetically from the
     # (policy variant, path shape) pair the generator used — an engine-side

@@ -333,6 +333,93 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Placeholder blocklist — the production List-of-Dirty-Naughty-Words is
+# pluggable via the bad_words parameter; these two synthetic tokens exist so
+# the rule path is exercised end-to-end by fixtures and the oracle.
+C4_BAD_WORDS = ("spamword", "scamword")
+
+
+def c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """The C4 cleaning-rule set (Raffel et al. 2020, §2.2, "Colossal Clean
+    Crawled Corpus"): per document, line-level retention plus page-level
+    gates, and the cleaned text.
+
+    Line is RETAINED iff all of:
+      - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``)
+      - has >= ``min_line_words`` whitespace words
+      - does not contain the word "javascript" (case-insensitive)
+
+    Page PASSES iff all of:
+      - cleaned text has >= ``min_sentences`` sentences (counted as
+        occurrences of ``.``/``!``/``?`` in the retained lines — a
+        documented simplification of the paper's sentence splitter)
+      - does not contain "lorem ipsum" (case-insensitive)
+      - does not contain a curly brace ``{``
+      - no whitespace word (lowercased, leading/trailing non-alphanumerics
+        stripped) is on the ``bad_words`` blocklist
+
+    All verdicts are integer/boolean comparisons on counts — no float
+    thresholds anywhere, so the DuckDB oracle matches bit-for-bit. Row-local
+    column expressions throughout: shuffle-free, codegen-able, a linear scan
+    at any corpus size. The paper's remaining rule — corpus-level
+    three-sentence-span dedup — is the cross-document complement and is
+    covered by :func:`~..curation.exact_substring_dedup` / ``line_dedup``.
+
+    Output adds: n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    has_bad_word, c4_pass, clean_text.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+            >= min_line_words
+        )
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean_text = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(clean_text, F.lit(r"[.!?]"), 0)
+    ).cast("long")
+    low = F.lower(F.col(text_col))
+    has_lorem = F.contains(low, F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    stripped = F.transform(
+        F.filter(F.split(low, r"\s+"), lambda w: w != F.lit("")),
+        lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    has_bad = F.exists(
+        F.array(*[F.lit(b) for b in bad_words]),
+        lambda b: F.array_contains(stripped, b),
+    )
+    return docs.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_bad_word"),
+        (
+            (n_sentences >= min_sentences)
+            & ~has_lorem
+            & ~has_brace
+            & ~has_bad
+        ).alias("c4_pass"),
+        clean_text.alias("clean_text"),
+    )
+
+
 def train_quality_classifier(
     labeled: DataFrame,
     dim: int = 4096,

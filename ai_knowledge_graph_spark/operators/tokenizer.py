@@ -1,0 +1,173 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) + encoder.
+
+A training-data pipeline at 100 TB trains its tokenizer on the corpus it
+just curated. BPE reduces to K rounds of (count adjacent symbol pairs over
+the word histogram) -> (pick the most frequent pair) -> (merge it); the
+histogram is vocabulary-sized, so after the single corpus-wide word count
+every round is cheap and fully distributed.
+
+The trick that keeps BOTH the engine and the DuckDB oracle exact: a word's
+symbol sequence is represented as a double-separator-delimited string
+(``\\x1f\\x1f s1 \\x1f\\x1f s2 ...``), and applying merge (A, B) is a plain
+string ``replace`` of ``\\x1f A \\x1f\\x1f B \\x1f`` with ``\\x1f AB \\x1f``.
+Left-to-right non-overlapping replace on the double-separator form is
+EXACTLY BPE's merge semantics (consecutive A B A B -> AB AB; A A A with
+merge (A,A) -> AA A), no UDF anywhere, and DuckDB's ``replace`` shares the
+semantics — so even this iterative operator gets a hash-exact oracle
+(unrolled with MATERIALIZED CTEs, like pagerank/hits/kcore).
+
+Reference repo has no tokenizer (its LLM prompts are whole chunks,
+llm.py:23-55); this is beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # U+001F unit separator: reserved, filtered out of input words
+SEP2 = SEP + SEP
+EOW = "</w>"  # end-of-word marker symbol (reserved, standard BPE)
+
+MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcount) — corpus-wide whitespace-word occurrence counts.
+
+    The ONE corpus-sized pass of BPE training: explode (linear) + map-side
+    combined hash aggregation; output is vocabulary-sized. Words containing
+    the reserved separator byte are dropped (never occurs in real text).
+    """
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+"),
+                    lambda w: (w != F.lit("")) & ~F.contains(w, F.lit(SEP)),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _initial_rep(word_col: Column) -> Column:
+    """word -> double-separator symbol string of its chars + the EOW mark."""
+    syms = F.concat(
+        F.regexp_extract_all(word_col, F.lit("."), 0), F.array(F.lit(EOW))
+    )
+    return F.concat(F.lit(SEP2), F.array_join(syms, SEP2), F.lit(SEP2))
+
+
+def _symbols(rep_col: Column) -> Column:
+    return F.filter(F.split(rep_col, SEP2), lambda s: s != F.lit(""))
+
+
+def _pair_counts(hist: DataFrame) -> DataFrame:
+    """(pair, c): adjacent-symbol pair counts weighted by word frequency.
+
+    Vocabulary-sized explode + map-side-combined sum — each round shuffles
+    only (distinct pair, partial count) rows.
+    """
+    syms = _symbols(F.col("rep"))
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, F.lit(1), n - 1),
+        F.slice(syms, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(SEP), b),
+    )
+    return (
+        hist.select(F.explode(pairs).alias("pair"), "wcount")
+        .groupBy("pair")
+        .agg(F.sum("wcount").alias("c"))
+    )
+
+
+def merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
+    """(search, replace) strings applying merge (lhs, rhs) to a rep."""
+    return SEP + lhs + SEP2 + rhs + SEP, SEP + lhs + rhs + SEP
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns ``MERGES_SCHEMA`` rows.
+
+    One corpus-wide word count, then K vocabulary-sized rounds. Each round:
+    distributed pair count -> deterministic best (count desc, pair asc —
+    ties can never flip the model) collected as ONE driver row -> merge
+    applied as a JVM string replace -> localCheckpoint (vocabulary-sized,
+    keeps the plan O(1) deep like the other iterative operators). Stops
+    early if no pair is left.
+    """
+    spark = docs.sparkSession
+    hist = (
+        word_histogram(docs, text_col)
+        .select(_initial_rep(F.col("word")).alias("rep"), "wcount")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(hist)
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["pair"].split(SEP)
+        merges.append((rank, lhs, rhs, int(best[0]["c"])))
+        pat, repl = merge_pattern(lhs, rhs)
+        hist = hist.withColumn(
+            "rep", F.replace(F.col("rep"), F.lit(pat), F.lit(repl))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[int, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens, n_tokens): encode each doc with a trained merge table.
+
+    The merge table IS the model — vocabulary-sized, collected once and
+    compiled into a K-deep chain of JVM string replaces applied per word
+    (explode -> replace chain -> regroup in word order via sort_array).
+    Suited to validation / token-count passes at moderate K; a production
+    100 TB tokenization run would export the same merge table to a
+    purpose-built tokenizer rather than a K-deep expression tree.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        merges = [(r["merge_rank"], r["lhs"], r["rhs"]) for r in rows]
+    words = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda w: (w != F.lit("")) & ~F.contains(w, F.lit(SEP)),
+            )
+        ).alias("pos", "word"),
+    )
+    rep = _initial_rep(F.col("word"))
+    for _, lhs, rhs in sorted(merges):
+        pat, repl = merge_pattern(lhs, rhs)
+        rep = F.replace(rep, F.lit(pat), F.lit(repl))
+    toks = words.select(id_col, "pos", _symbols(rep).alias("toks"))
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens"))
+    )

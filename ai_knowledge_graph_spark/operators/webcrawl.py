@@ -478,3 +478,117 @@ def scd2_versions(
             digest_col,
         )
     )
+
+
+# --- hyperlink graph extraction ---------------------------------------------
+
+# Documented parse subset (crawl-grade, not a full HTML5 parser): lowercase
+# <a ...> elements with a DOUBLE-quoted href and no nested markup inside the
+# anchor text. Both regexes live in the Java∩RE2 common subset.
+_ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+_HREF_IN_ANCHOR_RE = r'href="([^"]*)"'
+_TEXT_IN_ANCHOR_RE = r">([^<]*)</a>"
+_ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+_SCHEME_ONLY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def resolve_url(base: str | Column, href: str | Column) -> Column:
+    """RFC 3986-style reference resolution as a pure JVM column expression.
+
+    Handled branches: absolute (``scheme://``), protocol-relative (``//h``),
+    root-relative (``/p``), fragment-only (``#x`` -> the base url sans
+    fragment), and path-relative (joined onto the base path's directory).
+    Fragments are dropped from every result (crawl identity; matches
+    :func:`normalize_url`). Dot-segment removal is a bounded fixpoint — four
+    passes each of ``/./`` collapse and ``/seg/../`` collapse, where ``seg``
+    starts with an alphanumeric (true of crawl paths; keeps the pattern in
+    the RE2 subset, which has no lookahead to exclude ``..`` itself).
+    Non-hierarchical schemes (``mailto:``, ``javascript:`` — a scheme with
+    no ``//``) resolve to NULL so callers can filter them.
+
+    The reference has no crawl layer; this is the web-graph ingest surface
+    (link edges feed pagerank/trustrank/hits over REAL crawl structure).
+    """
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    scheme = F.lower(F.regexp_extract(b, _SCHEME_RE, 1))
+    authority = F.lower(F.regexp_extract(b, _AUTHORITY_RE, 1))
+    root = F.concat(scheme, F.lit("://"), authority)
+    bpath = F.regexp_extract(b, _PATH_RE, 1)
+    bpath = F.when(bpath == "", F.lit("/")).otherwise(bpath)
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    nofrag = F.regexp_replace(h, r"#.*$", "")
+    resolved = (
+        F.when(h.rlike(r"^#"), F.regexp_replace(b, r"#.*$", ""))
+        .when(nofrag.rlike(_ABS_URL_RE), nofrag)
+        .when(nofrag.rlike(r"^//"), F.concat(scheme, F.lit(":"), nofrag))
+        .when(nofrag.rlike(r"^/"), F.concat(root, nofrag))
+        .when(nofrag.rlike(_SCHEME_ONLY_RE), F.lit(None).cast("string"))
+        .otherwise(F.concat(root, bdir, nofrag))
+    )
+    for _ in range(4):
+        resolved = F.replace(resolved, F.lit("/./"), F.lit("/"))
+    for _ in range(4):
+        resolved = F.regexp_replace(resolved, r"/[A-Za-z0-9][^/]*/\.\./", "/")
+    return resolved
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_self: bool = False,
+) -> DataFrame:
+    """(url, pos, href_raw, anchor_text, dst_url) — one row per ``<a href>``.
+
+    One linear JVM pass: ``regexp_extract_all`` pulls whole anchor elements
+    from the decoded html, ``posexplode`` fans them out (document order
+    preserved in ``pos``), then per-anchor extracts + :func:`resolve_url` +
+    :func:`normalize_url`. No Python in the plan, no shuffle — link
+    extraction at crawl scale is scan-shaped. Non-resolvable hrefs
+    (``mailto:`` etc.) come out with dst_url NULL; ``drop_self`` removes
+    edges pointing back at the (normalized) page itself.
+    """
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    anchors = F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), 0)
+    out = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(anchors).alias("pos", "_anchor"),
+    ).select(
+        "url",
+        "pos",
+        F.regexp_extract("_anchor", _HREF_IN_ANCHOR_RE, 1).alias("href_raw"),
+        F.regexp_extract("_anchor", _TEXT_IN_ANCHOR_RE, 1).alias("anchor_text"),
+    )
+    out = out.withColumn(
+        "dst_url",
+        F.when(
+            resolve_url("url", "href_raw").isNotNull(),
+            normalize_url(resolve_url("url", "href_raw")),
+        ),
+    )
+    if drop_self:
+        out = out.filter(
+            F.col("dst_url").isNull()
+            | (F.col("dst_url") != normalize_url(F.col("url")))
+        )
+    return out
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level web graph.
+
+    Map-side-combined hash aggregation keyed by the host pair; reducer
+    input is bounded by partitions × distinct host pairs, so hub hosts
+    cost memory proportional to their distinct neighbor set, not their
+    link count. Output feeds pagerank/trustrank/hits with real edges.
+    """
+    host = lambda c: F.regexp_extract(c, _AUTHORITY_RE, 1)  # noqa: E731
+    return (
+        links.filter(F.col("dst_url").isNotNull())
+        .groupBy(
+            host(F.col("url")).alias("src_host"),
+            host(F.col("dst_url")).alias("dst_host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

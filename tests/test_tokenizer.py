@@ -1,0 +1,102 @@
+"""train_bpe / bpe_encode: pure-Python Sennrich replay + encode properties."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from ai_knowledge_graph_spark.operators.tokenizer import (
+    EOW,
+    SEP,
+    bpe_encode,
+    train_bpe,
+    word_histogram,
+)
+
+CORPUS = [
+    (0, "low low low low low lower lower newest newest"),
+    (1, "newest newest newest newest widest widest widest"),
+    (2, "low lower newest widest new new new nested nest"),
+]
+
+
+def _py_bpe(texts, n_merges):
+    """Sennrich et al. 2016 reference: same (count desc, pair asc) tiebreak."""
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w) + (EOW,): c for w, c in wc.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
+        )
+        (a, b), c = best
+        merges.append((rank, a, b, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_word_histogram(corpus_df):
+    got = {r["word"]: r["wcount"] for r in word_histogram(corpus_df).collect()}
+    exp = Counter(w for _, t in CORPUS for w in t.split())
+    assert got == dict(exp)
+
+
+def test_train_bpe_matches_python_replay(corpus_df):
+    k = 30
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in train_bpe(corpus_df, n_merges=k).orderBy("merge_rank").collect()
+    ]
+    exp = _py_bpe([t for _, t in CORPUS], k)
+    assert got == exp
+
+
+def test_train_bpe_early_stop(spark):
+    # single 1-char word: one pair (c, EOW), then nothing left to merge
+    df = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=10).collect()
+    assert len(merges) == 1
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", EOW)
+
+
+def test_bpe_encode_roundtrip(corpus_df):
+    merges = train_bpe(corpus_df, n_merges=20)
+    enc = {r["doc_id"]: r for r in bpe_encode(corpus_df, merges).collect()}
+    for doc_id, text in CORPUS:
+        toks = enc[doc_id]["tokens"]
+        # concatenating tokens reconstructs the words + EOW marks, in order
+        assert "".join(toks) == "".join(w + EOW for w in text.split())
+        assert enc[doc_id]["n_tokens"] == len(toks)
+        # frequent whole words become single tokens at k=20
+    assert "low" + EOW in enc[0]["tokens"]
+
+
+def test_bpe_encode_compresses(corpus_df):
+    none = bpe_encode(corpus_df, [])
+    some = bpe_encode(corpus_df, train_bpe(corpus_df, n_merges=20))
+    n0 = {r["doc_id"]: r["n_tokens"] for r in none.collect()}
+    n1 = {r["doc_id"]: r["n_tokens"] for r in some.collect()}
+    assert all(n1[d] < n0[d] for d in n0)
