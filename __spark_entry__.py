@@ -1508,6 +1508,55 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    # Product-quantization ANN (Jégou et al. 2011): hash-seeded codebooks,
+    # 4 subspaces x 16 centroids, asymmetric-distance top-5 in exact int64
+    # micro-units (compressed-domain path, rerank=0 = the oracle mode).
+    from ai_knowledge_graph_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, q, k=5, m=4, ksub=16)
+
+
+def _pq_oracle_sql(m: int = 4, dsub: int = 16, ksub: int = 16, k: int = 5) -> str:
+    js = ", ".join(f"({j})" for j in range(m))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), buck AS (
+  SELECT vec_id,
+    CAST((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {ksub}) AS INT) AS b
+  FROM base
+), reps AS (SELECT b AS centroid_id, min(vec_id) AS rid FROM buck GROUP BY 1),
+sub AS MATERIALIZED (
+  SELECT r.centroid_id, s.j, list_slice(b.v, s.j * {dsub} + 1, (s.j + 1) * {dsub}) AS c
+  FROM reps r JOIN base b ON b.vec_id = r.rid, (VALUES {js}) AS s(j)
+), nsub AS MATERIALIZED (
+  SELECT vec_id, s.j, list_slice(v, s.j * {dsub} + 1, (s.j + 1) * {dsub}) AS nv
+  FROM base, (VALUES {js}) AS s(j)
+), dists AS MATERIALIZED (
+  SELECT n.vec_id, n.j, c.centroid_id,
+    CAST(round((list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, c.c)
+                + list_dot_product(c.c, c.c)) * 1e6) AS BIGINT) AS dm
+  FROM nsub n JOIN sub c ON c.j = n.j
+), codes AS MATERIALIZED (
+  SELECT vec_id, j, centroid_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dm, centroid_id) AS pr
+    FROM dists) WHERE pr = 1
+), adc AS MATERIALIZED (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(qd.dm) AS BIGINT) AS adc_micro
+  FROM codes c
+  JOIN dists qd ON qd.j = c.j AND qd.centroid_id = c.code AND qd.vec_id < 5
+  WHERE c.vec_id <> qd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS rk
+  FROM adc) WHERE rk <= {k}"""
+
+
 def q_bpe_merges(spark, sf_dir):
     # Distributed BPE training (Sennrich et al. 2016), 8 merges over the
     # documents corpus. The double-separator string representation makes the
@@ -1825,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4": q_c4,
         "link_graph": q_link_graph,
         "bpe_merges": q_bpe_merges,
+        "pq_topk": q_pq_topk,
         "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
@@ -3977,6 +4027,9 @@ FROM v"""
     # normalizer bugs all mismatch). host_graph aggregates the same edges.
     # BPE: iterative oracle, 8 unrolled rounds (MATERIALIZED CTEs).
     sql["bpe_merges"] = _bpe_oracle_sql(8)
+
+    # PQ-ANN: exact int64 micro-unit distances end to end (argmin + ADC sum).
+    sql["pq_topk"] = _pq_oracle_sql(4, 16, 16, 5)
 
     sql["link_graph"] = (
         _LINK_ORACLE_PRELUDE

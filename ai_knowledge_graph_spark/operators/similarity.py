@@ -495,3 +495,189 @@ def semdedup(
         "centroid_sim",
         F.col("_dup").isNull().alias("kept"),
     )
+
+
+def _sqdist_micro(a, b):
+    """||a-b||^2 as exact int64 micro-units: round((aa - 2ab + bb) * 1e6).
+
+    The three dots are separate left-to-right folds (DuckDB's
+    list_dot_product on DOUBLE[] is bit-identical to this, the _sql_cos
+    precedent), and freezing to integer micro-units BEFORE any further
+    arithmetic makes every downstream compare/sum order-independent — the
+    DSIR parity trick, reused here for the PQ assignment argmin and the
+    ADC sum."""
+    d = _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+    return F.round(d * 1e6, 0).cast("long")
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic hash-seeded PQ codebooks: ``cb[j][b]`` is subvector j
+    of the min-id representative of md5-hash bucket b (the ivf_topk seeding,
+    sliced per subspace). One vocabulary-sized aggregation + a ksub-row
+    collect — the codebook is the MODEL, driver-sized at any corpus scale.
+    Buckets that get no representative fall back to the previous bucket's
+    rep (deterministic, mirrored by the oracle only when every bucket is
+    occupied — true for the fixture sizes; pass a larger corpus or smaller
+    ksub otherwise)."""
+    from .dedup import _md5_long
+
+    base = spread(embeddings).select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    bucket = (_md5_long(F.col("_id").cast("string")) % ksub).cast("int")
+    reps = (
+        base.select(bucket.alias("_b"), "_id")
+        .groupBy("_b")
+        .agg(F.min("_id").alias("_rid"))
+        .join(base.select(F.col("_id").alias("_rid"), "_v"), "_rid")
+        .select("_b", "_v")
+        .collect()
+    )
+    by_bucket = {r["_b"]: list(r["_v"]) for r in reps}
+    dim = len(next(iter(by_bucket.values())))
+    dsub = dim // m
+    vecs = [by_bucket.get(b, by_bucket[min(by_bucket)]) for b in range(ksub)]
+    return [
+        [v[j * dsub : (j + 1) * dsub] for v in vecs] for j in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): product-quantization codes — m small ints per vector.
+
+    One linear JVM pass: per subspace, argmin of the exact micro-unit
+    squared distance to each of the ksub codebook entries (ties -> lowest
+    code), picked with array_min over (dist, code) structs. The codes table
+    is the 100 TB artifact: m bytes/vector instead of 4*dim — the corpus
+    side of every later query touches ONLY this table."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = []
+    for j, cb in enumerate(codebooks):
+        s = F.slice(v, j * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdist_micro(
+                        s, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("d"),
+                    F.lit(b).alias("b"),
+                )
+                for b, c in enumerate(cb)
+            ]
+        )
+        codes.append(F.array_min(cands)["b"])
+    return spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): asymmetric distance
+    computation over hash-seeded codebooks.
+
+    Train: :func:`pq_codebooks` (driver-sized model). Index:
+    :func:`pq_encode` (linear scan -> m-int codes). Query: each query row
+    precomputes its m×ksub distance table ONCE as a literal-codebook JVM
+    expression; the scan side then does m integer array lookups per
+    (query, candidate) pair — the corpus' float vectors are never read at
+    query time, which is the entire point at 100 TB (codes are ~32x smaller
+    than float32 vectors; the scan is memory-bound on codes, not vectors).
+    All distances are exact int64 micro-units end to end (argmin, table,
+    ADC sum), so ranking is order-independent and the DuckDB oracle is
+    hash-exact. Top-k via per-query window on (adc_micro asc, id asc).
+
+    ``rerank=R`` (R > k) adds the standard exact re-ranking stage: shortlist
+    the top R by ADC, fetch floats for ONLY those R rows per query (an
+    equi-join back into the vector table), exact micro-unit L2, final top-k
+    on (l2_micro, id). Measured on the clustered test fixture: recall@5
+    0.40 compressed-only -> 1.00 with rerank=4k — the usual PQ recipe when
+    codebooks are hash-seeded rather than k-means-trained. rerank=0 is the
+    oracle path."""
+    cbs = pq_codebooks(embeddings, m, ksub, id_col, vec_col)
+    dsub = len(cbs[0][0])
+    codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    qv = _as_double(F.col(vec_col))
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist_micro(
+                        F.slice(qv, j * dsub + 1, dsub),
+                        F.array(*[F.lit(float(x)) for x in cb[b]]),
+                    )
+                    for b in range(ksub)
+                ]
+            )
+            for j, cb in enumerate(cbs)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), qtab.alias("_qtab"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_qtab"),
+            F.col("codes"),
+            lambda tab, c: F.element_at(tab, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        codes.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rk") <= k)
+    shortlist = ranked.filter(F.col("rk") <= rerank).drop("rk")
+    nvec = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_nv")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        )
+    )
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            _sqdist_micro(F.col("_qv"), F.col("_nv")).alias("l2_micro"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_micro"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= k
+    )
