@@ -1508,6 +1508,44 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_anchor_mentions(spark, sf_dir):
+    # Anchor-text entity linking: synthesized pages whose anchor texts are
+    # the 1st/3rd words of each doc (so they hit the KG's variant space),
+    # extracted + matched against the SAME entity-standardization mapping
+    # the triples pipeline resolves. Oracle composes the full mapping CTE
+    # chain with arithmetic expected anchors — html is never parsed there.
+    from ai_knowledge_graph_spark.operators.standardize import (
+        build_entity_mapping,
+    )
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        anchor_entity_mentions,
+        extract_links,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    url = F.concat(
+        F.lit("https://host"), s(d % 7), F.lit(".example.com/p"), s(d),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="/t'), s((d + 1) % 50),
+        F.lit('.html">'), F.element_at(ws, 1), F.lit("</a>"),
+        F.lit('<a href="/t'), s((d + 7) % 50),
+        F.lit('.html">'), F.element_at(ws, 3), F.lit("</a></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    links = extract_links(pages)
+    mapping = build_entity_mapping(
+        _raw_triples(spark, sf_dir), tie_order="lexicographic"
+    )
+    return anchor_entity_mentions(links, mapping)
+
+
 def q_pq_topk(spark, sf_dir):
     # Product-quantization ANN (Jégou et al. 2011): hash-seeded codebooks,
     # 4 subspaces x 16 centroids, asymmetric-distance top-5 in exact int64
@@ -1875,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "bpe_merges": q_bpe_merges,
         "pq_topk": q_pq_topk,
+        "anchor_mentions": q_anchor_mentions,
         "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
@@ -2196,6 +2235,29 @@ SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
         + " UNION ALL SELECT object FROM triples1)"
     )
     sql["entity_mapping"] = _PRELUDE + _STD_CTES + "SELECT variant, standard FROM final_map"
+    # anchor-text entity linking: same mapping CTE chain + arithmetic
+    # expected anchors (1st/3rd word of each doc, root-relative targets).
+    sql["anchor_mentions"] = (
+        _PRELUDE
+        + _STD_CTES
+        + """, dw AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+), anchors AS (
+  SELECT doc_id, ws[1] AS anchor_text,
+    'https://host' || (doc_id % 7) || '.example.com/t' || ((doc_id + 1) % 50)
+      || '.html' AS dst_url
+  FROM dw
+  UNION ALL
+  SELECT doc_id, ws[3],
+    'https://host' || (doc_id % 7) || '.example.com/t' || ((doc_id + 7) % 50)
+      || '.html'
+  FROM dw
+)
+SELECT m.standard AS entity, a.dst_url, CAST(count(*) AS BIGINT) AS n_mentions
+FROM anchors a JOIN final_map m ON lower(trim(a.anchor_text)) = m.variant
+GROUP BY 1, 2"""
+    )
     sql["standardize"] = (
         _PRELUDE
         + _STD_CTES

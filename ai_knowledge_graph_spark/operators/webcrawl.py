@@ -592,3 +592,32 @@ def host_graph(links: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def anchor_entity_mentions(
+    links: DataFrame, mapping: DataFrame, broadcast_mapping: bool = True
+) -> DataFrame:
+    """(entity, dst_url, n_mentions): ground canonical KG entities to crawl
+    URLs via anchor text — the web-graph signal a KG-construction pipeline
+    feeds back into entity linking (anchor text is the classic free label
+    for the page it points at).
+
+    Anchor texts are matched lowercased/trimmed against the entity
+    standardization mapping's ``variant`` column (the same variant space the
+    KG itself resolves, so anchor and in-document mentions canonicalize
+    identically) and emitted under the canonical ``standard`` form. The
+    mapping is vocabulary-sized -> broadcast hash join (no shuffle on the
+    link side); the count is a map-side-combined aggregation. Anchors with
+    NULL dst_url (mailto: etc.) or no entity match drop out.
+    """
+    m = mapping.select(
+        F.col("variant").alias("_v"), F.col("standard").alias("entity")
+    )
+    if broadcast_mapping:
+        m = F.broadcast(m)
+    return (
+        links.filter(F.col("dst_url").isNotNull())
+        .join(m, F.lower(F.trim(F.col("anchor_text"))) == F.col("_v"))
+        .groupBy("entity", "dst_url")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

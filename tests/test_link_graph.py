@@ -122,3 +122,31 @@ def test_extract_links_is_jvm_only(links):
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_anchor_entity_mentions(spark):
+    from ai_knowledge_graph_spark.operators.webcrawl import anchor_entity_mentions
+
+    links = spark.createDataFrame(
+        [
+            ("u1", 0, "/a", "  Spark Engine ", "https://a.com/x"),
+            ("u1", 1, "/b", "spark engine", "https://a.com/x"),
+            ("u1", 2, "/c", "unknown thing", "https://a.com/y"),
+            ("u2", 0, "mailto:z", "spark engine", None),
+            ("u2", 1, "/d", "catalyst", "https://b.org/z"),
+        ],
+        "url string, pos int, href_raw string, anchor_text string, dst_url string",
+    )
+    mapping = spark.createDataFrame(
+        [("spark engine", "Spark Engine"), ("catalyst", "Catalyst")],
+        "variant string, standard string",
+    )
+    out = anchor_entity_mentions(links, mapping)
+    got = {(r["entity"], r["dst_url"]): r["n_mentions"] for r in out.collect()}
+    # case/whitespace-normalized variants merge; NULL dst and unmatched drop
+    assert got == {
+        ("Spark Engine", "https://a.com/x"): 2,
+        ("Catalyst", "https://b.org/z"): 1,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
