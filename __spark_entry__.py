@@ -1508,6 +1508,26 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_incr_mapping(spark, sf_dir):
+    # Incremental KG standardization (daily ingest): mapping built over the
+    # first 300 docs, then extended with the remaining docs' triples without
+    # recomputing the old corpus. Oracle rebuilds the existing mapping with
+    # the SAME CTE chain (counts filtered to doc_id < 300) and replays the
+    # adopt/new-group rules in independent SQL.
+    from ai_knowledge_graph_spark.operators.standardize import (
+        build_entity_mapping,
+        incremental_entity_mapping,
+    )
+
+    raw = _raw_triples(spark, sf_dir)
+    split = "doc000000000300"  # zero-padded url: string order == doc order
+    existing = build_entity_mapping(
+        raw.filter(F.col("url") < split), tie_order="lexicographic"
+    )
+    batch = raw.filter(F.col("url") >= split)
+    return incremental_entity_mapping(batch, existing)
+
+
 def q_anchor_mentions(spark, sf_dir):
     # Anchor-text entity linking: synthesized pages whose anchor texts are
     # the 1st/3rd words of each doc (so they hit the KG's variant space),
@@ -1914,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pq_topk": q_pq_topk,
         "anchor_mentions": q_anchor_mentions,
+        "incr_mapping": q_incr_mapping,
         "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
@@ -2235,6 +2256,60 @@ SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
         + " UNION ALL SELECT object FROM triples1)"
     )
     sql["entity_mapping"] = _PRELUDE + _STD_CTES + "SELECT variant, standard FROM final_map"
+    # incremental KG standardization: existing mapping = same CTE chain
+    # with counts filtered to doc_id < 300; batch counts + adopt/new rules
+    # replayed in independent SQL over the rest.
+    _STD_CTES_EXISTING = _STD_CTES.replace(
+        "SELECT lower(subject) AS e FROM triples1\n"
+        "    UNION ALL SELECT lower(object) FROM triples1",
+        "SELECT lower(subject) AS e FROM triples1 WHERE doc_id < 300\n"
+        "    UNION ALL SELECT lower(object) FROM triples1 WHERE doc_id < 300",
+    )
+    assert "doc_id < 300" in _STD_CTES_EXISTING
+    _norm = (
+        "array_to_string(list_filter(regexp_extract_all(lower({e}), '\\w+'),"
+        f" w -> NOT list_contains({_NSTOP}, w)), ' ')"
+    )
+    sql["incr_mapping"] = (
+        _PRELUDE
+        + _STD_CTES_EXISTING
+        + f""", bcounts AS (
+  SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT lower(subject) AS e FROM triples1 WHERE doc_id >= 300
+    UNION ALL SELECT lower(object) FROM triples1 WHERE doc_id >= 300
+  ) GROUP BY 1
+), bnorm AS (
+  SELECT * FROM (
+    SELECT entity, cnt, {_norm.format(e='entity')} AS norm FROM bcounts
+  ) WHERE norm <> ''
+), unknown AS (
+  SELECT b.* FROM bnorm b LEFT JOIN final_map m ON b.entity = m.variant
+  WHERE m.variant IS NULL
+), exist_groups AS (
+  SELECT norm, min(standard) AS standard FROM (
+    SELECT {_norm.format(e='variant')} AS norm, standard FROM final_map
+  ) WHERE norm <> '' GROUP BY 1
+), adopted AS (
+  SELECT u.entity AS variant, g.standard FROM unknown u
+  JOIN exist_groups g USING (norm)
+), fresh AS (
+  SELECT u.* FROM unknown u LEFT JOIN exist_groups g USING (norm)
+  WHERE g.norm IS NULL
+), fresh_winners AS (
+  SELECT norm, entity AS standard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY norm ORDER BY cnt DESC, length(entity) ASC, entity ASC) AS rn
+    FROM fresh
+  ) WHERE rn = 1
+), fresh_map AS (
+  SELECT f.entity AS variant, w.standard FROM fresh f
+  JOIN fresh_winners w USING (norm)
+)
+SELECT variant, standard, 'existing' AS src FROM final_map
+UNION ALL SELECT variant, standard, 'adopted' FROM adopted
+UNION ALL SELECT variant, standard, 'new' FROM fresh_map"""
+    )
+
     # anchor-text entity linking: same mapping CTE chain + arithmetic
     # expected anchors (1st/3rd word of each doc, root-relative targets).
     sql["anchor_mentions"] = (

@@ -560,25 +560,30 @@ def pq_encode(
     squared distance to each of the ksub codebook entries (ties -> lowest
     code), picked with array_min over (dist, code) structs. The codes table
     is the 100 TB artifact: m bytes/vector instead of 4*dim — the corpus
-    side of every later query touches ONLY this table."""
+    side of every later query touches ONLY this table.
+
+    Cost shape: the codebook rides into the plan as ONE nested array
+    literal per subspace and the per-centroid distances come from a
+    ``transform`` lambda over it — constant-size Python expression tree
+    (the naive version built 64 hand-rolled sqdist expressions and
+    spent ~9 s of DRIVER py4j time per call before a single row moved),
+    all-JVM execution, same (aa - 2ab + bb) fold order as the oracle."""
     m = len(codebooks)
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     v = _as_double(F.col(vec_col))
     codes = []
     for j, cb in enumerate(codebooks):
         s = F.slice(v, j * dsub + 1, dsub)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sqdist_micro(
-                        s, F.array(*[F.lit(float(x)) for x in c])
-                    ).alias("d"),
-                    F.lit(b).alias("b"),
-                )
-                for b, c in enumerate(cb)
-            ]
+        dists = F.transform(F.lit(cb), lambda c: _sqdist_micro(s, c))
+        best = F.array_min(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda d, b: F.struct(d.alias("d"), b.alias("b")),
+            )
         )
-        codes.append(F.array_min(cands)["b"])
+        codes.append(best["b"])
     return spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("codes")
     )
@@ -617,22 +622,22 @@ def pq_topk(
     oracle path."""
     cbs = pq_codebooks(embeddings, m, ksub, id_col, vec_col)
     dsub = len(cbs[0][0])
-    codes = pq_encode(embeddings, cbs, id_col, vec_col)
-    qv = _as_double(F.col(vec_col))
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist_micro(
-                        F.slice(qv, j * dsub + 1, dsub),
-                        F.array(*[F.lit(float(x)) for x in cb[b]]),
-                    )
-                    for b in range(ksub)
-                ]
-            )
-            for j, cb in enumerate(cbs)
-        ]
+    # the codes INDEX is materialized before scoring (m ints per row —
+    # tiny); without the cut the encode projection sits under the join and
+    # re-evaluates per (query, candidate) pair
+    codes = pq_encode(embeddings, cbs, id_col, vec_col).localCheckpoint(
+        eager=True
     )
+    qv = _as_double(F.col(vec_col))
+
+    def _qdists(j: int, cb):
+        # NB: a 2-arg lambda (even via a default) makes transform pass the
+        # array INDEX as the second arg — close over j with a def instead
+        return F.transform(
+            F.lit(cb), lambda c: _sqdist_micro(F.slice(qv, j * dsub + 1, dsub), c)
+        )
+
+    qtab = F.array(*[_qdists(j, cb) for j, cb in enumerate(cbs)])
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), qtab.alias("_qtab"))
     )

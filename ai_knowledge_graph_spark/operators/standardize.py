@@ -540,3 +540,78 @@ def standardize_triples(
         valid, tie_order=tie_order, blocking=blocking
     ).localCheckpoint(eager=True)
     return apply_standardization(valid, mapping, broadcast_mapping=broadcast_mapping)
+
+
+def incremental_entity_mapping(
+    new_triples: DataFrame, existing_mapping: DataFrame
+) -> DataFrame:
+    """Daily-ingest entity mapping update: extend an existing (variant ->
+    standard) mapping with a NEW batch of raw triples, never recomputing the
+    old corpus — the KG twin of curation.exact_substring_dedup_incremental.
+
+    Semantics (the reference has no incremental mode; these are the
+    stability rules a persisted KG needs):
+
+      1. Variants already in the mapping keep their standard — canonical
+         ids downstream never churn on re-ingest (src='existing').
+      2. Unknown variants whose normalized group key matches an existing
+         group adopt that group's standard, chosen deterministically as
+         min(standard) over the group's rows (src='adopted'; second-pass
+         overrides can split a group across standards — min is the stable
+         pick).
+      3. Genuinely new groups elect a canonical by the first-pass W1 order
+         over BATCH counts (count desc, length asc, variant asc;
+         src='new'). Frequency-dependent choices therefore see only the
+         batch — an incremental mapping is NOT guaranteed equal to a full
+         rebuild (same trade the incremental ExactSubstr path documents).
+
+    Cost is O(batch) plus vocabulary-sized joins: the existing mapping and
+    its per-group standards are broadcast; batch counts are one map-side
+    combined aggregation; the new-group election windows over batch-only
+    groups. Returns the UPDATED full mapping (variant, standard, src).
+    """
+    counts = entity_counts(valid_triples(new_triples))
+    batch = (
+        counts.withColumn("normalized", normalize_entity_udf(F.col("entity")))
+        .filter(F.col("normalized") != "")
+    )
+    em = existing_mapping.select("variant", "standard")
+    unknown = batch.join(
+        F.broadcast(em.select(F.col("variant").alias("entity"))),
+        "entity",
+        "left_anti",
+    )
+    exist_groups = (
+        em.withColumn("normalized", normalize_entity_udf(F.col("variant")))
+        .filter(F.col("normalized") != "")
+        .groupBy("normalized")
+        .agg(F.min("standard").alias("standard"))
+    )
+    adopted = unknown.join(F.broadcast(exist_groups), "normalized").select(
+        F.col("entity").alias("variant"),
+        "standard",
+        F.lit("adopted").alias("src"),
+    )
+    fresh = unknown.join(exist_groups, "normalized", "left_anti")
+    w = Window.partitionBy("normalized").orderBy(
+        F.desc("cnt"), F.length("entity").asc(), F.asc("entity")
+    )
+    fresh_winners = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("normalized", F.col("entity").alias("standard"))
+    )
+    fresh_map = (
+        fresh.select("entity", "normalized")
+        .join(fresh_winners, "normalized")
+        .select(
+            F.col("entity").alias("variant"),
+            "standard",
+            F.lit("new").alias("src"),
+        )
+    )
+    return (
+        em.select("variant", "standard", F.lit("existing").alias("src"))
+        .unionByName(adopted)
+        .unionByName(fresh_map)
+    )

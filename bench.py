@@ -270,6 +270,10 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     # stages above, so one-shot timing would measure janino JIT, not the op
     entry_mod.q_mix_corpus(spark, "/root/testdata/sf0.001").count()
     timed("doc_mix_corpus", lambda: entry_mod.q_mix_corpus(spark, sf_dir).count())
+    timed("doc_c4", lambda: entry_mod.q_c4(spark, sf_dir).count())
+    timed("doc_link_graph", lambda: entry_mod.q_link_graph(spark, sf_dir).count())
+    timed("doc_bpe_merges", lambda: entry_mod.q_bpe_merges(spark, sf_dir).count())
+    timed("embedding_pq_topk", lambda: entry_mod.q_pq_topk(spark, sf_dir).count())
 
     return {
         "metric": "e2e_pipeline_sec",
