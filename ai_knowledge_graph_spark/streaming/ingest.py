@@ -289,3 +289,80 @@ def stream_sessionize(
     q = writer.format("parquet").option("path", out_path).start()
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_incremental_kg(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 100,
+    overlap: int = 20,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming end-to-end KG construction with a PERSISTED entity mapping:
+    each micro-batch of pages is extracted, its triples standardized against
+    the stored (variant -> standard) state via
+    :func:`~..operators.standardize.incremental_entity_mapping` (O(batch),
+    never a corpus recompute), batch edges committed idempotently, and the
+    updated mapping written back — the daily-ingest shape of the north
+    rule's resumable pipeline.
+
+    Exactly-once reasoning: a replayed batch re-reads a mapping that already
+    contains its variants; incremental_entity_mapping is idempotent there
+    (known variants are stable, nothing new is added), so the re-derived
+    edges are byte-identical and the per-batch overwrite commits the same
+    data — safe whichever of the two writes the failure interrupted. State
+    lives as parquet under ``state_dir`` (a real cluster would point this at
+    a catalog table; the protocol is unchanged).
+    """
+    import os
+
+    from ..operators.standardize import (
+        apply_standardization,
+        build_entity_mapping,
+        incremental_entity_mapping,
+        valid_triples,
+    )
+
+    reader = spark.readStream.schema(PAGES).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(pages_path)
+    mapping_path = f"{state_dir}/mapping"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        triples = valid_triples(
+            pages_to_raw_triples(
+                batch_df, chunk_size=chunk_size, overlap=overlap,
+                stage_partitions=None,
+            )
+        )
+        if os.path.exists(mapping_path):
+            existing = sp.read.parquet(mapping_path).select(
+                "variant", "standard"
+            )
+            updated = incremental_entity_mapping(triples, existing)
+        else:
+            updated = build_entity_mapping(
+                triples, tie_order="lexicographic"
+            ).withColumn("src", F.lit("new"))
+        # eager cut: the mapping is read from AND overwritten at
+        # mapping_path within this batch — materialize before either write
+        updated = updated.localCheckpoint(eager=True)
+        edges = apply_standardization(
+            triples, updated.select("variant", "standard")
+        )
+        edges.write.mode("overwrite").parquet(
+            f"{state_dir}/edges/batch={batch_id}"
+        )
+        updated.write.mode("overwrite").parquet(mapping_path)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

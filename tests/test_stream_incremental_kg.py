@@ -1,0 +1,115 @@
+"""stream_incremental_kg: persisted-mapping streaming KG construction.
+
+Two "days" of pages arrive as separate stream runs against one state dir;
+the stored mapping must extend without churning day-1 canonicals, and the
+final state must equal the batch-mode incremental replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.operators.extraction import pages_to_raw_triples
+from ai_knowledge_graph_spark.operators.standardize import (
+    build_entity_mapping,
+    incremental_entity_mapping,
+    valid_triples,
+)
+from ai_knowledge_graph_spark.streaming.ingest import stream_incremental_kg
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory, pages_pdf):
+    root = tmp_path_factory.mktemp("skg")
+    pages_dir = str(root / "pages")
+    state = str(root / "state")
+    ckpt = str(root / "ckpt")
+    day1 = spark.createDataFrame(pages_pdf.head(20))
+    day2 = spark.createDataFrame(pages_pdf.tail(20))
+    day1.write.parquet(pages_dir)
+
+    stream_incremental_kg(spark, pages_dir, state, ckpt)
+    mapping_day1 = [
+        (r["variant"], r["standard"])
+        for r in spark.read.parquet(f"{state}/mapping").collect()
+    ]
+    # day 2 lands in the same directory; same checkpoint -> only new files
+    day2.write.mode("append").parquet(pages_dir)
+    stream_incremental_kg(spark, pages_dir, state, ckpt)
+    return {
+        "spark": spark,
+        "pages_dir": pages_dir,
+        "state": state,
+        "day1": day1,
+        "day2": day2,
+        "mapping_day1": mapping_day1,
+    }
+
+
+def _raw(spark, df):
+    return valid_triples(
+        pages_to_raw_triples(df, chunk_size=100, overlap=20, stage_partitions=None)
+    )
+
+
+def test_day1_canonicals_never_churn(dirs):
+    spark = dirs["spark"]
+    final = {
+        r["variant"]: r["standard"]
+        for r in spark.read.parquet(f"{dirs['state']}/mapping").collect()
+    }
+    for variant, standard in dirs["mapping_day1"]:
+        assert final[variant] == standard
+
+
+def test_state_matches_batch_incremental_replay(dirs):
+    spark = dirs["spark"]
+    m1 = build_entity_mapping(_raw(spark, dirs["day1"]), tie_order="lexicographic")
+    expected = incremental_entity_mapping(_raw(spark, dirs["day2"]), m1)
+    got = sorted(
+        (r["variant"], r["standard"])
+        for r in spark.read.parquet(f"{dirs['state']}/mapping").collect()
+    )
+    exp = sorted(
+        (r["variant"], r["standard"]) for r in expected.collect()
+    )
+    assert got == exp
+
+
+def test_edges_written_per_batch_and_standardized(dirs):
+    spark = dirs["spark"]
+    edges = spark.read.parquet(f"{dirs['state']}/edges")
+    assert edges.count() > 0
+    # day-2 edges == batch-mode apply_standardization of day-2 raw triples
+    # through the FINAL stored mapping (exact multiset; note standards are
+    # not fixpoints of the mapping — the reference's second-pass override
+    # quirk — so only this end-to-end equality is a valid property)
+    from ai_knowledge_graph_spark.operators.standardize import (
+        apply_standardization,
+    )
+
+    final_mapping = spark.read.parquet(f"{dirs['state']}/mapping").select(
+        "variant", "standard"
+    )
+    expected = apply_standardization(_raw(spark, dirs["day2"]), final_mapping)
+    key = lambda df: sorted(  # noqa: E731
+        (r["subject"], r["predicate"], r["object"])
+        for r in df.select("subject", "predicate", "object").collect()
+    )
+    got = spark.read.parquet(f"{dirs['state']}/edges/batch=1")
+    assert key(got) == key(expected)
+
+
+def test_rerun_with_same_checkpoint_is_noop(dirs):
+    spark = dirs["spark"]
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{dirs['state']}/mapping").collect())
+    )
+    stream_incremental_kg(
+        spark, dirs["pages_dir"], dirs["state"], f"{dirs['state']}/../ckpt"
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{dirs['state']}/mapping").collect())
+    )
+    assert before == after
