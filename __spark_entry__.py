@@ -1508,6 +1508,19 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_entity_pmi(spark, sf_dir):
+    # Chunk-windowed PMI/NPMI entity association mining over the
+    # standardized graph; counts exact int64, ln/divide the only float
+    # steps (round 6, the lm_perplexity precedent).
+    from ai_knowledge_graph_spark.operators.concepts import (
+        entity_cooccurrence_pmi,
+    )
+
+    return entity_cooccurrence_pmi(
+        _std_triples(spark, sf_dir), context_cols=("url", "chunk")
+    )
+
+
 def q_incr_mapping(spark, sf_dir):
     # Incremental KG standardization (daily ingest): mapping built over the
     # first 300 docs, then extended with the remaining docs' triples without
@@ -1935,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "anchor_mentions": q_anchor_mentions,
         "incr_mapping": q_incr_mapping,
+        "entity_pmi": q_entity_pmi,
         "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
@@ -2308,6 +2322,36 @@ SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
 SELECT variant, standard, 'existing' AS src FROM final_map
 UNION ALL SELECT variant, standard, 'adopted' FROM adopted
 UNION ALL SELECT variant, standard, 'new' FROM fresh_map"""
+    )
+
+    # chunk-windowed PMI/NPMI over the standardized graph: exact int64
+    # counts; ln/divide round(6) are the only float steps.
+    sql["entity_pmi"] = (
+        _PRELUDE
+        + _STD_CTES
+        + """, mentions AS (
+  SELECT DISTINCT doc_id, chunk, e AS entity FROM (
+    SELECT doc_id, chunk, subject AS e FROM std
+    UNION ALL SELECT doc_id, chunk, object FROM std)
+), nctx AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT doc_id, chunk FROM std)
+), entctx AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS c FROM mentions GROUP BY 1
+), prs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM mentions a
+  JOIN mentions b ON a.doc_id = b.doc_id AND a.chunk = b.chunk
+                 AND a.entity < b.entity
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT entity_a, entity_b, pair_count,
+  round(ln(CAST(pair_count * nctx.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi,
+  round(ln(CAST(pair_count * nctx.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE))
+        / ln(CAST(nctx.n AS DOUBLE) / CAST(pair_count AS DOUBLE)), 6) AS npmi
+FROM prs, nctx
+JOIN entctx ca ON ca.entity = prs.entity_a
+JOIN entctx cb ON cb.entity = prs.entity_b"""
     )
 
     # anchor-text entity linking: same mapping CTE chain + arithmetic

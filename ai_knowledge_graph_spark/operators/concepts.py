@@ -162,3 +162,68 @@ def per_relation_cap(
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
+
+
+def entity_cooccurrence_pmi(
+    std_triples: DataFrame,
+    min_pair_count: int = 2,
+    context_cols: tuple[str, str] = ("doc_id", "chunk"),
+) -> DataFrame:
+    """(entity_a, entity_b, pair_count, pmi, npmi): chunk-windowed entity
+    association mining — the classic co-occurrence signal a KG layers on
+    top of its explicit edges (Church & Hanks 1990 PMI; Bouma 2009 NPMI).
+
+    A "context" is a (doc_id, chunk); an entity occurs in a context if it
+    appears as subject or object of any triple there. All counts are exact
+    int64; pmi = ln(pair*N / (ca*cb)) and npmi = pmi / ln(N/pair) are the
+    only float steps, rounded to 6 (the lm_perplexity precedent). The pair
+    self-join is per-context (entities within one chunk only — never a
+    global cross product); cost is sum over contexts of k², the standard
+    co-occurrence envelope, with ``min_pair_count`` pruning the long tail
+    AFTER aggregation (map-side combined).
+    """
+    ctx = list(context_cols)
+    mentions = (
+        std_triples.select(
+            *ctx,
+            F.explode(F.array("subject", "object")).alias("entity"),
+        )
+        .distinct()
+    )
+    n_ctx = std_triples.select(*ctx).distinct().count()
+    ent_ctx = mentions.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("ctx_count")
+    )
+    a = mentions.select(*ctx, F.col("entity").alias("entity_a"))
+    b = mentions.select(*ctx, F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, ctx)
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ca = ent_ctx.select(
+        F.col("entity").alias("entity_a"), F.col("ctx_count").alias("_ca")
+    )
+    cb = ent_ctx.select(
+        F.col("entity").alias("entity_b"), F.col("ctx_count").alias("_cb")
+    )
+    pmi = F.log(
+        (F.col("pair_count") * F.lit(n_ctx)).cast("double")
+        / (F.col("_ca") * F.col("_cb")).cast("double")
+    )
+    npmi = pmi / F.log(
+        F.lit(n_ctx).cast("double") / F.col("pair_count").cast("double")
+    )
+    return (
+        pairs.join(ca, "entity_a")
+        .join(cb, "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "pair_count",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(npmi, 6).alias("npmi"),
+        )
+    )
