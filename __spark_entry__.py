@@ -1508,6 +1508,17 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    # Per-doc TF-IDF keywords: idf frozen to int64 micro-units before the
+    # tf multiply, so scores + ranking are exact integer arithmetic.
+    from ai_knowledge_graph_spark.operators.textstats import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return tfidf_keywords(docs, top_k=5)
+
+
 def q_entity_pmi(spark, sf_dir):
     # Chunk-windowed PMI/NPMI entity association mining over the
     # standardized graph; counts exact int64, ln/divide the only float
@@ -1949,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_mentions": q_anchor_mentions,
         "incr_mapping": q_incr_mapping,
         "entity_pmi": q_entity_pmi,
+        "tfidf": q_tfidf,
         "host_graph": q_host_graph,
         "robots": q_robots,
         "scd2": q_scd2,
@@ -2323,6 +2335,25 @@ SELECT variant, standard, 'existing' AS src FROM final_map
 UNION ALL SELECT variant, standard, 'adopted' FROM adopted
 UNION ALL SELECT variant, standard, 'new' FROM fresh_map"""
     )
+
+    # TF-IDF keywords: smoothed idf frozen to micro-units, integer scores.
+    sql["tfidf"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfx AS (
+  SELECT word, CAST(df_inner AS BIGINT) AS df,
+    CAST(round((ln(CAST((SELECT count(DISTINCT doc_id) FROM documents) + 1 AS DOUBLE)
+                   / CAST(df_inner + 1 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+  FROM (SELECT word, count(*) AS df_inner FROM tf GROUP BY 1) d
+)
+SELECT doc_id, word, tf, df, score_micro, CAST(rank AS INT) AS rank FROM (
+  SELECT t.doc_id, t.word, t.tf, d.df, t.tf * d.idf_micro AS score_micro,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf * d.idf_micro DESC, t.word ASC) AS rank
+  FROM tf t JOIN dfx d USING (word)
+) WHERE rank <= 5"""
 
     # chunk-windowed PMI/NPMI over the standardized graph: exact int64
     # counts; ln/divide round(6) are the only float steps.

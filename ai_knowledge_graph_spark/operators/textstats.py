@@ -511,3 +511,55 @@ def train_quality_classifier(
         ]
     weights = spark.createDataFrame(rows or [(0, 0)], "bucket long, weight long")
     return weights, int(round(float(model.intercept) * 1000))
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, word, tf, df, score_micro, rank): per-document TF-IDF
+    keyword extraction — the per-doc complement of the query-side BM25
+    ranker (same token model: lowercased ``\\w+`` words).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, the sklearn convention) is frozen
+    to int64 micro-units BEFORE the tf multiply, so the score and the
+    ranking are exact integer arithmetic — order-independent and
+    hash-stable against the oracle; ln is the single float step. Two
+    map-side-combined aggregations (tf, then df off the tf table — the df
+    pass never rereads the corpus), a vocabulary-sized broadcast join, and
+    a per-doc window over that doc's distinct words only.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)
+        ).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    idf_micro = F.round(
+        (
+            F.log(
+                (F.lit(n_docs) + 1).cast("double")
+                / (F.col("df") + 1).cast("double")
+            )
+            + F.lit(1.0)
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    scored = tf.join(F.broadcast(df_tbl.withColumn("_idf", idf_micro)), "word")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("score_micro", F.col("tf") * F.col("_idf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "word", "tf", "df", "score_micro", "rank")
+    )
