@@ -1651,7 +1651,33 @@ def q_bpe_merges(spark, sf_dir):
     return train_bpe(docs, n_merges=8)
 
 
-def _bpe_oracle_sql(k: int = 8) -> str:
+def q_bpe_encode(spark, sf_dir):
+    # Tokenization APPLY: train 8 merges on the corpus, then encode every
+    # document with the learned table (the train->encode->pack story's
+    # middle step). Output is hash-gated: per-doc token count + sha256 of
+    # the chr(31)-joined token stream; the oracle re-derives the merge
+    # table with the same unrolled CTE chain as bpe_merges and replays the
+    # 8 replaces over each doc's word sequence in position order.
+    from ai_knowledge_graph_spark.operators.tokenizer import (
+        SEP,
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs.select("text"), n_merges=8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.sha2(F.array_join("tokens", SEP), 256).alias("tokens_sha"),
+    )
+
+
+def _bpe_chain_parts(k: int) -> list[str]:
+    """Shared unrolled-training prelude: CTEs w0, r0..r{k}, p0.., b0..b{k-1}."""
     sep = "chr(31)"
     sep2 = "(chr(31) || chr(31))"
     parts = [
@@ -1688,11 +1714,58 @@ WITH w0 AS MATERIALIZED (
   FROM r{i}, b{i} b
 )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(k: int = 8) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM b{i}"
         for i in range(k)
     )
-    return "".join(parts) + "\n" + union
+    return "".join(_bpe_chain_parts(k)) + "\n" + union
+
+
+def _bpe_encode_oracle_sql(k: int = 8) -> str:
+    """bpe_merges' training chain + a per-document replay of the k merges
+    over each word in position order (docs with zero words drop out, like
+    the engine's explode->groupBy)."""
+    sep = "chr(31)"
+    sep2 = "(chr(31) || chr(31))"
+    parts = list(_bpe_chain_parts(k))
+    parts.append(
+        f""", dwords AS MATERIALIZED (
+  SELECT doc_id, words FROM (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '' AND NOT contains(x, chr(31))) AS words
+    FROM documents)
+  WHERE len(words) > 0
+), e0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         {sep2} || array_to_string(list_append(regexp_extract_all(words[i], '.'), '</w>'),
+                                   {sep2}) || {sep2} AS rep
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM dwords)
+)"""
+    )
+    for i in range(k):
+        parts.append(
+            f""", e{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         replace(rep, {sep} || b.lhs || {sep2} || b.rhs || {sep},
+                      {sep} || b.lhs || b.rhs || {sep}) AS rep
+  FROM e{i}, b{i} b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+       sha256(string_agg(array_to_string(syms, {sep}), {sep} ORDER BY pos)) AS tokens_sha
+FROM (SELECT doc_id, pos,
+             list_filter(string_split(rep, {sep2}), x -> x <> '') AS syms
+      FROM e{k})
+GROUP BY doc_id"""
+    )
+    return "".join(parts)
 
 
 def q_c4(spark, sf_dir):
@@ -1956,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4": q_c4,
         "link_graph": q_link_graph,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "pq_topk": q_pq_topk,
         "anchor_mentions": q_anchor_mentions,
         "incr_mapping": q_incr_mapping,
@@ -4239,6 +4313,7 @@ FROM v"""
     # normalizer bugs all mismatch). host_graph aggregates the same edges.
     # BPE: iterative oracle, 8 unrolled rounds (MATERIALIZED CTEs).
     sql["bpe_merges"] = _bpe_oracle_sql(8)
+    sql["bpe_encode"] = _bpe_encode_oracle_sql(8)
 
     # PQ-ANN: exact int64 micro-unit distances end to end (argmin + ADC sum).
     sql["pq_topk"] = _pq_oracle_sql(4, 16, 16, 5)

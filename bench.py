@@ -273,6 +273,7 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timed("doc_c4", lambda: entry_mod.q_c4(spark, sf_dir).count())
     timed("doc_link_graph", lambda: entry_mod.q_link_graph(spark, sf_dir).count())
     timed("doc_bpe_merges", lambda: entry_mod.q_bpe_merges(spark, sf_dir).count())
+    timed("doc_bpe_encode", lambda: entry_mod.q_bpe_encode(spark, sf_dir).count())
     timed("embedding_pq_topk", lambda: entry_mod.q_pq_topk(spark, sf_dir).count())
 
     return {
