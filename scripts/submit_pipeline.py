@@ -87,10 +87,10 @@ def main() -> None:
     # graph.materialize.write_graph_tables / Iceberg writeTo instead, which
     # adds the bucket spec the planner can exploit).
     nodes, edges = materialize_graph(spark.read.parquet(f"{args.output}/triples"))
-    nodes.repartition(32, F.col("canonical_id")).write.mode("overwrite").parquet(
+    nodes.repartition(parts, F.col("canonical_id")).write.mode("overwrite").parquet(
         f"{args.output}/nodes"
     )
-    edges.repartition(32, F.col("src_id")).write.mode("overwrite").parquet(
+    edges.repartition(parts, F.col("src_id")).write.mode("overwrite").parquet(
         f"{args.output}/edges"
     )
     sec = time.time() - t0
