@@ -31,6 +31,12 @@ CORE_PAIR = tuple(int(c) for c in os.environ.get("SCALING_CORES", "2,8").split("
 
 def one_run(cores: int) -> dict:
     os.environ["SPARK_GRAFT_CODEGEN"] = "on"
+    # Per-leg host probes (same probe bench.py embeds): a melted leg —
+    # capacity collapse mid-run — is classifiable from the JSON itself
+    # instead of requiring a manual re-run (BENCH/BASELINE.md session-5).
+    from bench import _host_capacity_probe
+
+    probe_before = _host_capacity_probe(cores)
     from pyspark.sql import SparkSession
 
     from ai_knowledge_graph_spark.fixtures import generate_bench_pages
@@ -69,7 +75,9 @@ def one_run(cores: int) -> dict:
     sec = time.time() - t0
     spark.stop()
     return {"cores": cores, "sec": round(sec, 2), "triples": n,
-            "triples_per_sec": round(n / sec, 1), "stages": stage_sec}
+            "triples_per_sec": round(n / sec, 1), "stages": stage_sec,
+            "host_probe": {"before": probe_before,
+                           "after": _host_capacity_probe(cores)}}
 
 
 def main() -> None:
