@@ -291,6 +291,31 @@ def stream_sessionize(
     return spark.read.parquet(out_path)
 
 
+def _mapping_pointer(state_dir: str) -> str:
+    return f"{state_dir}/mapping_POINTER"
+
+
+def _current_mapping_path(state_dir: str) -> str | None:
+    """Path of the last atomically-committed mapping version, or None."""
+    import os
+
+    pointer = _mapping_pointer(state_dir)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return fh.read().strip()
+
+
+def read_kg_mapping(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The live (variant -> standard) mapping state of
+    :func:`stream_incremental_kg` — resolved through the atomic pointer, so
+    readers never observe a half-written version directory."""
+    current = _current_mapping_path(state_dir)
+    if current is None:
+        raise FileNotFoundError(f"no committed mapping under {state_dir}")
+    return spark.read.parquet(current)
+
+
 def stream_incremental_kg(
     spark: SparkSession,
     pages_path: str,
@@ -311,8 +336,12 @@ def stream_incremental_kg(
     Exactly-once reasoning: a replayed batch re-reads a mapping that already
     contains its variants; incremental_entity_mapping is idempotent there
     (known variants are stable, nothing new is added), so the re-derived
-    edges are byte-identical and the per-batch overwrite commits the same
-    data — safe whichever of the two writes the failure interrupted. State
+    edges are byte-identical. Mapping state is VERSIONED: each batch writes
+    ``mapping_v{batch_id}`` and then atomically swaps a pointer file
+    (``os.replace``) to name it — a crash mid-write leaves the pointer (and
+    thus the live mapping) at the previous committed version, never at a
+    half-written directory. A replayed batch whose pointer already names its
+    own version skips the state write entirely (already committed). State
     lives as parquet under ``state_dir`` (a real cluster would point this at
     a catalog table; the protocol is unchanged).
     """
@@ -329,7 +358,7 @@ def stream_incremental_kg(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(pages_path)
-    mapping_path = f"{state_dir}/mapping"
+    pointer_path = _mapping_pointer(state_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -339,17 +368,16 @@ def stream_incremental_kg(
                 stage_partitions=None,
             )
         )
-        if os.path.exists(mapping_path):
-            existing = sp.read.parquet(mapping_path).select(
-                "variant", "standard"
-            )
+        current = _current_mapping_path(state_dir)
+        if current is not None:
+            existing = sp.read.parquet(current).select("variant", "standard")
             updated = incremental_entity_mapping(triples, existing)
         else:
             updated = build_entity_mapping(
                 triples, tie_order="lexicographic"
             ).withColumn("src", F.lit("new"))
-        # eager cut: the mapping is read from AND overwritten at
-        # mapping_path within this batch — materialize before either write
+        # eager cut: the mapping feeds both the edge join and the state
+        # write — materialize once
         updated = updated.localCheckpoint(eager=True)
         edges = apply_standardization(
             triples, updated.select("variant", "standard")
@@ -357,7 +385,16 @@ def stream_incremental_kg(
         edges.write.mode("overwrite").parquet(
             f"{state_dir}/edges/batch={batch_id}"
         )
-        updated.write.mode("overwrite").parquet(mapping_path)
+        version_path = f"{state_dir}/mapping_v{batch_id}"
+        if current != version_path:
+            # fresh version dir (never the one the pointer names), then
+            # atomic pointer swap: the live state is always a fully-written
+            # directory no matter where a failure lands
+            updated.write.mode("overwrite").parquet(version_path)
+            tmp = pointer_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(version_path)
+            os.replace(tmp, pointer_path)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

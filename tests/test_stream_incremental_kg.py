@@ -16,7 +16,10 @@ from ai_knowledge_graph_spark.operators.standardize import (
     incremental_entity_mapping,
     valid_triples,
 )
-from ai_knowledge_graph_spark.streaming.ingest import stream_incremental_kg
+from ai_knowledge_graph_spark.streaming.ingest import (
+    read_kg_mapping,
+    stream_incremental_kg,
+)
 
 
 @pytest.fixture(scope="module")
@@ -32,7 +35,7 @@ def dirs(spark, tmp_path_factory, pages_pdf):
     stream_incremental_kg(spark, pages_dir, state, ckpt)
     mapping_day1 = [
         (r["variant"], r["standard"])
-        for r in spark.read.parquet(f"{state}/mapping").collect()
+        for r in read_kg_mapping(spark, state).collect()
     ]
     # day 2 lands in the same directory; same checkpoint -> only new files
     day2.write.mode("append").parquet(pages_dir)
@@ -57,7 +60,7 @@ def test_day1_canonicals_never_churn(dirs):
     spark = dirs["spark"]
     final = {
         r["variant"]: r["standard"]
-        for r in spark.read.parquet(f"{dirs['state']}/mapping").collect()
+        for r in read_kg_mapping(spark, dirs["state"]).collect()
     }
     for variant, standard in dirs["mapping_day1"]:
         assert final[variant] == standard
@@ -69,7 +72,7 @@ def test_state_matches_batch_incremental_replay(dirs):
     expected = incremental_entity_mapping(_raw(spark, dirs["day2"]), m1)
     got = sorted(
         (r["variant"], r["standard"])
-        for r in spark.read.parquet(f"{dirs['state']}/mapping").collect()
+        for r in read_kg_mapping(spark, dirs["state"]).collect()
     )
     exp = sorted(
         (r["variant"], r["standard"]) for r in expected.collect()
@@ -89,7 +92,7 @@ def test_edges_written_per_batch_and_standardized(dirs):
         apply_standardization,
     )
 
-    final_mapping = spark.read.parquet(f"{dirs['state']}/mapping").select(
+    final_mapping = read_kg_mapping(spark, dirs["state"]).select(
         "variant", "standard"
     )
     expected = apply_standardization(_raw(spark, dirs["day2"]), final_mapping)
@@ -104,12 +107,39 @@ def test_edges_written_per_batch_and_standardized(dirs):
 def test_rerun_with_same_checkpoint_is_noop(dirs):
     spark = dirs["spark"]
     before = sorted(
-        map(tuple, spark.read.parquet(f"{dirs['state']}/mapping").collect())
+        map(tuple, read_kg_mapping(spark, dirs["state"]).collect())
     )
     stream_incremental_kg(
         spark, dirs["pages_dir"], dirs["state"], f"{dirs['state']}/../ckpt"
     )
     after = sorted(
-        map(tuple, spark.read.parquet(f"{dirs['state']}/mapping").collect())
+        map(tuple, read_kg_mapping(spark, dirs["state"]).collect())
     )
     assert before == after
+
+
+def test_pointer_survives_partial_version_write(dirs, tmp_path):
+    """A half-written mapping_v{N} dir (crash mid-write, pointer not yet
+    swapped) must be invisible: readers resolve through the pointer to the
+    last committed version."""
+    import os
+    import shutil
+
+    spark = dirs["spark"]
+    state = dirs["state"]
+    committed = sorted(
+        map(tuple, read_kg_mapping(spark, state).collect())
+    )
+    # simulate the crash: a new version dir exists but is garbage, and the
+    # pointer still names the previous version
+    junk = f"{state}/mapping_v999"
+    os.makedirs(junk, exist_ok=True)
+    with open(f"{junk}/part-00000.parquet", "w") as fh:
+        fh.write("not parquet")
+    try:
+        after = sorted(
+            map(tuple, read_kg_mapping(spark, state).collect())
+        )
+        assert after == committed
+    finally:
+        shutil.rmtree(junk)
