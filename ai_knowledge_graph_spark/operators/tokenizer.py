@@ -145,20 +145,17 @@ def bpe_encode(
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("merge_rank").collect()
         merges = [(r["merge_rank"], r["lhs"], r["rhs"]) for r in rows]
-    words = docs.select(
-        id_col,
-        F.posexplode(
-            F.filter(
-                F.split(F.col(text_col), r"\s+"),
-                lambda w: (w != F.lit("")) & ~F.contains(w, F.lit(SEP)),
-            )
-        ).alias("pos", "word"),
-    )
+    words = _words(docs, id_col, text_col)
     rep = _initial_rep(F.col("word"))
     for _, lhs, rhs in sorted(merges):
         pat, repl = merge_pattern(lhs, rhs)
         rep = F.replace(rep, F.lit(pat), F.lit(repl))
     toks = words.select(id_col, "pos", _symbols(rep).alias("toks"))
+    return _regroup(toks, id_col)
+
+
+def _regroup(toks: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, toks) -> (id, tokens, n_tokens) in word order."""
     return (
         toks.groupBy(id_col)
         .agg(
@@ -171,3 +168,109 @@ def bpe_encode(
         )
         .select(id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens"))
     )
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word): whitespace words, reserved-separator words dropped
+    (the same tokenization as word_histogram / bpe_encode)."""
+    return docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda w: (w != F.lit("")) & ~F.contains(w, F.lit(SEP)),
+            )
+        ).alias("pos", "word"),
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """The tokenizer inner loop: repeatedly merge the LOWEST-RANK adjacent
+    pair (all occurrences, left-to-right non-overlapping) until none is in
+    the table. Provably identical to replaying the merges in rank order
+    (a pair of rank s can only become adjacent once both its symbols exist,
+    i.e. after merges of rank < s — so rank-order replay never misses one),
+    which is what train_bpe's replace chain does; pinned by the K=8 parity
+    test against bpe_encode. Linear in len(word) per merge round, and the
+    number of rounds is bounded by len(word) — independent of table size K.
+    """
+    syms = list(word)
+    syms.append(EOW)
+    while len(syms) > 1:
+        best_rank: int | None = None
+        best_pair = ("", "")
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_rank is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_ranked(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[int, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens, n_tokens): the PRODUCTION encoder — same output as
+    :func:`bpe_encode`, built for real merge counts (K ~ 30,000).
+
+    The merge table ships ONCE as a SparkContext broadcast ``{(lhs, rhs):
+    rank}`` dict (a 30k-entry dict is ~3 MB — model-sized, not data-sized),
+    and an Arrow-batched pandas UDF runs the standard min-rank merge loop
+    per word. Cost is linear in corpus tokens and INDEPENDENT of K — no
+    K-deep expression tree, no driver-side plan-building cost (the failure
+    mode that capped bpe_encode at validation-scale K).
+
+    The UDF runs over the DISTINCT word vocabulary, not the exploded corpus
+    (the same distinct-first shape as entity standardization): at 100 TB
+    the distinct-word table is orders of magnitude smaller than the token
+    stream, and the per-batch memo cache makes even repeated vocabulary
+    entries nearly free. The corpus-sized step is a plain equi-join of
+    (id, pos, word) with (word, tokens) — AQE broadcasts it when the
+    vocabulary is small enough, shuffle-joins otherwise.
+    """
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("merge_rank").collect()
+        merges = [(r["merge_rank"], r["lhs"], r["rhs"]) for r in rows]
+    ranks = {(lhs, rhs): rank for rank, lhs, rhs in sorted(merges)}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    # NOTE: no type hints on `enc` — `from __future__ import annotations`
+    # stringifies them and pyspark's hint-resolver can't see the local
+    # `pd` import; hint-less pandas_udf defaults to SCALAR, which is what
+    # this is.
+    @F.pandas_udf("array<string>")
+    def enc(batch):
+        table = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def one(w: str) -> list[str]:
+            t = cache.get(w)
+            if t is None:
+                t = encode_word(w, table)
+                cache[w] = t
+            return t
+
+        return batch.map(one)
+
+    words = _words(docs, id_col, text_col)
+    vocab = (
+        words.select("word").distinct().withColumn("toks", enc(F.col("word")))
+    )
+    return _regroup(words.join(vocab, "word"), id_col)

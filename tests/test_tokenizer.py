@@ -100,3 +100,83 @@ def test_bpe_encode_compresses(corpus_df):
     n0 = {r["doc_id"]: r["n_tokens"] for r in none.collect()}
     n1 = {r["doc_id"]: r["n_tokens"] for r in some.collect()}
     assert all(n1[d] < n0[d] for d in n0)
+
+
+def test_ranked_encoder_matches_replace_chain(corpus_df):
+    """bpe_encode_ranked (broadcast rank dict + pandas UDF min-rank loop)
+    must be token-identical to bpe_encode (K-deep replace chain replaying
+    merges in rank order) — the equivalence argued in encode_word's
+    docstring, pinned here at K=20 on the classic Sennrich corpus."""
+    from ai_knowledge_graph_spark.operators.tokenizer import bpe_encode_ranked
+
+    merges = train_bpe(corpus_df, n_merges=20)
+    chain = {
+        r["doc_id"]: list(r["tokens"]) for r in bpe_encode(corpus_df, merges).collect()
+    }
+    ranked = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_ranked(corpus_df, merges).collect()
+    }
+    assert ranked == chain
+
+
+def test_ranked_encoder_matches_chain_on_random_corpora(spark):
+    """Property check over adversarial small alphabets (repeats like
+    'aaaa' exercise the non-overlapping left-to-right rule; ab/ba chains
+    exercise merge-creates-new-pair orderings)."""
+    import random
+
+    from ai_knowledge_graph_spark.operators.tokenizer import bpe_encode_ranked
+
+    rng = random.Random(7)
+    for trial in range(4):
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+                    for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        merges = train_bpe(df, n_merges=rng.randint(1, 12))
+        chain = {
+            r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, merges).collect()
+        }
+        ranked = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode_ranked(df, merges).collect()
+        }
+        assert ranked == chain, f"trial {trial}: {docs}"
+
+
+def test_ranked_encoder_at_production_merge_count(spark):
+    """The whole point of bpe_encode_ranked: K=1024 merges, where a
+    1024-deep replace-expression chain is not a viable plan. The merge
+    table is trained driver-side with the pure-Python Sennrich replay
+    (already pinned equal to train_bpe above) — training depth is not
+    what this test measures."""
+    from ai_knowledge_graph_spark.operators.tokenizer import (
+        bpe_encode_ranked,
+        encode_word,
+    )
+
+    texts = [
+        " ".join(
+            f"w{(i * 7 + j) % 97}x{(i + j * 13) % 53}" for j in range(40)
+        )
+        for i in range(50)
+    ]
+    merges = [(r, a, b) for r, a, b, _ in _py_bpe(texts, 1024)]
+    assert len(merges) > 200  # the corpus genuinely supports deep tables
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    enc = {r["doc_id"]: r for r in bpe_encode_ranked(df, merges).collect()}
+    ranks = {(a, b): r for r, a, b in merges}
+    for doc_id, text in enumerate(texts):
+        exp = [t for w in text.split() for t in encode_word(w, ranks)]
+        assert list(enc[doc_id]["tokens"]) == exp
+        assert "".join(enc[doc_id]["tokens"]) == "".join(
+            w + EOW for w in text.split()
+        )
