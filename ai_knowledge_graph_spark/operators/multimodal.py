@@ -3,10 +3,11 @@
 Image/audio/video payloads ride as ``binary`` columns; decode / feature
 extraction / resize / frame sampling run as Arrow-batched ``mapInPandas``
 operators. Decoding is REAL for the stdlib-parsable container formats —
-BMP and PPM/PGM images (dims, channels) and RIFF/WAV audio (sample rate,
-channels, duration) are parsed from the actual bytes with pure ``struct``
-arithmetic, no media libraries. Formats that genuinely need codec libs
-(JPEG, PNG, MP4, ...) fall back to a clearly-documented deterministic stub
+BMP and PPM/PGM images (dims, channels), RIFF/WAV audio (sample rate,
+channels, duration), PNG (IHDR fixed-offset read) and JPEG (SOFn marker
+scan) — all parsed from the actual bytes with pure ``struct`` arithmetic,
+no media libraries. Only formats whose headers genuinely need codec libs
+(MP4/WebM/...) fall back to a clearly-documented deterministic stub
 (dimensions derived from the payload digest) so the Spark-side plumbing
 still exercises end-to-end; a real deployment swaps ``_decode_other`` for
 PIL/ffmpeg.
@@ -93,7 +94,114 @@ def make_wav(
     )
 
 
+def make_png(width: int, height: int, seed: int = 0, gray: bool = False) -> bytes:
+    """Real minimal PNG (signature + IHDR + one IDAT + IEND, CRCs correct).
+    IDAT deflates at level 0 (stored blocks), so for raw scanline bytes
+    <= 65535 the file size is exactly ``68 + height * (1 + ch * width)`` —
+    what the multimodal_stats oracle recomputes arithmetically."""
+    import zlib
+
+    ch = 1 if gray else 3
+    raw = b"".join(
+        b"\x00"  # filter byte: None
+        + bytes((seed + y * width * ch + i) % 256 for i in range(width * ch))
+        for y in range(height)
+    )
+    comp = zlib.compress(raw, 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0 if gray else 2, 0, 0, 0])  # depth, color type, ...
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(
+    width: int, height: int, seed: int = 0, gray: bool = False, n_entropy: int = 24
+) -> bytes:
+    """Structurally-valid JFIF/JPEG header stream: SOI, APP0, SOF0 (the
+    dims), SOS, ``n_entropy`` deterministic entropy bytes (mod 255 — never
+    a 0xFF marker prefix), EOI. Size is exactly ``40 + 5 * ncomp +
+    n_entropy`` bytes."""
+    n = 1 if gray else 3
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + (8 + 3 * n).to_bytes(2, "big") + bytes([8])
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([n])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(n))
+    )
+    sos = (
+        b"\xff\xda" + (6 + 2 * n).to_bytes(2, "big") + bytes([n])
+        + b"".join(bytes([i + 1, 0]) for i in range(n))
+        + bytes([0, 63, 0])
+    )
+    entropy = bytes((seed + i) % 255 for i in range(n_entropy))
+    return b"\xff\xd8" + app0 + sof0 + sos + entropy + b"\xff\xd9"
+
+
 # --- decoders ----------------------------------------------------------------
+
+
+# PNG color type -> sample channels (3 = palette: 1 index byte per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(b: bytes) -> dict:
+    # IHDR is mandated to be the first chunk: width/height u32 BE at fixed
+    # offsets 16/20 (8-byte signature + 4-byte length + "IHDR"), color
+    # type byte at 25.
+    return {
+        "codec": "png",
+        "width": int.from_bytes(b[16:20], "big"),
+        "height": int.from_bytes(b[20:24], "big"),
+        "n_channels": _PNG_CHANNELS.get(b[25], 3),
+        "n_frames": 1,
+    }
+
+
+def _decode_jpeg(b: bytes) -> dict | None:
+    # Marker scan for SOFn (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC
+    # 0xCC): precision u8, height u16 BE, width u16 BE, ncomp u8. Returns
+    # None if no SOF frame header exists (truncated stream) -> stub path.
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD9:  # no-length
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return {
+                "codec": "jpeg",
+                "width": int.from_bytes(b[i + 7 : i + 9], "big"),
+                "height": int.from_bytes(b[i + 5 : i + 7], "big"),
+                "n_channels": b[i + 9],
+                "n_frames": 1,
+            }
+        i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return None
 
 
 def _decode_bmp(b: bytes) -> dict:
@@ -205,6 +313,10 @@ def _decode_payload(payload: bytes, media_type: str) -> dict:
         meta.update(_decode_ppm(payload))
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         meta.update(_decode_wav(payload))
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        meta.update(_decode_png(payload))
+    elif payload[:2] == b"\xff\xd8":
+        meta.update(_decode_jpeg(payload) or _decode_other(payload, media_type))
     elif payload:
         meta.update(_decode_other(payload, media_type))
     digest = hashlib.sha256(payload).digest()

@@ -297,3 +297,67 @@ def test_classifier_score_default_weights_deterministic(spark):
     a = sorted(map(tuple, classifier_score(docs).collect()))
     b = sorted(map(tuple, classifier_score(docs).collect()))
     assert a == b and len(a) == 20
+
+
+def test_multimodal_png_jpeg_round_trip(spark):
+    """PNG (IHDR fixed offsets) and JPEG (SOFn marker scan) decode for
+    real — parameters round-trip exactly, including grayscale channel
+    counts, and the PNG byte size matches the level-0-deflate arithmetic
+    the oracle uses."""
+    from ai_knowledge_graph_spark.operators.multimodal import (
+        extract_media_metadata,
+        make_jpeg,
+        make_png,
+    )
+
+    rows = [
+        ("png1", make_png(33, 21, seed=3), "image"),
+        ("png2", make_png(9, 5, seed=4, gray=True), "image"),
+        ("jpg1", make_jpeg(640, 480, seed=5), "image"),
+        ("jpg2", make_jpeg(31, 17, seed=6, gray=True, n_entropy=19), "image"),
+    ]
+    assert len(rows[0][1]) == 68 + 21 * (1 + 3 * 33)
+    assert len(rows[3][1]) == 40 + 5 * 1 + 19
+    df = spark.createDataFrame(rows, "url string, payload binary, media_type string")
+    out = {r["url"]: r for r in extract_media_metadata(df).collect()}
+    p = out["png1"]
+    assert (p["codec"], p["width"], p["height"], p["n_channels"]) == ("png", 33, 21, 3)
+    g = out["png2"]
+    assert (g["codec"], g["width"], g["height"], g["n_channels"]) == ("png", 9, 5, 1)
+    j = out["jpg1"]
+    assert (j["codec"], j["width"], j["height"], j["n_channels"]) == ("jpeg", 640, 480, 3)
+    k = out["jpg2"]
+    assert (k["codec"], k["width"], k["height"], k["n_channels"]) == ("jpeg", 31, 17, 1)
+    for r in (p, g, j, k):
+        assert r["n_frames"] == 1 and r["sample_rate"] is None
+
+
+def test_multimodal_png_jpeg_golden_bytes_no_spark():
+    """Header-offset pins independent of the encoders: a real-world-shaped
+    JPEG whose SOF0 sits behind APP0+DQT+DHT segments and restart/fill
+    bytes, and a PNG IHDR assembled by hand."""
+    from ai_knowledge_graph_spark.operators.multimodal import _decode_payload
+
+    png = bytearray(b"\x89PNG\r\n\x1a\n")
+    png += (13).to_bytes(4, "big") + b"IHDR"
+    png += (777).to_bytes(4, "big") + (55).to_bytes(4, "big")
+    png += bytes([8, 6, 0, 0, 0]) + b"\x00" * 4  # RGBA, bogus CRC is fine
+    m = _decode_payload(bytes(png), "image")
+    assert (m["codec"], m["width"], m["height"], m["n_channels"]) == ("png", 777, 55, 4)
+
+    jpg = bytearray(b"\xff\xd8")
+    jpg += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9  # APP0
+    jpg += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" * 65  # DQT
+    jpg += b"\xff\xc4" + (21).to_bytes(2, "big") + b"\x00" * 19  # DHT (skip: not SOF)
+    jpg += b"\xff\xff"  # fill byte before marker
+    jpg += b"\xff\xc2" + (11).to_bytes(2, "big")  # SOF2 (progressive)
+    jpg += bytes([8]) + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+    jpg += bytes([3]) + b"\x01\x11\x00"
+    m = _decode_payload(bytes(jpg), "image")
+    assert (m["codec"], m["width"], m["height"], m["n_channels"]) == (
+        "jpeg", 1920, 1080, 3,
+    )
+
+    # JPEG with no SOF anywhere (SOI+EOI only) -> documented stub path
+    m = _decode_payload(b"\xff\xd8\xff\xd9", "image")
+    assert m["codec"] == "stub"
