@@ -521,10 +521,10 @@ def pq_codebooks(
     of the min-id representative of md5-hash bucket b (the ivf_topk seeding,
     sliced per subspace). One vocabulary-sized aggregation + a ksub-row
     collect — the codebook is the MODEL, driver-sized at any corpus scale.
-    Buckets that get no representative fall back to the previous bucket's
-    rep (deterministic, mirrored by the oracle only when every bucket is
-    occupied — true for the fixture sizes; pass a larger corpus or smaller
-    ksub otherwise)."""
+    Buckets that get no representative fall back to the LOWEST OCCUPIED
+    bucket's rep (deterministic, mirrored by the oracle only when every
+    bucket is occupied — true for the fixture sizes; pass a larger corpus
+    or smaller ksub otherwise)."""
     from .dedup import _md5_long
 
     base = spread(embeddings).select(
