@@ -913,6 +913,59 @@ def q_latest_crawl(spark, sf_dir):
     )
 
 
+def q_e2e_crawl_kg(spark, sf_dir):
+    # NORTH-RULE COMPOSITION in one query: Common-Crawl-style pages
+    # (url, warc_ts, html binary, text, lang) -> as-of latest-crawl dedup
+    # (max_by per url) -> REAL html->text extraction (Arrow pandas UDF;
+    # everything downstream consumes the EXTRACTED bytes, not the fixture
+    # text column) -> min-length curation gate -> chunk -> triple
+    # extraction -> entity standardization -> relationship inference.
+    # Output = the final KG edge multiset, value-hashed against an oracle
+    # that replays the entire chain in SQL: latest-crawl = correlated
+    # max(doc_id) per (source, url-slot) group (warc_ts is strictly
+    # monotone in doc_id by construction, tie_col doc_id — same winner),
+    # and extracted text = the text column (the byte-identical per-url
+    # invariant certified by html_extract; if the extractor diverges, the
+    # triples here mismatch too). Url-slot < 25 bounds the corpus to ~50
+    # winner docs so the unrolled inference CTEs stay oracle-affordable.
+    from ai_knowledge_graph_spark.operators.chunking import chunk_pages
+    from ai_knowledge_graph_spark.operators.extraction import (
+        extract_from_chunks,
+    )
+    from ai_knowledge_graph_spark.operators.inference import (
+        infer_relationships,
+    )
+    from ai_knowledge_graph_spark.operators.standardize import (
+        standardize_triples,
+    )
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        extract_html_text,
+        latest_snapshot,
+        wrap_html_expr,
+    )
+
+    pages = (
+        _crawl_pages(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 < 25)
+        .select(
+            "url", "warc_ts", "doc_id", wrap_html_expr("text").alias("html")
+        )
+    )
+    latest = latest_snapshot(pages, tie_cols=("doc_id",))
+    ext = extract_html_text(latest)
+    words = F.filter(
+        F.split(F.col("extracted_text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    docs = ext.filter(F.size(words) >= 10).select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"),
+        F.col("extracted_text").alias("text"),
+    )
+    raw = extract_from_chunks(chunk_pages(docs, CHUNK_SIZE, OVERLAP))
+    std = standardize_triples(raw, tie_order="lexicographic")
+    fin = infer_relationships(std, pair_order="lexicographic")
+    return fin.select("subject", "predicate", "object", "inferred")
+
+
 def q_scd2(spark, sf_dir):
     # SCD2 change timeline over the synthetic multi-crawl pages: digest
     # runs of 2 consecutive crawls (dv = (crawl_idx div 2) % 4) exercise
@@ -1978,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "e2e_crawl_kg": q_e2e_crawl_kg,
         # -- round-3 additions: driver-artifact certification pending ----
         "canonical_crawl": q_canonical_crawl,
         "snapshot_diff": q_snapshot_diff,
@@ -2532,6 +2586,21 @@ GROUP BY 1, 2"""
     sql["lexical"] = (
         _PRELUDE_INFER + _STD_CTES + _INFER_CTES
         + "SELECT subject, predicate, object FROM lex"
+    )
+    # e2e composition: latest-crawl winner per (source, url-slot) group
+    # via correlated max(doc_id) (warc_ts monotone in doc_id), url-slot
+    # < 25, >= 10-word curation gate, then the full standardize+infer
+    # replay. Extracted text == text by the html_extract invariant.
+    _e2e_filter = (
+        "doc_id % 50 < 25 AND doc_id = ("
+        "SELECT max(d2.doc_id) FROM documents d2 "
+        "WHERE d2.source = documents.source "
+        "AND d2.doc_id % 50 = documents.doc_id % 50) "
+        f"AND len({_w('text')}) >= 10"
+    )
+    sql["e2e_crawl_kg"] = (
+        _prelude(_e2e_filter) + _STD_CTES + _INFER_CTES
+        + "SELECT subject, predicate, object, inferred FROM dedup"
     )
     sql["infer_full"] = (
         _PRELUDE_INFER + _STD_CTES + _INFER_CTES
