@@ -138,3 +138,60 @@ def test_components_128bit_ids(spark):
     assert set(row["node"].asDict()) == {"h", "l"}
     # the two halves are independently seeded (h != l for real strings)
     assert all(r["node"]["h"] != r["node"]["l"] for r in out.collect())
+
+
+def test_salted_reducer_share_is_bounded(spark):
+    """Quantitative skew bound (round 4): with num_salts=S, no reducer's
+    share of one hot key's rows exceeds ~1/S (2.5x binomial slack at
+    n=20000). Unit-level twin of BENCH/skew_probe.py's REST-measured
+    reducer share at bench scale."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_spark.operators.components import (
+        _salted_left_lookup,
+        node_id,
+    )
+
+    n, num_salts = 20000, 16
+    assign = (
+        spark.range(n)
+        .select(F.concat(F.lit("leaf"), F.col("id")).alias("name"))
+        .select(node_id(F.col("name")).alias("node"), F.lit(7).cast("long").alias("comp"))
+    )
+    label = spark.createDataFrame([(7, 1)], "lnode long, label long")
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    parts_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # partitions >> num_salts so distinct salts land on distinct reducers
+    # (the probe's operating regime: reducers >= salts); with too few
+    # partitions the measurement conflates salt scatter with partition
+    # collisions
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try:
+        out = _salted_left_lookup(
+            assign,
+            key="comp",
+            salt_src="node",
+            labels=label,
+            lkey="lnode",
+            lval="label",
+            out_cols=["node", F.coalesce("label", "comp").alias("comp")],
+            num_salts=num_salts,
+            hot_threshold=100,
+        )
+        per_part = (
+            out.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_was)
+    assert sum(r["count"] for r in per_part) == n
+    biggest = max(r["count"] for r in per_part)
+    bound = 2.5 * n / num_salts
+    assert biggest <= bound, (
+        f"reducer share {biggest / n:.3f} exceeds ~{2.5 / num_salts:.3f} "
+        f"({biggest}/{n} rows on one reducer)"
+    )

@@ -134,3 +134,42 @@ def test_dedup_keeps_original_over_inferred(spark):
     assert len(out) == 1
     assert out[0]["inferred"] is False
     assert out[0]["chunk"] == 7
+
+
+def test_lexical_hot_token_guard_drops_only_hot_blocks(spark):
+    """max_block_size: a blocking token whose document frequency exceeds
+    the cap is dropped from the blocking key space (its O(df^2) candidate
+    block never forms); cold tokens are untouched. The web-scale guard for
+    Zipf vocabularies — measured at bench scale by BENCH/skew_probe.py."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_spark.operators.inference import lexical_inference
+
+    hot = [f"{w} corp" for w in ("alpha", "beta", "delta", "epsi", "zeta")]
+    cold = ["gamma one", "gamma two"]
+    ents = hot + cold
+    triples = spark.createDataFrame(
+        [(e, "linked to", f"dummy{i}x") for i, e in enumerate(ents)],
+        ["subject", "predicate", "object"],
+    )
+
+    def corp_pairs(df):
+        rows = df.filter(
+            F.col("subject").contains("corp") & F.col("object").contains("corp")
+        )
+        return rows.count()
+
+    off = lexical_inference(triples, max_block_size=0, pair_order="lexicographic")
+    off_rows = off.localCheckpoint(eager=True)
+    assert corp_pairs(off_rows) == 10  # all 5-choose-2 hot pairs blocked in
+
+    on = lexical_inference(triples, max_block_size=3, pair_order="lexicographic")
+    on_rows = on.localCheckpoint(eager=True)
+    # corp df=5 > 3 -> dropped; gamma df=2 <= 3 -> kept
+    assert corp_pairs(on_rows) == 0
+    gamma = on_rows.filter(
+        F.col("subject").startswith("gamma") & F.col("object").startswith("gamma")
+    )
+    assert gamma.count() == 1
+    # guard removes edges, never adds: on-output is a subset of off-output
+    assert on_rows.exceptAll(off_rows).count() == 0
