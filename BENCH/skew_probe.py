@@ -92,18 +92,14 @@ def main(cores: int) -> None:
         raise SystemExit("UI off — SPARK_GRAFT_UI had no effect")
 
     # --- fixture A: entity vocabulary with one hot blocking word --------
+    # first words are hex-spread (16 entities per 4-char prefix) so the
+    # containment 4-gram blocking stays cold and the probe isolates the
+    # ONE hot word-blocking key it is about
     n_hot = N_ENTITIES // 10
+    hexw = F.concat(F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 5, "0"), F.lit("v"))
     ents = spark.range(N_ENTITIES).select(
-        F.when(
-            F.col("id") < n_hot,
-            F.concat(F.lit("name"), F.col("id").cast("string"), F.lit(" corp")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("name"), F.col("id").cast("string"),
-                F.lit(" uniq"), F.col("id").cast("string"),
-            )
-        )
+        F.when(F.col("id") < n_hot, F.concat(hexw, F.lit(" corp")))
+        .otherwise(F.concat(hexw, F.lit(" uniq"), F.col("id").cast("string")))
         .alias("entity"),
         F.col("id"),
     )
@@ -133,10 +129,14 @@ def main(cores: int) -> None:
     star = spark.range(1, N_STAR).select(
         F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
     )
-    chain = spark.range(N_STAR, 2 * N_STAR - 1).select(
-        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    # cold background: disjoint 2-node islands (a long chain would measure
+    # contraction DEPTH — log n rounds — not skew)
+    islands = (
+        spark.range(N_STAR, 2 * N_STAR)
+        .filter(F.col("id") % 2 == 0)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
     )
-    pairs = star.unionByName(chain).localCheckpoint(eager=True)
+    pairs = star.unionByName(islands).localCheckpoint(eager=True)
 
     for arm, thresh in (
         ("components_salting_off", 1 << 60),

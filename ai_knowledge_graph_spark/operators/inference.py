@@ -199,9 +199,11 @@ def lexical_inference(
     plain total order instead — semantically equivalent output modulo that
     direction, with no single-task rank step, for web-scale runs.
 
-    ``max_block_size`` > 0 drops blocking tokens whose document frequency
-    exceeds the cap — a web-scale guard (a token shared by n entities emits
-    O(n^2) candidate pairs); 0 keeps exact reference semantics.
+    ``max_block_size`` > 0 drops blocking KEYS whose document frequency
+    exceeds the cap — both shared words AND containment 4-grams (each a
+    Zipf-exposed key space where one key shared by n entities emits O(n^2)
+    candidate pairs); 0 keeps exact reference semantics. Measured
+    guard-on/off at bench scale by BENCH/skew_probe.py.
     """
     feats = _entity_features(triples).localCheckpoint(eager=True)
 
@@ -232,6 +234,18 @@ def lexical_inference(
             F.expr("transform(sequence(1, length(elow) - 3), i -> substring(elow, i, 4))")
         ).alias("g"),
     )
+    if max_block_size > 0:
+        # the containment blocking key is just as Zipf-exposed as the word
+        # key (a 4-gram shared by n container entities emits O(n * probes)
+        # candidates): cap it with the same rule, df measured on the
+        # container side
+        hot_g = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_block_size)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot_g), "g", "left_anti")
     cand_contain = (
         short4.join(grams, "g")
         .filter(F.col("se") != F.col("le"))

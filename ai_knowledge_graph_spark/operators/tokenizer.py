@@ -184,6 +184,51 @@ def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def train_bpe_local(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str]]:
+    """Driver-side BPE trainer over an ALREADY-AGGREGATED word histogram
+    (Sennrich et al. 2016; same (count desc, pair asc) tiebreak as
+    :func:`train_bpe`, pinned equal by the pytest replay). The histogram is
+    vocabulary-sized — model-scale, not corpus-scale — so at any corpus
+    size the right split is: one distributed word_histogram() pass, collect
+    the vocab, train here (K rounds over the vocab with incremental-free
+    rescan is fine into the tens of thousands of merges), then encode
+    distributed with :func:`bpe_encode_ranked`."""
+    from collections import Counter
+
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (EOW,): c for w, c in word_counts.items() if SEP not in w
+    }
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
+        )
+        merges.append((rank, a, b))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """The tokenizer inner loop: repeatedly merge the LOWEST-RANK adjacent
     pair (all occurrences, left-to-right non-overlapping) until none is in

@@ -180,3 +180,18 @@ def test_ranked_encoder_at_production_merge_count(spark):
         assert "".join(enc[doc_id]["tokens"]) == "".join(
             w + EOW for w in text.split()
         )
+
+
+def test_train_bpe_local_matches_distributed(spark, corpus_df):
+    """Driver-side trainer over the collected word histogram == the
+    distributed trainer (same tiebreak), so train-local/encode-distributed
+    is a faithful split at production K."""
+    from ai_knowledge_graph_spark.operators.tokenizer import train_bpe_local
+
+    wc = {r["word"]: r["wcount"] for r in word_histogram(corpus_df).collect()}
+    local = train_bpe_local(wc, 30)
+    dist = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in train_bpe(corpus_df, n_merges=30).orderBy("merge_rank").collect()
+    ]
+    assert local == dist
