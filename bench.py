@@ -275,6 +275,13 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timed("doc_bpe_merges", lambda: entry_mod.q_bpe_merges(spark, sf_dir).count())
     timed("doc_bpe_encode", lambda: entry_mod.q_bpe_encode(spark, sf_dir).count())
     timed("embedding_pq_topk", lambda: entry_mod.q_pq_topk(spark, sf_dir).count())
+    # round-4 north-rule composition: crawl pages -> as-of latest ->
+    # REAL html->text extraction -> curation gate -> chunk -> extract ->
+    # standardize -> infer (the whole KG build from raw pages, one query)
+    timed(
+        "doc_e2e_crawl_kg",
+        lambda: entry_mod.q_e2e_crawl_kg(spark, sf_dir).count(),
+    )
 
     return {
         "metric": "e2e_pipeline_sec",
