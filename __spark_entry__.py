@@ -966,6 +966,26 @@ def q_e2e_crawl_kg(spark, sf_dir):
     return fin.select("subject", "predicate", "object", "inferred")
 
 
+def q_frontier(spark, sf_dir):
+    # Politeness-aware crawl-frontier scheduling over the distinct crawl
+    # urls: md5-derived priority (shared literal-for-literal with the
+    # oracle), budget max_per_host=3 (exercises the lossless two-phase
+    # bounded rank), k_per_host=2 (so rounds 0/1 both appear). The oracle
+    # computes host arithmetically from the url generator (source ||
+    # '.example.org') and replays rank/round in one window.
+    from ai_knowledge_graph_spark.operators.webcrawl import frontier_schedule
+
+    urls = _crawl_pages(spark, sf_dir).select("url").distinct()
+    urls = urls.withColumn(
+        "priority",
+        F.conv(F.substring(F.md5("url"), 1, 6), 16, 10).cast("long"),
+    )
+    out = frontier_schedule(
+        urls, k_per_host=2, max_per_host=3, priority_col="priority"
+    )
+    return out.select("url", "host", "priority", "fetch_rank", "fetch_round")
+
+
 def q_scd2(spark, sf_dir):
     # SCD2 change timeline over the synthetic multi-crawl pages: digest
     # runs of 2 consecutive crawls (dv = (crawl_idx div 2) % 4) exercise
@@ -2032,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
         "e2e_crawl_kg": q_e2e_crawl_kg,
+        "frontier": q_frontier,
         # -- round-3 additions: driver-artifact certification pending ----
         "canonical_crawl": q_canonical_crawl,
         "snapshot_diff": q_snapshot_diff,
@@ -2602,6 +2623,25 @@ GROUP BY 1, 2"""
         _prelude(_e2e_filter) + _STD_CTES + _INFER_CTES
         + "SELECT subject, predicate, object, inferred FROM dedup"
     )
+    sql["frontier"] = """
+WITH u AS (
+  SELECT DISTINCT 'https://' || source || '.example.org/p'
+         || (doc_id % 50) AS url, source || '.example.org' AS host
+  FROM documents
+), p AS (
+  SELECT url, host,
+         ('0x' || substr(md5(url), 1, 6))::BIGINT AS priority
+  FROM u
+), r AS (
+  SELECT url, host, priority,
+         row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url
+         ) AS fetch_rank
+  FROM p
+)
+SELECT url, host, priority, CAST(fetch_rank AS BIGINT) AS fetch_rank,
+       CAST((fetch_rank - 1) // 2 AS BIGINT) AS fetch_round
+FROM r WHERE fetch_rank <= 3"""
     sql["infer_full"] = (
         _PRELUDE_INFER + _STD_CTES + _INFER_CTES
         + "SELECT subject, predicate, object, inferred FROM dedup"

@@ -621,3 +621,68 @@ def anchor_entity_mentions(
         .groupBy("entity", "dst_url")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    k_per_host: int = 8,
+    max_per_host: int | None = None,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: assign every URL a
+    ``fetch_rank`` within its host (priority desc, url asc — deterministic)
+    and a ``fetch_round`` = (rank-1) // k_per_host, so round r fetches at
+    most ``k_per_host`` pages per host (the per-host rate cap every polite
+    crawler enforces; rounds map to scheduler ticks).
+
+    ``max_per_host`` caps each host's crawl budget. The cap is applied with
+    a LOSSLESS two-phase rank so no reducer ever windows a whole hub host
+    (a 10^7-page host would otherwise sort through one task):
+
+      1. rank within (host, hash-bucket of url) — per-reducer input is
+         |host| / n_buckets — and keep bucket_rank <= max_per_host. Any URL
+         whose true host-rank is <= max_per_host has bucket_rank <=
+         max_per_host (ranks only shrink when restricted to a subset), so
+         phase 1 never drops a survivor: it is a superset filter.
+      2. exact rank over the <= n_buckets * max_per_host survivors per
+         host — bounded reducer input by construction.
+
+    Without ``max_per_host`` the budget is unbounded and the plain per-host
+    window is the only correct plan (documented skew exposure: schedule
+    unbudgeted hub hosts in their own run, or set a budget).
+
+    Reference repo has no crawler (beyond-reference web-pipeline surface,
+    same family as robots_filter / normalize_url).
+    """
+    from pyspark.sql import Window
+
+    prio = (
+        F.col(priority_col)
+        if priority_col
+        else F.lit(0)
+    )
+    base = urls.select(
+        "*",
+        F.regexp_extract(F.col(url_col), _AUTHORITY_RE, 1).alias("host"),
+        prio.cast("long").alias("_prio"),
+    )
+    order = [F.col("_prio").desc(), F.col(url_col).asc()]
+    if max_per_host is not None:
+        bucket = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets))
+        w1 = Window.partitionBy("host", bucket).orderBy(*order)
+        base = base.withColumn("_brank", F.row_number().over(w1)).filter(
+            F.col("_brank") <= max_per_host
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    out = base.withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+    if max_per_host is not None:
+        out = out.filter(F.col("fetch_rank") <= max_per_host)
+    return (
+        out.withColumn(
+            "fetch_round",
+            ((F.col("fetch_rank") - 1) / F.lit(k_per_host)).cast("long"),
+        )
+        .drop("_prio", "_brank")
+    )

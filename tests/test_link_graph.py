@@ -150,3 +150,49 @@ def test_anchor_entity_mentions(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_frontier_schedule_bounded_rank_matches_plain_window(spark):
+    """The lossless two-phase budget rank == the plain-window reference,
+    including on a giant hub host; rounds respect k_per_host."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_spark.operators.webcrawl import frontier_schedule
+
+    rows = [(f"https://hub.example.com/p{i}", i % 13) for i in range(2000)]
+    rows += [(f"https://tiny{j}.example.com/p{j}", j) for j in range(20)]
+    urls = spark.createDataFrame(rows, "url string, priority long")
+
+    out = frontier_schedule(
+        urls, k_per_host=4, max_per_host=10, priority_col="priority", n_buckets=8
+    ).collect()
+
+    # plain-window reference in python
+    by_host: dict = {}
+    for u, p in rows:
+        host = u.split("//")[1].split("/")[0]
+        by_host.setdefault(host, []).append((-p, u))
+    exp = {}
+    for host, lst in by_host.items():
+        for rank, (_, u) in enumerate(sorted(lst), start=1):
+            if rank <= 10:
+                exp[u] = (host, rank, (rank - 1) // 4)
+    got = {r["url"]: (r["host"], r["fetch_rank"], r["fetch_round"]) for r in out}
+    assert got == exp
+    # hub host budget enforced: exactly 10 survivors, 3 rounds (4/4/2)
+    hub = [v for v in got.values() if v[0] == "hub.example.com"]
+    assert len(hub) == 10
+    assert sorted(v[2] for v in hub) == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+
+
+def test_frontier_schedule_unbudgeted(spark):
+    from ai_knowledge_graph_spark.operators.webcrawl import frontier_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://h.example.com/p{i}",) for i in range(7)], "url string"
+    )
+    out = frontier_schedule(urls, k_per_host=3).collect()
+    assert sorted(r["fetch_rank"] for r in out) == list(range(1, 8))
+    assert sorted(r["fetch_round"] for r in out) == [0, 0, 0, 1, 1, 1, 2]
