@@ -1642,6 +1642,72 @@ def q_incr_mapping(spark, sf_dir):
     return incremental_entity_mapping(batch, existing)
 
 
+def q_stream_kg(spark, sf_dir):
+    # STREAMING e2e KG construction: two "days" of pages (doc_id < 300 /
+    # >= 300 — the same split as incr_mapping) land as two files whose
+    # mtimes pin the batch order; ONE Trigger.AvailableNow run with
+    # maxFilesPerTrigger=1 processes them as micro-batches 0 and 1 through
+    # stream_incremental_kg's persisted-mapping pipeline (batch 0 builds
+    # the mapping, batch 1 extends it incrementally — O(batch), the old
+    # corpus is never re-read). Output = the per-batch edge multiset; the
+    # oracle replays the full chain in SQL: day-1 mapping CTEs (counts
+    # filtered to doc_id < 300), the adopt/new-group incremental rules,
+    # then each batch's triples applied through ITS mapping version.
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ai_knowledge_graph_spark.streaming.ingest import stream_incremental_kg
+
+    root = tempfile.mkdtemp(prefix="qstream_kg_")
+    pages = f"{root}/pages"
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        for df, mt in (
+            (docs.filter(F.col("doc_id") < 300), 1_000_000_000),
+            (docs.filter(F.col("doc_id") >= 300), 1_000_100_000),
+        ):
+            before = set(glob.glob(f"{pages}/part-*"))
+            (
+                df.select(
+                    F.format_string("doc%012d", "doc_id").alias("url"),
+                    "text",
+                    # constant: the stream's lang gate must pass every doc,
+                    # exactly as the oracle's replay over `documents` does
+                    F.lit("en").alias("lang"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(pages)
+            )
+            for f in set(glob.glob(f"{pages}/part-*")) - before:
+                os.utime(f, (mt, mt))
+        stream_incremental_kg(
+            spark,
+            pages,
+            f"{root}/state",
+            f"{root}/ckpt",
+            chunk_size=CHUNK_SIZE,
+            overlap=OVERLAP,
+            max_files_per_trigger=1,
+        )
+        out = (
+            spark.read.parquet(f"{root}/state/edges")
+            .groupBy(
+                F.col("batch").cast("int").alias("batch"),
+                "subject",
+                "predicate",
+                "object",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_anchor_mentions(spark, sf_dir):
     # Anchor-text entity linking: synthesized pages whose anchor texts are
     # the 1st/3rd words of each doc (so they hit the KG's variant space),
@@ -2053,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here as they land, so they enter the driver window)
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
+        "stream_kg": q_stream_kg,
         # -- round-3 additions: driver-artifact certification pending ----
         "canonical_crawl": q_canonical_crawl,
         "snapshot_diff": q_snapshot_diff,
@@ -2480,10 +2547,7 @@ SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
         "array_to_string(list_filter(regexp_extract_all(lower({e}), '\\w+'),"
         f" w -> NOT list_contains({_NSTOP}, w)), ' ')"
     )
-    sql["incr_mapping"] = (
-        _PRELUDE
-        + _STD_CTES_EXISTING
-        + f""", bcounts AS (
+    _INCR_CTES_BLOCK = f""", bcounts AS (
   SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT lower(subject) AS e FROM triples1 WHERE doc_id >= 300
     UNION ALL SELECT lower(object) FROM triples1 WHERE doc_id >= 300
@@ -2514,10 +2578,45 @@ SELECT e AS entity, CAST(count(*) AS BIGINT) AS cnt FROM (
 ), fresh_map AS (
   SELECT f.entity AS variant, w.standard FROM fresh f
   JOIN fresh_winners w USING (norm)
-)
+)"""
+    sql["incr_mapping"] = (
+        _PRELUDE + _STD_CTES_EXISTING + _INCR_CTES_BLOCK
+        + """
 SELECT variant, standard, 'existing' AS src FROM final_map
 UNION ALL SELECT variant, standard, 'adopted' FROM adopted
 UNION ALL SELECT variant, standard, 'new' FROM fresh_map"""
+    )
+
+    # streaming e2e: batch-0 edges through the day-1 mapping (the std CTE
+    # of the EXISTING chain restricted to day-1 docs), batch-1 edges
+    # through the incrementally-extended mapping (map2), same application
+    # semantics (lookup miss keeps original case, predicate truncation,
+    # self-loop drop) — multiset-compared per batch.
+    sql["stream_kg"] = (
+        _PRELUDE + _STD_CTES_EXISTING + _INCR_CTES_BLOCK
+        + f""", map2 AS (
+  SELECT variant, standard FROM final_map
+  UNION ALL SELECT variant, standard FROM adopted
+  UNION ALL SELECT variant, standard FROM fresh_map
+), b0 AS (
+  SELECT subject, predicate, object FROM std WHERE doc_id < 300
+), b1 AS (
+  SELECT * FROM (
+    SELECT coalesce(ms.standard, t.subject) AS subject,
+           {_trunc('t.predicate')} AS predicate,
+           coalesce(mo.standard, t.object) AS object
+    FROM triples1 t
+    LEFT JOIN map2 ms ON lower(t.subject) = ms.variant
+    LEFT JOIN map2 mo ON lower(t.object) = mo.variant
+    WHERE t.doc_id >= 300
+  ) WHERE subject <> object
+)
+SELECT batch, subject, predicate, object, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT 0 AS batch, * FROM b0
+  UNION ALL SELECT 1, * FROM b1
+)
+GROUP BY 1, 2, 3, 4"""
     )
 
     # TF-IDF keywords: smoothed idf frozen to micro-units, integer scores.
