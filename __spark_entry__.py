@@ -1799,6 +1799,103 @@ SELECT query_id, neighbor_id, adc_micro, CAST(rk AS INT) AS rk FROM (
   FROM adc) WHERE rk <= {k}"""
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ composed ANN (the FAISS-standard scale index): coarse hash-
+    # seeded quantizer -> residual PQ codes per inverted list -> per-
+    # (query, probed-list) ADC tables over the query residual. All exact
+    # int64 micro-units end to end, so the full composition is hash-gated.
+    from ai_knowledge_graph_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, q, k=5, nlist=8, n_probe=2, m=4, ksub=16
+    ).select("query_id", "neighbor_id", "adc_micro", "rk")
+
+
+def _ivfpq_oracle_sql(
+    nlist: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    js = ", ".join(f"({j})" for j in range(m))
+    # NB single outer paren pair: DuckDB's CAST parser rejects
+    # CAST((((x))::T % n) AS INT) with an extra wrap
+    h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    micro = (
+        "CAST(round((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})) * 1e6) AS BIGINT)"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cbuck AS (
+  SELECT vec_id, CAST(({h} % {nlist}) AS INT) AS b FROM base
+), creps AS (SELECT b AS centroid_id, min(vec_id) AS rid FROM cbuck GROUP BY 1),
+cents AS MATERIALIZED (
+  SELECT r.centroid_id, b.v AS c FROM creps r JOIN base b ON b.vec_id = r.rid
+), cdists AS MATERIALIZED (
+  SELECT n.vec_id, c.centroid_id, {micro.format(a='n.v', b='c.c')} AS dm
+  FROM base n CROSS JOIN cents c
+), cassign AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dm, centroid_id) AS pr
+    FROM cdists) WHERE pr = 1
+), rbase AS MATERIALIZED (
+  SELECT a.vec_id, a.centroid_id,
+    list_transform(range(1, {dim + 1}), i -> b.v[i] - c.c[i]) AS rv
+  FROM cassign a JOIN base b USING (vec_id) JOIN cents c USING (centroid_id)
+), rbuck AS (
+  SELECT vec_id, CAST(({h} % {ksub}) AS INT) AS b FROM base
+), rreps AS (SELECT b AS code_id, min(vec_id) AS rid FROM rbuck GROUP BY 1),
+rsub AS MATERIALIZED (
+  SELECT r.code_id, s.j, list_slice(rb.rv, s.j * {dsub} + 1, (s.j + 1) * {dsub}) AS c
+  FROM rreps r JOIN rbase rb ON rb.vec_id = r.rid, (VALUES {js}) AS s(j)
+), nsub AS MATERIALIZED (
+  SELECT vec_id, centroid_id, s.j,
+         list_slice(rv, s.j * {dsub} + 1, (s.j + 1) * {dsub}) AS nv
+  FROM rbase, (VALUES {js}) AS s(j)
+), ndists AS MATERIALIZED (
+  SELECT n.vec_id, n.centroid_id, n.j, c.code_id,
+         {micro.format(a='n.nv', b='c.c')} AS dm
+  FROM nsub n JOIN rsub c ON c.j = n.j
+), codes AS MATERIALIZED (
+  SELECT vec_id, centroid_id, j, code_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dm, code_id) AS pr
+    FROM ndists) WHERE pr = 1
+), qprobe AS MATERIALIZED (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dm, centroid_id) AS pr
+    FROM cdists WHERE vec_id < 5) WHERE pr <= {n_probe}
+), qr AS MATERIALIZED (
+  SELECT p.query_id, p.centroid_id,
+    list_transform(range(1, {dim + 1}), i -> b.v[i] - c.c[i]) AS qrv
+  FROM qprobe p JOIN base b ON b.vec_id = p.query_id JOIN cents c USING (centroid_id)
+), qsub AS MATERIALIZED (
+  SELECT query_id, centroid_id, s.j,
+         list_slice(qrv, s.j * {dsub} + 1, (s.j + 1) * {dsub}) AS qv
+  FROM qr, (VALUES {js}) AS s(j)
+), qdists AS MATERIALIZED (
+  SELECT q.query_id, q.centroid_id, q.j, c.code_id,
+         {micro.format(a='q.qv', b='c.c')} AS dm
+  FROM qsub q JOIN rsub c ON c.j = q.j
+), adc AS MATERIALIZED (
+  SELECT qd.query_id, c.vec_id AS neighbor_id, CAST(SUM(qd.dm) AS BIGINT) AS adc_micro
+  FROM codes c
+  JOIN qdists qd ON qd.centroid_id = c.centroid_id AND qd.j = c.j
+                AND qd.code_id = c.code
+  WHERE c.vec_id <> qd.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS rk
+  FROM adc) WHERE rk <= {k}"""
+
+
 def q_bpe_merges(spark, sf_dir):
     # Distributed BPE training (Sennrich et al. 2016), 8 merges over the
     # documents corpus. The double-separator string representation makes the
@@ -2120,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
+        "ivfpq_topk": q_ivfpq_topk,
         # -- round-3 additions: driver-artifact certification pending ----
         "canonical_crawl": q_canonical_crawl,
         "snapshot_diff": q_snapshot_diff,
@@ -4573,6 +4671,7 @@ FROM v"""
 
     # PQ-ANN: exact int64 micro-unit distances end to end (argmin + ADC sum).
     sql["pq_topk"] = _pq_oracle_sql(4, 16, 16, 5)
+    sql["ivfpq_topk"] = _ivfpq_oracle_sql()
 
     sql["link_graph"] = (
         _LINK_ORACLE_PRELUDE

@@ -686,3 +686,141 @@ def pq_topk(
     return exact.withColumn("rk", F.row_number().over(w2)).filter(
         F.col("rk") <= k
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011, the FAISS-standard composed index): coarse
+    quantizer partitions the corpus into ``nlist`` inverted lists; each
+    vector stores its list id + PQ codes of its RESIDUAL (v - centroid);
+    a query probes its ``n_probe`` nearest lists and scans ONLY their codes
+    with a per-(query, list) ADC table built on the query's residual.
+
+    This is the 100 TB ANN shape: the corpus scan per query touches
+    n_probe/nlist of the code table (m small ints per vector), never the
+    float vectors; both models (centroids: nlist x dim; residual codebooks:
+    m x ksub x dsub) are driver-sized and ride into the plan as nested
+    literals (the pq_encode expression-cost lesson).
+
+    Everything is exact int64 micro-units (coarse assignment argmin, probe
+    ranking, distance tables, ADC sum — the DSIR freeze-before-arithmetic
+    trick), so ranking is order-independent and the DuckDB oracle is
+    hash-exact. Hash-seeded coarse centroids and residual codebooks (the
+    ivf_topk/pq_codebooks seeding; same all-buckets-occupied caveat).
+    Residual doubles are the same IEEE subtractions on both engines.
+    """
+    from .dedup import _md5_long
+
+    base = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+    # --- coarse centroids: md5 bucket -> min-id rep (model-sized) --------
+    cbucket = (_md5_long(F.col("neighbor_id").cast("string")) % nlist).cast("int")
+    crows = (
+        base.select(cbucket.alias("_b"), "neighbor_id")
+        .groupBy("_b")
+        .agg(F.min("neighbor_id").alias("_rid"))
+        .join(
+            base.select(F.col("neighbor_id").alias("_rid"), "cv"), "_rid"
+        )
+        .select("_b", "cv")
+        .collect()
+    )
+    by_b = {r["_b"]: list(r["cv"]) for r in crows}
+    cents = [by_b.get(b, by_b[min(by_b)]) for b in range(nlist)]
+    dim = len(cents[0])
+    dsub = dim // m
+    centlit = F.lit(cents)
+
+    def _assign(vec):
+        dists = F.transform(centlit, lambda c: _sqdist_micro(vec, c))
+        best = F.array_min(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda d, b: F.struct(d.alias("d"), b.alias("b")),
+            )
+        )
+        return best["b"]
+
+    assigned = base.withColumn("centroid_id", _assign(F.col("cv")))
+    resid = F.zip_with(
+        F.col("cv"),
+        F.element_at(centlit, F.col("centroid_id") + 1),
+        lambda x, y: x - y,
+    )
+    assigned = assigned.withColumn("rv", resid).localCheckpoint(eager=True)
+
+    # --- residual PQ codebooks (reuse pq_codebooks over the residuals) ---
+    cbs = pq_codebooks(
+        assigned.select("neighbor_id", "rv"), m, ksub, "neighbor_id", "rv"
+    )
+    codes = pq_encode(assigned.select("neighbor_id", "rv"), cbs, "neighbor_id", "rv")
+    codes = (
+        codes.join(assigned.select("neighbor_id", "centroid_id"), "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # --- query side: probe n_probe lists, per-(query, list) ADC table ----
+    qv = _as_double(F.col(vec_col))
+    qd = F.zip_with(
+        F.transform(centlit, lambda c: _sqdist_micro(qv, c)),
+        F.sequence(F.lit(0), F.lit(nlist - 1)),
+        lambda d, b: F.struct(d.alias("d"), b.alias("b")),
+    )
+    probes = F.slice(F.array_sort(qd), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"), probes.alias("_p")
+    ).select(
+        "query_id", "qv", F.explode("_p").alias("_probe")
+    ).select(
+        "query_id", "qv", F.col("_probe.b").alias("centroid_id")
+    )
+    qrv = F.zip_with(
+        F.col("qv"),
+        F.element_at(centlit, F.col("centroid_id") + 1),
+        lambda x, y: x - y,
+    )
+    q = q.withColumn("qrv", qrv)
+
+    def _qtab(j: int, cb):
+        # close over j with a def — 2-arg lambdas receive the array INDEX
+        def one(c):
+            return _sqdist_micro(F.slice(F.col("qrv"), j * dsub + 1, dsub), c)
+
+        return F.transform(F.lit(cb), one)
+
+    q = F.broadcast(
+        q.select(
+            "query_id",
+            "centroid_id",
+            F.array(*[_qtab(j, cb) for j, cb in enumerate(cbs)]).alias("_qtab"),
+        )
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_qtab"), F.col("codes"), lambda tab, c: F.element_at(tab, c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        codes.join(q, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
