@@ -250,3 +250,51 @@ def test_semdedup_pairwise_is_cluster_equijoin(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) >= 1
+
+
+def test_frontier_budget_rank_is_two_phase_bucketed(spark):
+    # round 4: with a crawl budget, the first window partitions by
+    # (host, bucket) — per-reducer input |host|/n_buckets — and only the
+    # <= n_buckets*cap survivors reach the per-host exact window; no
+    # unbudgeted full-host sort appears
+    from ai_knowledge_graph_spark.operators.webcrawl import frontier_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example.com/p{i}", i) for i in range(50)],
+        "url string, priority long",
+    )
+    plan = _plan(
+        frontier_schedule(urls, k_per_host=4, max_per_host=5, priority_col="priority")
+    )
+    assert plan.count("Window") >= 2  # bucket-rank phase + exact phase
+    assert "pmod" in plan  # the salt bucket is part of the first partition key
+    assert "CartesianProduct" not in plan
+
+    # unbudgeted: exactly one window, documented skew exposure
+    plan1 = _plan(frontier_schedule(urls, k_per_host=4))
+    assert "pmod" not in plan1
+
+
+def test_ivfpq_scan_is_list_equijoin_with_broadcast_queries(spark):
+    # round 4: the code scan joins queries on centroid_id (never a code x
+    # query cartesian), the query side is broadcast, and the corpus float
+    # vectors do not appear in the scan-side join input (codes only)
+    from ai_knowledge_graph_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = _plan(ivfpq_topk(emb, q, k=3, nlist=4, n_probe=2, m=4, ksub=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e2e_crawl_kg_latest_is_agg_not_window(spark):
+    # round 4: the as-of dedup inside the e2e composition stays the
+    # map-side-combinable max_by aggregation (SortAggregate with partial),
+    # not a full-table window
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_e2e_crawl_kg(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
