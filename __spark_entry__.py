@@ -1108,6 +1108,58 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+# --- KG analytics over the standardized triple store (round 4) -------------
+
+
+def q_rule_mining(spark, sf_dir):
+    # AMIE-style 2-hop horn rules p(A,B) ∧ q(B,C) ⇒ r(A,C) with
+    # support / body-count / confidence over the standardized KG.
+    from ai_knowledge_graph_spark.graph.kgops import mine_rules
+
+    # Mined over the INFERRED graph (std + transitive + lexical): within
+    # phase-2 edges alone a direct head A->C almost never coexists with a
+    # 2-hop body (inference only adds A->C where it is missing), so the
+    # gate would be trivially empty. Over the closed graph, mining
+    # re-discovers the inference patterns as high-confidence rules.
+    fin = _fin_triples(spark, sf_dir)
+    return mine_rules(fin, min_support=2)
+
+
+def q_fact_fusion(spark, sf_dir):
+    # source-majority knowledge fusion: winning predicate per (s,o) by
+    # distinct supporting docs, deterministic tie-breaks, source share.
+    from ai_knowledge_graph_spark.graph.kgops import fuse_facts
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS).withColumn("doc_id", _doc_id())
+    return fuse_facts(std)
+
+
+def q_kg_diff(spark, sf_dir):
+    # edge diff between two crawl snapshots of the extracted KG:
+    # crawl1 = docs [0,40), crawl2 = docs [10,50) — added/removed/kept.
+    from ai_knowledge_graph_spark.graph.kgops import kg_diff
+
+    raw = _raw_triples(spark, sf_dir, INFER_DOCS).withColumn("doc_id", _doc_id())
+    old = raw.filter(F.col("doc_id") < 40)
+    new = raw.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < INFER_DOCS))
+    return kg_diff(old, new)
+
+
+def q_entity_roles(spark, sf_dir):
+    # predicate-profile entity typing: degrees + dominant out/in predicate.
+    from ai_knowledge_graph_spark.graph.kgops import entity_roles
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    out = entity_roles(std)
+    return out.select(
+        "entity",
+        "n_out",
+        "n_in",
+        F.coalesce("top_out_pred", F.lit("")).alias("top_out_pred"),
+        F.coalesce("top_in_pred", F.lit("")).alias("top_in_pred"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -1220,7 +1272,11 @@ def q_classifier_score(spark, sf_dir):
     # summation-order-independent on both engines.
     from ai_knowledge_graph_spark.operators.textstats import classifier_score
 
-    return classifier_score(_docs(spark, sf_dir), dim=4096)
+    out = classifier_score(_docs(spark, sf_dir), dim=4096)
+    # round(6) the sigmoid like every other float column in this file: JVM
+    # Math.exp and DuckDB libm exp diverge at the last ulp (measured 45/500
+    # rows at sf0.01), which a strict value-hash protocol flags.
+    return out.withColumn("score", F.round("score", 6))
 
 
 def q_mix_corpus(spark, sf_dir):
@@ -2214,6 +2270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "rule_mining": q_rule_mining,
+        "fact_fusion": q_fact_fusion,
+        "kg_diff": q_kg_diff,
+        "entity_roles": q_entity_roles,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -2843,6 +2903,87 @@ FROM r WHERE fetch_rank <= 3"""
         _PRELUDE_INFER + _STD_CTES + _INFER_CTES
         + "SELECT subject, predicate, object, inferred FROM dedup"
     )
+    # AMIE-style 2-hop rule mining over the inferred KG (kgops.mine_rules)
+    sql["rule_mining"] = _PRELUDE_INFER + _STD_CTES + _INFER_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM dedup),
+body AS (
+  SELECT DISTINCT l.predicate AS p, r.predicate AS q,
+         l.subject AS a, r.object AS c
+  FROM spo l JOIN spo r ON l.object = r.subject
+  WHERE l.subject <> r.object
+),
+bc AS (SELECT p, q, CAST(count(*) AS BIGINT) AS body_count FROM body GROUP BY 1, 2),
+sup AS (
+  SELECT b.p, b.q, h.predicate AS r, CAST(count(*) AS BIGINT) AS support
+  FROM body b JOIN spo h ON b.a = h.subject AND b.c = h.object
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+)
+SELECT s.p, s.q, s.r, s.support, bc.body_count,
+       round(CAST(s.support AS DOUBLE) / bc.body_count, 6) AS confidence
+FROM sup s JOIN bc USING (p, q)"""
+    # source-majority fact fusion (kgops.fuse_facts)
+    sql["fact_fusion"] = _PRELUDE_INFER + _STD_CTES + """
+, pp AS (
+  SELECT subject, object, predicate,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_mentions
+  FROM std GROUP BY 1, 2, 3
+),
+pt AS (
+  SELECT subject, object,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS pair_docs
+  FROM std GROUP BY 1, 2
+),
+wn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY subject, object
+    ORDER BY n_docs DESC, n_mentions DESC, predicate ASC) AS rn
+  FROM pp
+)
+SELECT wn.subject, wn.object, wn.predicate, wn.n_docs, wn.n_mentions,
+       pt.pair_docs,
+       round(CAST(wn.n_docs AS DOUBLE) / pt.pair_docs, 6) AS support_ratio
+FROM wn JOIN pt USING (subject, object) WHERE rn = 1"""
+    # edge diff between two crawl snapshots of the raw extracted KG
+    # (kgops.kg_diff; crawl1 = docs [0,40), crawl2 = docs [10,50))
+    sql["kg_diff"] = _PRELUDE_INFER + """
+, oldg AS (SELECT DISTINCT subject, predicate, object
+           FROM triples1 WHERE doc_id < 40),
+newg AS (SELECT DISTINCT subject, predicate, object
+         FROM triples1 WHERE doc_id >= 10 AND doc_id < 50)
+SELECT coalesce(o.subject, n.subject) AS subject,
+       coalesce(o.predicate, n.predicate) AS predicate,
+       coalesce(o.object, n.object) AS object,
+       CASE WHEN o.subject IS NULL THEN 'added'
+            WHEN n.subject IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM oldg o FULL OUTER JOIN newg n
+  ON o.subject = n.subject AND o.predicate = n.predicate
+ AND o.object = n.object"""
+    # predicate-profile entity typing (kgops.entity_roles)
+    sql["entity_roles"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+po AS (SELECT subject AS entity, predicate, count(*) AS cnt
+       FROM spo GROUP BY 1, 2),
+pi AS (SELECT object AS entity, predicate, count(*) AS cnt
+       FROM spo GROUP BY 1, 2),
+osum AS (SELECT entity, CAST(sum(cnt) AS BIGINT) AS n_out FROM po GROUP BY 1),
+otop AS (SELECT entity, predicate AS top_out_pred FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY entity ORDER BY cnt DESC, predicate ASC) AS rn FROM po
+) WHERE rn = 1),
+isum AS (SELECT entity, CAST(sum(cnt) AS BIGINT) AS n_in FROM pi GROUP BY 1),
+itop AS (SELECT entity, predicate AS top_in_pred FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY entity ORDER BY cnt DESC, predicate ASC) AS rn FROM pi
+) WHERE rn = 1),
+outs AS (SELECT * FROM osum JOIN otop USING (entity)),
+ins AS (SELECT * FROM isum JOIN itop USING (entity))
+SELECT coalesce(outs.entity, ins.entity) AS entity,
+       coalesce(n_out, 0) AS n_out, coalesce(n_in, 0) AS n_in,
+       coalesce(top_out_pred, '') AS top_out_pred,
+       coalesce(top_in_pred, '') AS top_in_pred
+FROM outs FULL OUTER JOIN ins ON outs.entity = ins.entity"""
     sql["components"] = _PRELUDE_INFER + _STD_CTES + """
 , und AS (
   SELECT DISTINCT a, b FROM (
@@ -3908,7 +4049,7 @@ SELECT d.doc_id,
   CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'),
            x -> x <> '')) AS BIGINT) AS n_tokens,
   CAST(COALESCE(s.sm, 0) AS BIGINT) AS raw_score,
-  1.0 / (1.0 + exp(-(COALESCE(s.sm, 0) / 1000.0))) AS score
+  round(1.0 / (1.0 + exp(-(COALESCE(s.sm, 0) / 1000.0))), 6) AS score
 FROM documents d LEFT JOIN s USING (doc_id)"""
 
     sql["mix_corpus"] = """

@@ -1,0 +1,87 @@
+"""KG analytics operators (graph/kgops.py): rule mining, fact fusion,
+snapshot diff, entity typing — hand-computed semantics on tiny graphs."""
+
+from pyspark.sql import Row
+
+from ai_knowledge_graph_spark.graph.kgops import (
+    entity_roles,
+    fuse_facts,
+    kg_diff,
+    mine_rules,
+)
+
+
+def _spo(spark, rows):
+    return spark.createDataFrame(
+        [Row(subject=s, predicate=p, object=o) for s, p, o in rows]
+    )
+
+
+def test_mine_rules_support_and_confidence(spark):
+    # parent(A,B) ∧ parent(B,C) ⇒ grandparent(A,C): two instances support
+    # the rule; one extra body instance (c->d->e) lacks the head.
+    rows = [
+        ("a", "parent", "b"), ("b", "parent", "c"), ("a", "grandparent", "c"),
+        ("x", "parent", "y"), ("y", "parent", "z"), ("x", "grandparent", "z"),
+        ("c", "parent", "d"), ("d", "parent", "e"),
+    ]
+    out = mine_rules(_spo(spark, rows), min_support=2).collect()
+    got = {(r.p, r.q, r.r): (r.support, r.body_count, r.confidence) for r in out}
+    assert got[("parent", "parent", "grandparent")] == (2, 4, 0.5)
+    # min_support prunes singleton-support rules entirely
+    assert all(s >= 2 for s, _, _ in got.values())
+
+
+def test_mine_rules_distinct_instances_not_mentions(spark):
+    # duplicated SPO mentions must not inflate support or body count
+    rows = [
+        ("a", "p", "b"), ("a", "p", "b"),
+        ("b", "q", "c"), ("b", "q", "c"),
+        ("a", "r", "c"), ("a", "r", "c"),
+        ("x", "p", "y"), ("y", "q", "z"), ("x", "r", "z"),
+    ]
+    out = mine_rules(_spo(spark, rows), min_support=1).collect()
+    got = {(r.p, r.q, r.r): (r.support, r.body_count) for r in out}
+    assert got[("p", "q", "r")] == (2, 2)
+
+
+def test_fuse_facts_majority_and_tiebreaks(spark):
+    rows = [
+        # (s,o) pair 1: 'likes' in 2 docs, 'loves' in 1 -> likes wins
+        Row(subject="a", predicate="likes", object="b", doc_id=1),
+        Row(subject="a", predicate="likes", object="b", doc_id=2),
+        Row(subject="a", predicate="loves", object="b", doc_id=3),
+        # pair 2: doc-tie (1 each), mention-tie -> lexicographic 'hates'
+        Row(subject="c", predicate="hates", object="d", doc_id=1),
+        Row(subject="c", predicate="wants", object="d", doc_id=2),
+    ]
+    out = {(r.subject, r.object): r for r in fuse_facts(spark.createDataFrame(rows)).collect()}
+    ab = out[("a", "b")]
+    assert ab.predicate == "likes" and ab.n_docs == 2 and ab.pair_docs == 3
+    assert abs(ab.support_ratio - round(2 / 3, 6)) < 1e-9
+    cd = out[("c", "d")]
+    assert cd.predicate == "hates" and cd.pair_docs == 2 and cd.support_ratio == 0.5
+
+
+def test_kg_diff_statuses(spark):
+    old = _spo(spark, [("a", "p", "b"), ("b", "p", "c")])
+    new = _spo(spark, [("b", "p", "c"), ("c", "p", "d")])
+    out = {(r.subject, r.predicate, r.object): r.status
+           for r in kg_diff(old, new).collect()}
+    assert out[("a", "p", "b")] == "removed"
+    assert out[("b", "p", "c")] == "kept"
+    assert out[("c", "p", "d")] == "added"
+
+
+def test_entity_roles_degrees_and_dominant_predicates(spark):
+    rows = [
+        ("a", "p", "b"), ("a", "p", "c"), ("a", "q", "b"),
+        ("b", "q", "c"),
+    ]
+    out = {r.entity: r for r in entity_roles(_spo(spark, rows)).collect()}
+    assert out["a"].n_out == 3 and out["a"].n_in == 0
+    assert out["a"].top_out_pred == "p" and out["a"].top_in_pred is None
+    # b: in-edges a-p->b, a-q->b (tie 1/1 -> lexicographic 'p'); out q->c
+    assert out["b"].n_in == 2 and out["b"].top_in_pred == "p"
+    assert out["b"].n_out == 1 and out["b"].top_out_pred == "q"
+    assert out["c"].n_out == 0 and out["c"].n_in == 2
