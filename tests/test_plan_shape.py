@@ -298,3 +298,37 @@ def test_e2e_crawl_kg_latest_is_agg_not_window(spark):
     plan = _plan(df)
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rule_mining_no_cartesian_and_partial_aggs(spark):
+    # kgops.mine_rules: body join + head join must be hash equijoins; the
+    # support/body counts must map-side combine (partial_count present).
+    from pyspark.sql import Row
+
+    from ai_knowledge_graph_spark.graph.kgops import mine_rules
+
+    spo = spark.createDataFrame(
+        [Row(subject=f"e{i}", predicate=f"p{i % 3}", object=f"e{i + 1}")
+         for i in range(50)]
+    )
+    plan = _plan(mine_rules(spo, min_support=1))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on both aggregations
+
+
+def test_entity_roles_is_struct_agg_not_window(spark):
+    # kgops.entity_roles: dominant predicate via min(struct) aggregation —
+    # no Window over entity groups (a window would sort every entity's
+    # predicate list; the struct-min stays a hash/sort agg with a partial).
+    from pyspark.sql import Row
+
+    from ai_knowledge_graph_spark.graph.kgops import entity_roles
+
+    spo = spark.createDataFrame(
+        [Row(subject=f"e{i % 7}", predicate=f"p{i % 3}", object=f"e{i % 5}")
+         for i in range(40)]
+    )
+    plan = _plan(entity_roles(spo))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
