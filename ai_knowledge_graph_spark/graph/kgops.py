@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 
 
 def mine_rules(
-    triples: DataFrame, min_support: int = 2, max_rules: int | None = None
+    triples: DataFrame,
+    min_support: int = 2,
+    max_rules: int | None = None,
+    max_join_fanout: int | None = None,
 ) -> DataFrame:
     """Mine 2-hop horn rules ``p(A,B) ∧ q(B,C) ⇒ r(A,C)`` from an SPO set.
 
@@ -56,17 +59,48 @@ def mine_rules(
     Plan shape: edges self-join on the shared entity B (one shuffle on
     entity), distinct (p,q,A,C) instances (one shuffle), inner join to the
     head edge set on (A,C) (hash join), then two grouped counts that
-    map-side combine. At web scale the B-join is the transitive-closure
-    join the engine already bounds (operators/inference.py hot-key
-    guards); rule mining reuses that edge distribution.
+    map-side combine.
+
+    100 TB guard: the B-join emits in_degree(B) * out_degree(B) candidate
+    rows per shared entity — quadratic on hub entities (the same hot-key
+    law operators/inference.py bounds with max_block_size). With
+    ``max_join_fanout=K`` an entity whose in*out product exceeds K is
+    dropped from the BODY join entirely (both sides, so no one-sided
+    asymmetry), trading those rules for a hard per-key output bound —
+    the standard AMIE functionality cap. None (default) keeps exact
+    semantics for oracle parity.
     """
     spo = triples.select("subject", "predicate", "object").distinct()
-    left = spo.select(
+    if max_join_fanout is not None:
+        deg = (
+            spo.groupBy(F.col("object").alias("b"))
+            .agg(F.count(F.lit(1)).alias("d_in"))
+            .join(
+                spo.groupBy(F.col("subject").alias("b")).agg(
+                    F.count(F.lit(1)).alias("d_out")
+                ),
+                "b",
+            )
+            .filter(F.col("d_in") * F.col("d_out") <= max_join_fanout)
+            .select("b")
+        )
+        # hot hubs are FEW by definition; the survivor set is a semi-join
+        # filter applied symmetrically to both body sides
+        spo_body = spo
+        left_f = spo_body.join(
+            deg.withColumnRenamed("b", "object"), "object", "left_semi"
+        )
+        right_f = spo_body.join(
+            deg.withColumnRenamed("b", "subject"), "subject", "left_semi"
+        )
+    else:
+        left_f = right_f = spo
+    left = left_f.select(
         F.col("subject").alias("a"),
         F.col("predicate").alias("p"),
         F.col("object").alias("b"),
     )
-    right = spo.select(
+    right = right_f.select(
         F.col("subject").alias("b"),
         F.col("predicate").alias("q"),
         F.col("object").alias("c"),

@@ -85,3 +85,22 @@ def test_entity_roles_degrees_and_dominant_predicates(spark):
     assert out["b"].n_in == 2 and out["b"].top_in_pred == "p"
     assert out["b"].n_out == 1 and out["b"].top_out_pred == "q"
     assert out["c"].n_out == 0 and out["c"].n_in == 2
+
+
+def test_mine_rules_fanout_guard_drops_only_hub_bodies(spark):
+    # star hub: h has in-degree 3 and out-degree 3 (fanout 9); a cold chain
+    # coexists. With max_join_fanout=8 the hub's body instances vanish,
+    # the cold chain's rule survives, and nothing new appears.
+    hub = [(f"a{i}", "pin", "h") for i in range(3)] + [
+        ("h", "pout", f"c{i}") for i in range(3)
+    ]
+    cold = [("x", "p", "y"), ("y", "q", "z"), ("x", "r", "z"),
+            ("u", "p", "v"), ("v", "q", "w"), ("u", "r", "w")]
+    spo = _spo(spark, hub + cold)
+    unguarded = {(r.p, r.q, r.r) for r in mine_rules(spo, min_support=1).collect()}
+    guarded = {(r.p, r.q, r.r)
+               for r in mine_rules(spo, min_support=1, max_join_fanout=8).collect()}
+    assert ("pin", "pout", None) not in guarded  # sanity of tuple shape
+    assert not any(p == "pin" and q == "pout" for p, q, _ in guarded)
+    assert ("p", "q", "r") in guarded
+    assert guarded <= unguarded
