@@ -1173,6 +1173,33 @@ def q_pagerank(spark, sf_dir):
 # --- event analytics + deterministic sampling ------------------------------
 
 
+def q_stream_late(spark, sf_dir):
+    # APPEND-mode streaming windowed aggregation with REAL late-data
+    # dropping: three mtime-ordered file batches through one AvailableNow
+    # run. Batch 0 = even events before Jan 21 (establishes the watermark),
+    # batch 1 = everything from Jan 21 on (advances it), batch 2 = odd
+    # events before Jan 11 — ENTIRELY late by the time the (one-batch-
+    # lagged) late filter sees them, so they are dropped by the watermark,
+    # not merged. Final emitted set = windows over batches 0∪1 whose end
+    # precedes the final watermark (max event time, ms-floored, - 2h);
+    # the oracle replays exactly that.
+    from ai_knowledge_graph_spark.streaming.ingest import windowed_event_counts_late
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    b0 = ev.filter((F.col("event_id") % 2 == 0) & (F.col("ts") < "2024-01-21"))
+    b1 = ev.filter(F.col("ts") >= "2024-01-21")
+    b2 = ev.filter((F.col("event_id") % 2 == 1) & (F.col("ts") < "2024-01-11"))
+    out = windowed_event_counts_late(spark, [b0, b1, b2])
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 def q_asof_purchase_signup(spark, sf_dir):
     # backward as-of join: each purchase -> latest preceding signup by the
     # same user (union-tag window shape, not a theta-join)
@@ -2274,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
         "entity_roles": q_entity_roles,
+        "stream_late": q_stream_late,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -3966,6 +3994,25 @@ SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_sec,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2"""
+
+    # streaming late-data replay (windowed_event_counts_late semantics):
+    # kept = batches 0 and 1 (batch 2 is dropped whole by the lagged late
+    # filter); emitted windows are those ending at or before the final
+    # watermark = ms-floored max kept event time minus the 2 h delay.
+    sql["stream_late"] = """
+WITH kept AS (
+  SELECT ts, event_type, value FROM events
+  WHERE (event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-21')
+     OR ts >= TIMESTAMP '2024-01-21'
+), wm AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 7200000000 AS wm_us FROM kept
+), g AS (
+  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS ws_sec, event_type,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total_value
+  FROM kept GROUP BY 1, 2
+)
+SELECT CAST(ws_sec AS BIGINT) AS window_start_sec, event_type, n, total_value
+FROM g, wm WHERE (ws_sec + 3600) * 1000000 <= wm.wm_us"""
 
     _bucket = (
         "(('0x' || substr(md5(CAST({k} AS VARCHAR) || ':{salt}'), 1, 8))::BIGINT"

@@ -109,6 +109,96 @@ def windowed_event_counts_stream(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def windowed_event_counts_late(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """APPEND-mode tumbling-window aggregation with real late-data dropping.
+
+    Each DataFrame in ``batches`` lands as one parquet file whose mtime pins
+    its micro-batch order (the stream_kg technique); one AvailableNow run
+    with maxFilesPerTrigger=1 processes them in sequence. Append mode emits
+    a window only once the watermark passes its end, and rows arriving
+    after that are dropped — the semantics complete-mode
+    ``windowed_event_counts_stream`` cannot exhibit.
+
+    Measured Spark 4.1 semantics this function (and its oracle) rely on:
+
+    * the EVICTION watermark for micro-batch N is
+      ``floor_ms(max event time through batch N-1) - delay`` — windows with
+      ``end <= eviction_wm`` are finalized, emitted, and dropped from state
+      at batch N;
+    * the LATE-ROW FILTER for batch N uses the eviction watermark of batch
+      N-1 (one batch behind — measured: with two batches nothing is ever
+      dropped, ``numRowsDroppedByWatermark`` stays 0 even for month-old
+      rows);
+    * AvailableNow runs one extra empty flush batch, so every window whose
+      end <= the final watermark is emitted by query end.
+
+    ``metrics_out`` (optional dict) receives ``rows_dropped_late`` — the
+    summed ``numRowsDroppedByWatermark`` across batches — so tests can
+    assert the dropping actually happened, not just that output matches.
+
+    Scale note: state is bounded by (windows within the watermark horizon x
+    group keys); the file-batch staging is fixture plumbing — production
+    feeds this same plan from a real source with the identical watermark
+    semantics.
+    """
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    root = tempfile.mkdtemp(prefix="late_win_")
+    src = f"{root}/src"
+    for i, df in enumerate(batches):
+        before = set(glob.glob(f"{src}/part-*"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        mt = 1_000_000_000 + i * 100_000
+        for f in set(glob.glob(f"{src}/part-*")) - before:
+            os.utime(f, (mt, mt))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"late_win_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if metrics_out is not None:
+        dropped = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                dropped += so.get("numRowsDroppedByWatermark") or 0
+        metrics_out["rows_dropped_late"] = dropped
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def windowed_event_counts_batch(spark: SparkSession, events_path: str, window: str = "1 hour") -> DataFrame:
     """Batch equivalent (the oracle for the streaming test + a queries() op)."""
     events = spark.read.parquet(events_path).withColumn(
