@@ -1145,6 +1145,20 @@ def q_kg_diff(spark, sf_dir):
     return kg_diff(old, new)
 
 
+def q_triple_history(spark, sf_dir):
+    # SCD2 validity intervals for triples across three overlapping crawl
+    # snapshots (docs [0,30) / [10,40) / [20,50)): maximal consecutive
+    # presence runs, re-appearances yielding multiple rows.
+    from ai_knowledge_graph_spark.graph.kgops import triple_history
+
+    raw = _raw_triples(spark, sf_dir, INFER_DOCS).withColumn("doc_id", _doc_id())
+    snaps = [
+        raw.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in ((0, 30), (10, 40), (20, 50))
+    ]
+    return triple_history(snaps)
+
+
 def q_entity_roles(spark, sf_dir):
     # predicate-profile entity typing: degrees + dominant out/in predicate.
     from ai_knowledge_graph_spark.graph.kgops import entity_roles
@@ -2302,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "entity_roles": q_entity_roles,
         "stream_late": q_stream_late,
+        "triple_history": q_triple_history,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -2988,6 +3003,37 @@ SELECT coalesce(o.subject, n.subject) AS subject,
 FROM oldg o FULL OUTER JOIN newg n
   ON o.subject = n.subject AND o.predicate = n.predicate
  AND o.object = n.object"""
+    # SCD2 triple validity runs across three crawl slices
+    # (kgops.triple_history); runs computed relationally: a start is a
+    # membership row with no predecessor, its end the snap before the
+    # first gap (else the last snapshot).
+    sql["triple_history"] = _PRELUDE_INFER + """
+, member AS (
+  SELECT DISTINCT v.snap, t.subject, t.predicate, t.object
+  FROM triples1 t
+  JOIN (VALUES (0, 0, 30), (1, 10, 40), (2, 20, 50)) v(snap, lo, hi)
+    ON t.doc_id >= v.lo AND t.doc_id < v.hi
+),
+runs AS (
+  SELECT m.subject, m.predicate, m.object, m.snap AS first_snap,
+    coalesce((
+      SELECT min(g.s) - 1 FROM (VALUES (0), (1), (2)) g(s)
+      WHERE g.s > m.snap AND NOT EXISTS (
+        SELECT 1 FROM member x
+        WHERE x.subject = m.subject AND x.predicate = m.predicate
+          AND x.object = m.object AND x.snap = g.s)
+    ), 2) AS last_snap
+  FROM member m
+  WHERE m.snap = 0 OR NOT EXISTS (
+    SELECT 1 FROM member p
+    WHERE p.subject = m.subject AND p.predicate = m.predicate
+      AND p.object = m.object AND p.snap = m.snap - 1)
+)
+SELECT subject, predicate, object,
+       CAST(first_snap AS INT) AS first_snap,
+       CAST(last_snap AS INT) AS last_snap,
+       last_snap = 2 AS is_current
+FROM runs"""
     # predicate-profile entity typing (kgops.entity_roles)
     sql["entity_roles"] = _PRELUDE_INFER + _STD_CTES + """
 , spo AS (SELECT DISTINCT subject, predicate, object FROM std),

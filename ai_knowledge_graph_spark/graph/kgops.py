@@ -229,6 +229,73 @@ def kg_diff(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
     )
 
 
+def triple_history(snapshots: list[DataFrame]) -> DataFrame:
+    """SCD2-style validity intervals for triples across ordered KG snapshots.
+
+    Input: N snapshot SPO DataFrames (crawl 0..N-1, oldest first; extra
+    columns ignored, mention multiplicity collapsed). Output: one row per
+    maximal consecutive run of snapshots containing the triple:
+    ``subject, predicate, object, first_snap, last_snap, is_current``
+    (is_current = the run reaches the latest snapshot). A triple that
+    disappears and re-appears yields multiple rows — the temporal-KG twin
+    of operators/webcrawl.py's page SCD2.
+
+    Plan shape: union of tagged snapshots, ONE aggregation on SPO building
+    a presence bitmask (sum of distinct 2^snap — map-side combinable),
+    then run extraction as pure column arithmetic over sequence(0, N-1)
+    higher-order functions: a start is a set bit whose predecessor is
+    clear; its end is start + the length of the all-ones prefix of
+    (mask >> start). No window, no per-key sort, payload bounded by N.
+    N is the number of crawls (tens at most), never data-sized.
+    """
+    n = len(snapshots)
+    tagged = None
+    for i, df in enumerate(snapshots):
+        t = (
+            df.select("subject", "predicate", "object")
+            .distinct()
+            .withColumn("snap", F.lit(i))
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # column shift counts must go through expr (pyspark's shiftleft only
+    # accepts literal shifts)
+    masked = tagged.groupBy("subject", "predicate", "object").agg(
+        F.sum(F.expr("shiftleft(1L, snap)")).alias("mask")
+    )
+    # starts: set bits with a clear predecessor; run length: all-ones
+    # prefix of (mask >> start) — ((m >> s) & (2^(l+1)-1)) == 2^(l+1)-1
+    runs = masked.withColumn(
+        "runs",
+        F.expr(
+            f"""
+            transform(
+              filter(sequence(0, {n - 1}),
+                     s -> ((mask >> s) % 2) = 1
+                          AND (s = 0 OR ((mask >> (s - 1)) % 2) = 0)),
+              s -> struct(
+                s AS first_snap,
+                s + size(filter(sequence(s, {n - 1}),
+                        j -> (shiftright(mask, s) & (shiftleft(1L, j - s + 1) - 1))
+                             = shiftleft(1L, j - s + 1) - 1)) - 1 AS last_snap))
+            """
+        ),
+    )
+    out = runs.select(
+        "subject",
+        "predicate",
+        "object",
+        F.explode("runs").alias("r"),
+    )
+    return out.select(
+        "subject",
+        "predicate",
+        "object",
+        F.col("r.first_snap").cast("int").alias("first_snap"),
+        F.col("r.last_snap").cast("int").alias("last_snap"),
+        (F.col("r.last_snap") == F.lit(n - 1)).alias("is_current"),
+    )
+
+
 def entity_roles(triples: DataFrame) -> DataFrame:
     """Predicate-profile entity typing over an SPO set.
 

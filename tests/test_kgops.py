@@ -104,3 +104,23 @@ def test_mine_rules_fanout_guard_drops_only_hub_bodies(spark):
     assert not any(p == "pin" and q == "pout" for p, q, _ in guarded)
     assert ("p", "q", "r") in guarded
     assert guarded <= unguarded
+
+
+def test_triple_history_runs_and_reappearance(spark):
+    from ai_knowledge_graph_spark.graph.kgops import triple_history
+
+    s0 = _spo(spark, [("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f")])
+    s1 = _spo(spark, [("a", "p", "b"), ("e", "p", "f")])
+    s2 = _spo(spark, [("a", "p", "b"), ("c", "p", "d")])
+    out = triple_history([s0, s1, s2]).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.subject, r.predicate, r.object), set()).add(
+            (r.first_snap, r.last_snap, r.is_current)
+        )
+    # a-p-b: present all three snaps -> one current run
+    assert got[("a", "p", "b")] == {(0, 2, True)}
+    # c-p-d: present 0, absent 1, back at 2 -> two runs, second current
+    assert got[("c", "p", "d")] == {(0, 0, False), (2, 2, True)}
+    # e-p-f: present 0-1, gone at 2 -> one closed run
+    assert got[("e", "p", "f")] == {(0, 1, False)}
