@@ -124,3 +124,38 @@ def test_triple_history_runs_and_reappearance(spark):
     assert got[("c", "p", "d")] == {(0, 0, False), (2, 2, True)}
     # e-p-f: present 0-1, gone at 2 -> one closed run
     assert got[("e", "p", "f")] == {(0, 1, False)}
+
+
+def test_triple_history_exhaustive_masks(spark):
+    # every non-empty presence pattern over 5 snapshots, one synthetic
+    # triple per mask; runs must match a plain-Python reference exactly.
+    from ai_knowledge_graph_spark.graph.kgops import triple_history
+
+    n = 5
+    rows_by_snap = {i: [] for i in range(n)}
+    for mask in range(1, 1 << n):
+        for i in range(n):
+            if mask >> i & 1:
+                rows_by_snap[i].append((f"m{mask}", "p", "x"))
+    snaps = [_spo(spark, rows_by_snap[i]) for i in range(n)]
+    got = {}
+    for r in triple_history(snaps).collect():
+        got.setdefault(r.subject, set()).add(
+            (r.first_snap, r.last_snap, r.is_current)
+        )
+
+    def ref_runs(mask):
+        runs, i = set(), 0
+        while i < n:
+            if mask >> i & 1:
+                j = i
+                while j + 1 < n and mask >> (j + 1) & 1:
+                    j += 1
+                runs.add((i, j, j == n - 1))
+                i = j + 1
+            else:
+                i += 1
+        return runs
+
+    for mask in range(1, 1 << n):
+        assert got[f"m{mask}"] == ref_runs(mask), mask
