@@ -1145,6 +1145,21 @@ def q_kg_diff(spark, sf_dir):
     return kg_diff(old, new)
 
 
+def q_redirects(spark, sf_dir):
+    # redirect-chain resolution by pointer jumping (log-rounds path
+    # halving). Fixture: url(d) redirects to url(d-1) when d%10 in 1..3,
+    # giving chains of length 0-3 ending at each decade's %10==0 url; the
+    # oracle states the closed form (final = d - d%10, hops = d%10).
+    from ai_knowledge_graph_spark.operators.webcrawl import resolve_redirects
+
+    docs = _docs(spark, sf_dir)
+    edges = docs.filter((F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= 3)).select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("src"),
+        F.format_string("doc%012d", F.col("doc_id") - 1).alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=32)
+
+
 def q_triple_history(spark, sf_dir):
     # SCD2 validity intervals for triples across three overlapping crawl
     # snapshots (docs [0,30) / [10,40) / [20,50)): maximal consecutive
@@ -2317,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_roles": q_entity_roles,
         "stream_late": q_stream_late,
         "triple_history": q_triple_history,
+        "redirects": q_redirects,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -3003,6 +3019,15 @@ SELECT coalesce(o.subject, n.subject) AS subject,
 FROM oldg o FULL OUTER JOIN newg n
   ON o.subject = n.subject AND o.predicate = n.predicate
  AND o.object = n.object"""
+    # redirect resolution (webcrawl.resolve_redirects): the oracle states
+    # the fixture's closed form — urls d%10 in 0..3 form per-decade chains
+    # 3->2->1->0, so final = d - d%10 and hops = d%10, all resolved.
+    sql["redirects"] = """
+SELECT printf('doc%012d', doc_id) AS url,
+       printf('doc%012d', doc_id - doc_id % 10) AS final_url,
+       CAST(doc_id % 10 AS INT) AS hops,
+       TRUE AS resolved
+FROM documents WHERE doc_id % 10 <= 3"""
     # SCD2 triple validity runs across three crawl slices
     # (kgops.triple_history); runs computed relationally: a start is a
     # membership row with no predecessor, its end the snap before the

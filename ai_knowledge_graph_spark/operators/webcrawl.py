@@ -26,6 +26,7 @@ shuffle-linear: one hash aggregation per operator, no windows, no collects.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -685,4 +686,76 @@ def frontier_schedule(
             ((F.col("fetch_rank") - 1) / F.lit(k_per_host)).cast("long"),
         )
         .drop("_prio", "_brank")
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every URL to its redirect-chain terminal by pointer jumping.
+
+    Input: one row per redirect edge (src -> dst); a URL with no outgoing
+    edge is terminal. Output: ``url, final_url, hops`` for every url that
+    appears anywhere in the edge set (terminals resolve to themselves with
+    hops 0).
+
+    Plan shape (the 100 TB story): path-halving — each round composes the
+    current pointer table with itself (f := f . f), doubling resolved
+    chain length, so ``ceil(log2(max_hops))`` self-joins on the pointer
+    key resolve chains up to ``max_hops``; each round is one hash
+    equijoin on a (url, pointer, hops) table, localCheckpoint'd to keep
+    the lineage flat (the components-family pattern). Rows still moving
+    after the last round (a cycle, or a chain longer than max_hops) are
+    flagged ``resolved = false`` instead of looping forever.
+    """
+    edges = redirects.select(
+        F.col(src_col).alias("url"), F.col(dst_col).alias("ptr")
+    ).distinct()
+    nodes = (
+        edges.select("url")
+        .union(edges.select(F.col("ptr").alias("url")))
+        .distinct()
+    )
+    # initial pointer: the redirect target, or self (terminal, 0 hops)
+    state = (
+        nodes.join(edges, "url", "left")
+        .select(
+            "url",
+            F.coalesce("ptr", F.col("url")).alias("ptr"),
+            F.when(F.col("ptr").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))))
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("url").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("hops").alias("hops2"),
+        )
+        state = (
+            state.join(nxt, "ptr")
+            .select(
+                "url",
+                F.col("ptr2").alias("ptr"),
+                (F.col("hops") + F.col("hops2")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # a pointer that still has an outgoing edge after all rounds never
+    # reached a terminal within max_hops (cycle or over-long chain)
+    unresolved = edges.select(F.col("url").alias("ptr")).distinct().withColumn(
+        "_moving", F.lit(True)
+    )
+    return (
+        state.join(unresolved, "ptr", "left")
+        .select(
+            "url",
+            F.col("ptr").alias("final_url"),
+            F.col("hops").cast("int").alias("hops"),
+            F.coalesce(~F.col("_moving"), F.lit(True)).alias("resolved"),
+        )
     )

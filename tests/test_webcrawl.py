@@ -248,3 +248,36 @@ def test_snapshot_diff_statuses(spark):
         "u3": "changed",
         "u4": "added",
     }
+
+
+def test_resolve_redirects_chains_and_cycle(spark):
+    from pyspark.sql import Row
+
+    from ai_knowledge_graph_spark.operators.webcrawl import resolve_redirects
+
+    edges = spark.createDataFrame([
+        Row(src="a", dst="b"), Row(src="b", dst="c"), Row(src="c", dst="d"),
+        Row(src="e", dst="d"),
+        Row(src="x", dst="y"), Row(src="y", dst="x"),  # 2-cycle
+    ])
+    out = {r.url: r for r in resolve_redirects(edges, max_hops=32).collect()}
+    assert (out["a"].final_url, out["a"].hops, out["a"].resolved) == ("d", 3, True)
+    assert (out["b"].final_url, out["b"].hops) == ("d", 2)
+    assert (out["e"].final_url, out["e"].hops) == ("d", 1)
+    assert (out["d"].final_url, out["d"].hops, out["d"].resolved) == ("d", 0, True)
+    assert not out["x"].resolved and not out["y"].resolved
+
+
+def test_resolve_redirects_long_chain_exact_hops(spark):
+    from pyspark.sql import Row
+
+    from ai_knowledge_graph_spark.operators.webcrawl import resolve_redirects
+
+    n = 20  # chain u0 <- u1 <- ... <- u20
+    edges = spark.createDataFrame(
+        [Row(src=f"u{i}", dst=f"u{i-1}") for i in range(1, n + 1)]
+    )
+    out = {r.url: r for r in resolve_redirects(edges, max_hops=32).collect()}
+    for i in range(n + 1):
+        assert (out[f"u{i}"].final_url, out[f"u{i}"].hops, out[f"u{i}"].resolved) == (
+            "u0", i, True), i
