@@ -1160,6 +1160,40 @@ def q_redirects(spark, sf_dir):
     return resolve_redirects(edges, max_hops=32)
 
 
+def q_sitemap(spark, sf_dir):
+    # sitemap.xml ingestion: per-source sitemaps synthesized JVM-side (one
+    # <url> entry per doc: loc always, lastmod for doc_id%3==0, priority
+    # 0.9 for doc_id%4==0), parsed back by parse_sitemaps; the oracle
+    # states each entry's expected fields arithmetically.
+    from ai_knowledge_graph_spark.operators.webcrawl import parse_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.format_string("https://%s.example.org/p%d", "source", (F.col("doc_id") % 50).cast("int")),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("<lastmod>2024-01-%02d</lastmod>", (F.col("doc_id") % 28 + 1).cast("int")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<priority>0.9</priority>")).otherwise(
+            F.lit("")
+        ),
+        F.lit("</url>"),
+    )
+    maps = (
+        docs.select("source", entry.alias("_e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"), F.concat_ws("", F.collect_list("_e")), F.lit("</urlset>")
+            ).alias("sitemap_xml")
+        )
+        .select(F.concat(F.col("source"), F.lit(".example.org")).alias("host"), "sitemap_xml")
+    )
+    return parse_sitemaps(maps)
+
+
 def q_triple_history(spark, sf_dir):
     # SCD2 validity intervals for triples across three overlapping crawl
     # snapshots (docs [0,30) / [10,40) / [20,50)): maximal consecutive
@@ -2333,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late": q_stream_late,
         "triple_history": q_triple_history,
         "redirects": q_redirects,
+        "sitemap": q_sitemap,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -3028,6 +3063,15 @@ SELECT printf('doc%012d', doc_id) AS url,
        CAST(doc_id % 10 AS INT) AS hops,
        TRUE AS resolved
 FROM documents WHERE doc_id % 10 <= 3"""
+    # sitemap parse (webcrawl.parse_sitemaps): arithmetic oracle — one row
+    # per doc entry, lastmod/priority present per the fixture's mod rules.
+    sql["sitemap"] = """
+SELECT source || '.example.org' AS host,
+       'https://' || source || '.example.org/p' || CAST(doc_id % 50 AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0
+            THEN printf('2024-01-%02d', doc_id % 28 + 1) END AS lastmod,
+       CASE WHEN doc_id % 4 = 0 THEN 0.9 ELSE 0.5 END AS priority
+FROM documents"""
     # SCD2 triple validity runs across three crawl slices
     # (kgops.triple_history); runs computed relationally: a start is a
     # membership row with no predecessor, its end the snap before the

@@ -759,3 +759,41 @@ def resolve_redirects(
             F.coalesce(~F.col("_moving"), F.lit(True)).alias("resolved"),
         )
     )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap.xml documents into (host, url, lastmod, priority) rows.
+
+    Grammar: the sitemaps.org <urlset> subset — each ``<url>`` entry's
+    ``<loc>`` (required), ``<lastmod>`` (optional, ISO date prefix kept
+    verbatim), ``<priority>`` (optional, defaults 0.5 per the protocol).
+    Entries without a <loc> are dropped. Entirely JVM-side: one
+    regexp_extract_all per sitemap splits the <url> blocks (per-host work,
+    |hosts| << |urls|), then per-entry field extraction over the exploded
+    block — no Python UDF, no shuffle before the explode; downstream
+    consumers join on host or url as usual.
+    """
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, '<url>(.*?)</url>', 1)"
+    )
+    entry = F.col("_entry")
+    loc = F.regexp_extract(entry, r"<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(entry, r"<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract(entry, r"<priority>\s*(.*?)\s*</priority>", 1)
+    return (
+        sitemaps.select(F.col(host_col).alias("host"), blocks.alias("_blocks"))
+        .select("host", F.explode("_blocks").alias("_entry"))
+        .select(
+            "host",
+            loc.alias("url"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.when(prio == "", F.lit(0.5))
+            .otherwise(prio.cast("double"))
+            .alias("priority"),
+        )
+        .filter(F.col("url") != "")
+    )

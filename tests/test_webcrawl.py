@@ -281,3 +281,27 @@ def test_resolve_redirects_long_chain_exact_hops(spark):
     for i in range(n + 1):
         assert (out[f"u{i}"].final_url, out[f"u{i}"].hops, out[f"u{i}"].resolved) == (
             "u0", i, True), i
+
+
+def test_parse_sitemaps_fields_and_defaults(spark):
+    from pyspark.sql import Row
+
+    from ai_knowledge_graph_spark.operators.webcrawl import parse_sitemaps
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a/1</loc><lastmod>2024-02-03</lastmod>"
+        "<priority>0.9</priority></url>"
+        "<url><loc> https://a/2 </loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    out = parse_sitemaps(
+        spark.createDataFrame([Row(host="a", sitemap_xml=xml)])
+    ).collect()
+    got = {r.url: r for r in out}
+    assert set(got) == {"https://a/1", "https://a/2"}
+    assert got["https://a/1"].lastmod == "2024-02-03"
+    assert got["https://a/1"].priority == 0.9
+    assert got["https://a/2"].lastmod is None  # absent
+    assert got["https://a/2"].priority == 0.5  # protocol default
