@@ -1223,6 +1223,34 @@ def q_entity_roles(spark, sf_dir):
     )
 
 
+def q_kg_negatives(spark, sf_dir):
+    # filtered TransE-style negative sampling over the standardized KG:
+    # k=2 deterministic md5-driven corruptions per positive, anti-joined
+    # against true triples (Bordes et al. 2013 "filtered" protocol).
+    from ai_knowledge_graph_spark.graph.kgops import kg_negatives
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return kg_negatives(std, k=2)
+
+
+def q_kg_pattern(spark, sf_dir):
+    # SPARQL-style basic graph pattern over the standardized KG:
+    # ?x group ?y . ?y ?p ?z  — 2-hop walks that start with a "group" edge.
+    from ai_knowledge_graph_spark.graph.kgops import match_basic_pattern
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return match_basic_pattern(std, [("?x", "group", "?y"), ("?y", "?p", "?z")])
+
+
+def q_entity_summary(spark, sf_dir):
+    # top-3 most informative outgoing facts per entity by predicate
+    # inverse-frequency (micro-unit-frozen idf, lossless two-phase rank).
+    from ai_knowledge_graph_spark.graph.kgops import entity_summary
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return entity_summary(std, k=3)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2368,6 +2396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_history": q_triple_history,
         "redirects": q_redirects,
         "sitemap": q_sitemap,
+        "kg_negatives": q_kg_negatives,
+        "kg_pattern": q_kg_pattern,
+        "entity_summary": q_entity_summary,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -3127,6 +3158,67 @@ SELECT coalesce(outs.entity, ins.entity) AS entity,
        coalesce(top_out_pred, '') AS top_out_pred,
        coalesce(top_in_pred, '') AS top_in_pred
 FROM outs FULL OUTER JOIN ins ON outs.entity = ins.entity"""
+    # filtered negative sampling (kgops.kg_negatives, k=2): vocab dense ids
+    # via row_number over entity order (== distributed_rank's total order),
+    # md5-48bit side + candidate hashes shared literal-for-literal, NOT
+    # EXISTS replays the filtered-protocol anti-join.
+    sql["kg_negatives"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+ents AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) AS eid
+  FROM (SELECT DISTINCT subject AS entity FROM spo
+        UNION SELECT object FROM spo)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_ents FROM ents),
+cand AS (
+  SELECT s.subject, s.predicate, s.object, j.neg_idx,
+    (('0x' || substr(md5('negA' || s.subject || chr(31) || s.predicate ||
+       chr(31) || s.object || chr(31) || CAST(j.neg_idx AS VARCHAR)), 1, 12)
+     )::BIGINT % 2) = 0 AS ishead,
+    ('0x' || substr(md5('negB' || s.subject || chr(31) || s.predicate ||
+       chr(31) || s.object || chr(31) || CAST(j.neg_idx AS VARCHAR)), 1, 12)
+     )::BIGINT % nn.n_ents + 1 AS eid
+  FROM spo s CROSS JOIN (VALUES (0), (1)) j(neg_idx) CROSS JOIN nn
+),
+corr AS (
+  SELECT c.subject, c.predicate, c.object, CAST(c.neg_idx AS INT) AS neg_idx,
+         CASE WHEN c.ishead THEN e.entity ELSE c.subject END AS neg_subject,
+         CASE WHEN c.ishead THEN c.object ELSE e.entity END AS neg_object
+  FROM cand c JOIN ents e USING (eid)
+)
+SELECT subject, predicate, object, neg_idx, neg_subject, neg_object
+FROM corr WHERE NOT EXISTS (
+  SELECT 1 FROM spo t WHERE t.subject = corr.neg_subject
+    AND t.predicate = corr.predicate AND t.object = corr.neg_object)"""
+    # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
+    sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std)
+SELECT b.predicate AS p, a.subject AS x, a.object AS y, b.object AS z
+FROM spo a JOIN spo b ON a.object = b.subject
+WHERE a.predicate = 'group'"""
+    # entity summarization: top-3 outgoing facts by predicate idf
+    # (kgops.entity_summary; idf frozen to int64 micro-units before rank)
+    sql["entity_summary"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spo),
+pidf AS (
+  SELECT predicate,
+         CAST(round(ln(CAST(any_value(tot.n) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+  FROM spo CROSS JOIN tot GROUP BY predicate
+),
+facts AS (
+  SELECT s.subject AS entity, s.predicate, s.object, p.idf_micro
+  FROM spo s JOIN pidf p USING (predicate)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY entity
+    ORDER BY idf_micro DESC, predicate ASC, object ASC) AS fact_rank
+  FROM facts
+)
+SELECT entity, predicate, object, idf_micro, CAST(fact_rank AS INT) AS fact_rank
+FROM rk WHERE fact_rank <= 3"""
     sql["components"] = _PRELUDE_INFER + _STD_CTES + """
 , und AS (
   SELECT DISTINCT a, b FROM (

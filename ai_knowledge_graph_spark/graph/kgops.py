@@ -20,6 +20,16 @@ inference; these consume its output):
   out/in degree and the dominant outgoing/incoming predicate (its "role"
   in the schema-free graph), the standard first step of ontology
   induction over open-domain triples.
+* :func:`kg_negatives` — filtered negative sampling for KG-embedding
+  training (TransE protocol, Bordes et al., NeurIPS 2013): deterministic
+  hash-driven head/tail corruption, anti-joined against true triples.
+* :func:`match_basic_pattern` — SPARQL-style basic-graph-pattern matching
+  compiled to a Catalyst join tree (variables = join keys, constants =
+  pushed filters).
+* :func:`entity_summary` — top-k most informative facts per entity by
+  predicate inverse-frequency (RELIN/FACES informativeness core), ranked
+  with the lossless two-phase bounded rank so hub entities never window
+  through one reducer.
 
 Scale notes (100 TB bar): every operator below is a constant number of
 shuffles keyed on entities or SPO — rule mining shuffles on the join
@@ -339,4 +349,248 @@ def entity_roles(triples: DataFrame) -> DataFrame:
             "top_out_pred",
             "top_in_pred",
         )
+    )
+
+
+def _h48(*cols) -> "F.Column":
+    """48-bit non-negative int64 hash, portable to the SQL oracle:
+    Spark ``conv(substring(md5(x),1,12),16,10)`` equals DuckDB
+    ``('0x'||substr(md5(x),1,12))::BIGINT`` (12 hex digits keep the value
+    inside int64 for downstream modular arithmetic)."""
+    return F.conv(F.substring(F.md5(F.concat(*cols)), 1, 12), 16, 10).cast("long")
+
+
+def kg_negatives(
+    triples: DataFrame,
+    k: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the TransE
+    protocol: Bordes et al., NeurIPS 2013): for every positive triple emit
+    ``k`` corrupted variants — head or tail replaced by a pseudo-random
+    vocabulary entity — and drop corruptions that are themselves true
+    triples (the "filtered" setting, which otherwise poisons the margin
+    loss with false negatives).
+
+    Determinism: the corrupted side and the replacement entity both come
+    from 48-bit md5 hashes of (salt, s, p, o, j), so reruns and the SQL
+    oracle reproduce the sample exactly — no RNG state, no
+    partition-placement dependence.
+
+    Output: ``subject, predicate, object, neg_idx, neg_subject,
+    neg_object`` — one row per surviving corruption (collisions with true
+    triples are dropped, so a positive can yield < k rows).
+
+    Plan shape (100 TB): entity vocabulary = distinct-union + dense ids
+    via :func:`distributed_rank` (range repartition, no single-task
+    window); candidates = positives × k via a literal ``sequence`` explode
+    (no shuffle); replacement lookup = one hash equi-join on the dense id
+    (AQE broadcasts the vocab when it measures small); the filter = one
+    left_anti join on the corrupted SPO. Everything is entity/SPO-keyed
+    shuffles — no cross product, no Python, no collect.
+
+    Reference repo stops at graph construction (no embedding-training
+    surface); this is the training-data complement, same family as the
+    training_qa sink (reference main.py's JSONL export).
+    """
+    from ai_knowledge_graph_spark.operators.standardize import distributed_rank
+
+    spo = triples.select("subject", "predicate", "object").distinct()
+    spo = spo.localCheckpoint(eager=True)  # feeds vocab, candidates, filter
+    ents = (
+        spo.select(F.col("subject").alias("entity"))
+        .union(spo.select("object"))
+        .distinct()
+    )
+    vocab = distributed_rank(ents, ["entity"], out="eid").localCheckpoint(eager=True)
+    n = vocab.groupBy().agg(F.count(F.lit(1)).alias("n_ents"))
+
+    cand = (
+        spo.crossJoin(F.broadcast(n))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx")
+        )
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            "neg_idx",
+            (
+                _h48(
+                    F.lit(salt + "A"),
+                    F.col("subject"),
+                    F.lit("\x1f"),
+                    F.col("predicate"),
+                    F.lit("\x1f"),
+                    F.col("object"),
+                    F.lit("\x1f"),
+                    F.col("neg_idx").cast("string"),
+                )
+                % 2
+                == 0
+            ).alias("_head"),
+            (
+                _h48(
+                    F.lit(salt + "B"),
+                    F.col("subject"),
+                    F.lit("\x1f"),
+                    F.col("predicate"),
+                    F.lit("\x1f"),
+                    F.col("object"),
+                    F.lit("\x1f"),
+                    F.col("neg_idx").cast("string"),
+                )
+                % F.col("n_ents")
+                + 1
+            ).alias("eid"),
+        )
+    )
+    corrupted = (
+        cand.join(vocab, "eid")
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            "neg_idx",
+            F.when(F.col("_head"), F.col("entity")).otherwise(F.col("subject")).alias(
+                "neg_subject"
+            ),
+            F.when(F.col("_head"), F.col("object")).otherwise(F.col("entity")).alias(
+                "neg_object"
+            ),
+        )
+    )
+    true_spo = spo.select(
+        F.col("subject").alias("neg_subject"),
+        "predicate",
+        F.col("object").alias("neg_object"),
+    )
+    return corrupted.join(
+        true_spo, ["neg_subject", "predicate", "neg_object"], "left_anti"
+    ).select(
+        "subject", "predicate", "object", "neg_idx", "neg_subject", "neg_object"
+    )
+
+
+def match_basic_pattern(
+    triples: DataFrame,
+    pattern: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching with set semantics: each
+    pattern element is ``(subject, predicate, object)`` where a token
+    starting with ``?`` is a variable and anything else a constant.
+    Returns one column per variable (the ``?`` stripped), one row per
+    distinct solution binding.
+
+    Declarative-plan story: each element compiles to a filtered projection
+    of the (distinct) triple store; elements chain with hash equi-joins on
+    their shared variables, so Catalyst sees an ordinary join tree —
+    constant filters push into the scan, AQE picks broadcast sides and
+    splits skewed hub joins. Order selective elements (more constants)
+    first: the fold joins in the given order.
+
+    Guards: every element needs >= 1 variable, and every element after
+    the first must share >= 1 variable with the ones before it (a
+    disconnected pattern is a cartesian product — refused rather than
+    silently exploded). A variable repeated inside one element becomes an
+    equality filter on that element.
+
+    Set semantics note: the store is ``distinct()``-ed first, and every
+    variable is kept in the output, so join outputs are duplicate-free by
+    construction — no final DISTINCT shuffle.
+    """
+    spo = triples.select("subject", "predicate", "object").distinct()
+    bound: DataFrame | None = None
+    seen: set[str] = set()
+    for i, (s, p, o) in enumerate(pattern):
+        el = spo
+        cols: dict[str, str] = {}
+        for tok, col in ((s, "subject"), (p, "predicate"), (o, "object")):
+            if tok.startswith("?"):
+                var = tok[1:]
+                if var in cols:  # repeated var inside one element
+                    el = el.filter(F.col(cols[var]) == F.col(col))
+                else:
+                    cols[var] = col
+            else:
+                el = el.filter(F.col(col) == tok)
+        if not cols:
+            raise ValueError(f"pattern element {i} has no variables: {(s, p, o)}")
+        el = el.select(*(F.col(c).alias(v) for v, c in cols.items()))
+        if bound is None:
+            bound = el
+        else:
+            shared = sorted(seen & set(cols))
+            if not shared:
+                raise ValueError(
+                    f"pattern element {i} shares no variable with the "
+                    f"previous elements (disconnected pattern = cartesian "
+                    f"product; refused)"
+                )
+            bound = bound.join(el, shared)
+        seen |= set(cols)
+    assert bound is not None, "empty pattern"
+    return bound.select(*sorted(seen))
+
+
+def entity_summary(
+    triples: DataFrame,
+    k: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Entity summarization: the top-``k`` most informative outgoing facts
+    per entity, scored by predicate inverse-frequency (the RELIN/FACES
+    family's informativeness core, reduced to its scalable skeleton):
+    ``idf_micro = round(ln(|E| / |edges with p|) * 1e6)`` — rarer
+    predicates say more about an entity than ubiquitous ones.
+
+    The idf is frozen to int64 micro-units BEFORE ranking (the DSIR
+    trick), so ordering — and the SQL oracle's hash — can never flip on
+    float formatting. Ties: idf desc, predicate asc, object asc.
+
+    Output: ``entity, predicate, object, idf_micro, fact_rank``
+    (fact_rank 1..k).
+
+    Plan shape (100 TB): predicate histogram is one map-side-combined
+    aggregation joined back by broadcast (predicate vocabulary is tiny);
+    the per-entity top-k uses the LOSSLESS two-phase bounded rank from
+    frontier_schedule — rank within (entity, hash-bucket) first and keep
+    ``<= k`` (a superset: ranks only shrink on subsets), then exact rank
+    over the ``<= n_buckets * k`` survivors per entity — so a hub entity
+    with 10^7 facts never sorts through one reducer.
+    """
+    spo = triples.select("subject", "predicate", "object").distinct()
+    spo = spo.localCheckpoint(eager=True)  # feeds histogram + ranking
+    total = spo.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    pred = (
+        spo.groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "predicate",
+            F.round(
+                F.log(F.col("_n").cast("double") / F.col("_pc").cast("double")) * 1e6
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    facts = spo.join(F.broadcast(pred), "predicate").select(
+        F.col("subject").alias("entity"), "predicate", "object", "idf_micro"
+    )
+    order = [
+        F.col("idf_micro").desc(),
+        F.col("predicate").asc(),
+        F.col("object").asc(),
+    ]
+    bucket = F.pmod(F.xxhash64("predicate", "object"), F.lit(n_buckets))
+    w1 = Window.partitionBy("entity", bucket).orderBy(*order)
+    survivors = facts.withColumn("_brank", F.row_number().over(w1)).filter(
+        F.col("_brank") <= k
+    )
+    w2 = Window.partitionBy("entity").orderBy(*order)
+    return (
+        survivors.withColumn("fact_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("fact_rank") <= k)
+        .select("entity", "predicate", "object", "idf_micro", "fact_rank")
     )

@@ -159,3 +159,133 @@ def test_triple_history_exhaustive_masks(spark):
 
     for mask in range(1, 1 << n):
         assert got[f"m{mask}"] == ref_runs(mask), mask
+
+
+def test_kg_negatives_filtered_and_deterministic(spark):
+    from ai_knowledge_graph_spark.graph.kgops import kg_negatives
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("a", "q", "c")]
+    out = kg_negatives(_spo(spark, rows), k=4).collect()
+    true = set(rows)
+    for r in out:
+        neg = (r.neg_subject, r.predicate, r.neg_object)
+        # filtered protocol: no corruption may be a true triple (this also
+        # bans the identity corruption)
+        assert neg not in true, neg
+        # exactly one side corrupted; the other side preserved
+        assert (r.neg_subject == r.subject) != (r.neg_object == r.object) or (
+            r.neg_subject != r.subject and r.neg_object == r.object
+        ) or (r.neg_subject == r.subject and r.neg_object != r.object)
+        # replacement comes from the entity vocabulary
+        vocab = {"a", "b", "c"}
+        assert r.neg_subject in vocab and r.neg_object in vocab
+    # deterministic: a rerun yields the identical multiset
+    again = kg_negatives(_spo(spark, rows), k=4).collect()
+    key = lambda r: (r.subject, r.predicate, r.object, r.neg_idx,
+                     r.neg_subject, r.neg_object)
+    assert sorted(map(key, out)) == sorted(map(key, again))
+    # at most k negatives per positive, indices within range
+    from collections import Counter
+    per = Counter((r.subject, r.predicate, r.object) for r in out)
+    assert all(v <= 4 for v in per.values())
+    assert all(0 <= r.neg_idx < 4 for r in out)
+
+
+def test_kg_negatives_exactly_one_side_corrupted(spark):
+    from ai_knowledge_graph_spark.graph.kgops import kg_negatives
+
+    rows = [(f"e{i}", "p", f"e{i+1}") for i in range(20)]
+    out = kg_negatives(_spo(spark, rows), k=2).collect()
+    assert out, "20-triple graph with 21 entities must yield some negatives"
+    for r in out:
+        head_changed = r.neg_subject != r.subject
+        tail_changed = r.neg_object != r.object
+        assert head_changed != tail_changed, r
+
+
+def test_match_basic_pattern_two_hop_with_constant(spark):
+    from ai_knowledge_graph_spark.graph.kgops import match_basic_pattern
+
+    rows = [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("b", "likes", "d"),
+        ("c", "knows", "a"),
+    ]
+    out = match_basic_pattern(
+        _spo(spark, rows), [("?x", "knows", "?y"), ("?y", "knows", "?z")]
+    ).collect()
+    got = {(r.x, r.y, r.z) for r in out}
+    assert got == {("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")}
+    assert sorted(out[0].asDict()) == ["x", "y", "z"]
+
+
+def test_match_basic_pattern_var_predicate_and_closing_edge(spark):
+    from ai_knowledge_graph_spark.graph.kgops import match_basic_pattern
+
+    rows = [
+        ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),  # closed triangle
+        ("x", "p", "y"), ("y", "q", "z"),                    # open wedge
+    ]
+    out = match_basic_pattern(
+        _spo(spark, rows),
+        [("?a", "?p", "?b"), ("?b", "?q", "?c"), ("?a", "?r", "?c")],
+    ).collect()
+    assert {(r.a, r.b, r.c, r.p, r.q, r.r) for r in out} == {
+        ("a", "b", "c", "p", "q", "r")
+    }
+
+
+def test_match_basic_pattern_repeated_var_is_equality(spark):
+    from ai_knowledge_graph_spark.graph.kgops import match_basic_pattern
+
+    rows = [("a", "self", "a"), ("a", "self", "b")]
+    out = match_basic_pattern(_spo(spark, rows), [("?x", "self", "?x")]).collect()
+    assert [(r.x) for r in out] == ["a"]
+
+
+def test_match_basic_pattern_guards(spark):
+    import pytest
+
+    from ai_knowledge_graph_spark.graph.kgops import match_basic_pattern
+
+    spo = _spo(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="no variables"):
+        match_basic_pattern(spo, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="disconnected"):
+        match_basic_pattern(spo, [("?x", "p", "?y"), ("?u", "p", "?v")])
+
+
+def test_entity_summary_idf_ranking_and_cap(spark):
+    from ai_knowledge_graph_spark.graph.kgops import entity_summary
+
+    # 'rare' appears once (high idf), 'common' four times (low idf).
+    rows = [
+        ("a", "rare", "r1"),
+        ("a", "common", "c1"), ("a", "common", "c2"), ("a", "common", "c3"),
+        ("b", "common", "c4"),
+    ]
+    out = entity_summary(_spo(spark, rows), k=3).collect()
+    a = sorted((r for r in out if r.entity == "a"), key=lambda r: r.fact_rank)
+    # rank 1 = the rare fact, then common facts by object asc, capped at k=3
+    assert [(r.predicate, r.object) for r in a] == [
+        ("rare", "r1"), ("common", "c1"), ("common", "c2")
+    ]
+    assert a[0].idf_micro > a[1].idf_micro
+    assert [r.fact_rank for r in a] == [1, 2, 3]
+    # idf is ln(5/1) and ln(5/4) in micro-units
+    import math
+    assert a[0].idf_micro == round(math.log(5 / 1) * 1e6)
+    assert a[1].idf_micro == round(math.log(5 / 4) * 1e6)
+
+
+def test_entity_summary_two_phase_rank_is_lossless(spark):
+    from ai_knowledge_graph_spark.graph.kgops import entity_summary
+
+    # 40 facts on one entity across many buckets: top-2 must equal the
+    # global order regardless of bucketing.
+    rows = [("hub", f"p{i:02d}", f"o{i:02d}") for i in range(40)]
+    out = entity_summary(_spo(spark, rows), k=2, n_buckets=8).collect()
+    got = sorted(
+        ((r.fact_rank, r.predicate, r.object) for r in out if r.entity == "hub")
+    )
+    # all predicates are distinct -> equal idf; ties break (predicate, object) asc
+    assert got == [(1, "p00", "o00"), (2, "p01", "o01")]
