@@ -1251,6 +1251,17 @@ def q_entity_summary(spark, sf_dir):
     return entity_summary(std, k=3)
 
 
+def q_quantiles(spark, sf_dir):
+    # exact global quantiles of document char-length: value-histogram +
+    # range-partitioned cumulative counts — sketch-free, deterministic.
+    from ai_knowledge_graph_spark.operators.stats import exact_quantiles
+
+    docs = _docs(spark, sf_dir).select(F.length("text").cast("long").alias("v"))
+    return exact_quantiles(docs, "v", [0.25, 0.5, 0.75, 0.9, 0.99]).select(
+        "p", F.col("value").alias("value"), "rank"
+    )
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2399,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "kg_pattern": q_kg_pattern,
         "entity_summary": q_entity_summary,
+        "quantiles": q_quantiles,
         "e2e_crawl_kg": q_e2e_crawl_kg,
         "frontier": q_frontier,
         "stream_kg": q_stream_kg,
@@ -3190,6 +3202,28 @@ SELECT subject, predicate, object, neg_idx, neg_subject, neg_object
 FROM corr WHERE NOT EXISTS (
   SELECT 1 FROM spo t WHERE t.subject = corr.neg_subject
     AND t.predicate = corr.predicate AND t.object = corr.neg_object)"""
+    # exact global quantiles of doc char-length (stats.exact_quantiles):
+    # rank r = max(1, ceil(p*n)) inverse empirical CDF; value = smallest v
+    # whose cumulative count reaches r. Both sides compute r with the same
+    # double multiply + ceil.
+    sql["quantiles"] = """
+WITH hist AS (
+  SELECT CAST(length(text) AS BIGINT) AS value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT value, cnt, CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) AS c
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pr AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(p)),
+tr AS (
+  SELECT p, greatest(CAST(ceiling(p * n) AS BIGINT), 1) AS rank
+  FROM pr CROSS JOIN tot
+)
+SELECT tr.p, c.value, tr.rank
+FROM tr JOIN cum c ON c.c >= tr.rank AND c.c - c.cnt < tr.rank"""
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """
 , spo AS (SELECT DISTINCT subject, predicate, object FROM std)

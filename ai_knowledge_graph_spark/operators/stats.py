@@ -1,0 +1,138 @@
+"""Distributed exact order statistics.
+
+Spark ships ``approx_percentile`` (Greenwald-Khanna); a data-quality gate
+over a 100 TB corpus often needs the EXACT percentile — "drop everything
+above the true p99 length" must not wobble with sketch error between runs,
+or the curation funnel's output becomes nondeterministic. Exact quantiles
+are cheap when computed over the VALUE HISTOGRAM instead of the rows: for
+the integer-ish columns quality pipelines rank on (lengths, token counts,
+micro-unit scores), distinct values ≪ rows, so the sort space collapses by
+orders of magnitude before any ordering happens.
+
+Plan shape (100 TB bar):
+
+1. one map-side-combined ``groupBy(value).count()`` — the only pass over
+   the full data;
+2. cumulative counts via range-repartition on the value + per-partition
+   running sum + a ≤ shuffle-partitions-sized driver offset table (the
+   ``distributed_rank`` pattern from operators/standardize.py — NO
+   single-task global window anywhere);
+3. each requested probability resolves to a target rank
+   ``r = max(1, ceil(p·n))`` (inverse empirical CDF, left-continuous) and
+   picks the unique histogram row with ``cum−cnt < r ≤ cum`` via a
+   broadcast join of the |probs|-row target table.
+
+The grouped variant windows within (group) over distinct values only —
+per-reducer state is the group's distinct-value count, not its row count.
+
+Reference repo has no statistics layer (beyond-reference, same family as
+operators/textstats.py quality gates that would consume these cutoffs).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Exact global quantiles of ``value_col`` (nulls ignored).
+
+    Output: ``p, value, rank`` — one row per probability; ``value`` is the
+    smallest data value whose cumulative count reaches ``rank``
+    = ``max(1, ceil(p·n))``. Deterministic, sketch-free.
+    """
+    spark = df.sparkSession
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        hist.repartitionByRange(n_part, F.col("value"))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin placement: feeds the running sum AND the offset table
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lcum", F.sum("_cnt").over(w))
+    # per-partition totals: metadata-sized (≤ shuffle partitions rows)
+    totals = {
+        r["_pid"]: r["_c"]
+        for r in ranged.groupBy("_pid").agg(F.sum("_cnt").alias("_c")).collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += totals[pid]
+    n = running
+    odf = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    cum = local.join(F.broadcast(odf), "_pid").select(
+        "value", "_cnt", (F.col("_lcum") + F.col("_off")).alias("_cum")
+    )
+    targets = spark.createDataFrame(
+        [(float(p), max(1, math.ceil(p * n))) for p in probs], "p double, rank long"
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("_cum") >= F.col("rank"))
+            & (F.col("_cum") - F.col("_cnt") < F.col("rank")),
+        )
+        .select("p", "value", "rank")
+    )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Exact per-group quantiles: ``*group_cols, p, value, rank``.
+
+    Windows run within (group) over the DISTINCT-VALUE histogram, so a
+    reducer holds a group's distinct values, not its rows — the histogram
+    compression is what makes per-group exactness affordable.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w))
+    totals = hist.groupBy(*group_cols).agg(F.sum("_cnt").alias("_n"))
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    targets = totals.crossJoin(F.broadcast(pdf)).select(
+        *group_cols,
+        "p",
+        F.greatest(F.ceil(F.col("p") * F.col("_n")).cast("long"), F.lit(1).cast("long")).alias(
+            "rank"
+        ),
+    )
+    cond = (F.col("_cum") >= F.col("rank")) & (
+        F.col("_cum") - F.col("_cnt") < F.col("rank")
+    )
+    return (
+        cum.join(targets, group_cols).filter(cond).select(*group_cols, "p", "value", "rank")
+    )
