@@ -1262,6 +1262,58 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_random_walks(spark, sf_dir):
+    # Deterministic DeepWalk corpus over the standardized KG edges: 4 hops
+    # from every source node; step choice = argmin md5(node, t, neighbor).
+    from ai_knowledge_graph_spark.graph.walks import random_walks
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return random_walks(edges, steps=4)
+
+
+def q_lpa(spark, sf_dir):
+    # Synchronous label propagation (4 rounds, deterministic tie-break:
+    # max neighbor-label count then lexicographic min) over the undirected
+    # standardized KG — the oracle-gated twin of the viz communities.
+    from ai_knowledge_graph_spark.graph.walks import lpa_communities
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return lpa_communities(edges, rounds=4)
+
+
+def q_hearst(spark, sf_dir):
+    # Hearst-pattern hypernym mining: pages synthesized from each doc's
+    # words (w1 such as w2, w3 and w4. w5 and w6 and other w1. w2 including
+    # w3 and w4. w6 especially w5.) so the oracle can state the expected
+    # (hyponym, is_a hypernym) rows arithmetically while the engine runs
+    # the real sentence/regex extractor.
+    from ai_knowledge_graph_spark.operators.hearst import hearst_hypernyms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    docs = docs.filter(F.size(ws) >= 6)
+    e = lambda i: F.element_at(ws, i)  # noqa: E731
+    L = F.lit
+    t = F.concat(
+        e(1), L(" such as "), e(2), L(", "), e(3), L(" and "), e(4), L(". "),
+        e(5), L(" and "), e(6), L(" and other "), e(1), L(". "),
+        e(2), L(" including "), e(3), L(" and "), e(4), L(". "),
+        e(6), L(" especially "), e(5), L("."),
+    )
+    return hearst_hypernyms(docs.select("doc_id", t.alias("text")))
+
+
+def q_cdc_chunks(spark, sf_dir):
+    # Content-defined chunking over the documents table: word-level
+    # rolling-hash boundaries (3-gram md5 % 8), chunk hashes + cross-doc
+    # share counts.
+    from ai_knowledge_graph_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2399,6 +2451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "random_walks": q_random_walks,
+        "lpa": q_lpa,
+        "hearst": q_hearst,
+        "cdc_chunks": q_cdc_chunks,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3224,6 +3280,120 @@ tr AS (
 )
 SELECT tr.p, c.value, tr.rank
 FROM tr JOIN cum c ON c.c >= tr.rank AND c.c - c.cnt < tr.rank"""
+    # deterministic DeepWalk walks: 4 unrolled argmin-md5 steps (walks.py)
+    _walk_ctes = []
+    for _t in range(1, 5):
+        _prev_w = f"w{_t - 1}"
+        _walk_ctes.append(f""",
+w{_t} AS MATERIALIZED (
+  SELECT w.start,
+         min_by(e.dst, md5(w.node || chr(31) || '{_t}' || chr(31) || e.dst)) AS node
+  FROM {_prev_w} w JOIN e ON w.node = e.src
+  GROUP BY w.start
+)""")
+    sql["random_walks"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT DISTINCT subject AS src, object AS dst FROM std),
+w0 AS MATERIALIZED (SELECT DISTINCT src AS start, src AS node FROM e)"""
+        + "".join(_walk_ctes)
+        + """
+SELECT start, 0 AS step, node FROM w0"""
+        + "".join(
+            f"\nUNION ALL SELECT start, {_t} AS step, node FROM w{_t}"
+            for _t in range(1, 5)
+        )
+    )
+
+    # synchronous LPA, 4 unrolled rounds; tie-break (count desc, label asc)
+    # via row_number — the engine's min_by(struct(-c, label)) twin.
+    _lpa_ctes = []
+    for _t in range(1, 5):
+        _lpa_ctes.append(f""",
+l{_t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT u.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN l{_t - 1} l ON u.b = l.node
+    GROUP BY u.a, l.label
+  ) WHERE rn = 1
+)""")
+    sql["lpa"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
+        + "".join(_lpa_ctes)
+        + """
+SELECT node, label FROM l4"""
+    )
+
+    # Hearst hypernyms: expected rows stated arithmetically from the word
+    # positions the fixture text is synthesized from (hearst.py patterns).
+    sql["hearst"] = f"""
+WITH dw AS (
+  SELECT doc_id, {_w('text')} AS ws FROM documents
+  WHERE len({_w('text')}) >= 6
+),
+r AS (
+  SELECT doc_id, ws[2] AS hyponym, ws[1] AS hypernym, 'such_as' AS pattern FROM dw
+  UNION ALL SELECT doc_id, ws[3], ws[1], 'such_as' FROM dw
+  UNION ALL SELECT doc_id, ws[4], ws[1], 'such_as' FROM dw
+  UNION ALL SELECT doc_id, ws[5], ws[1], 'other' FROM dw
+  UNION ALL SELECT doc_id, ws[6], ws[1], 'other' FROM dw
+  UNION ALL SELECT doc_id, ws[3], ws[2], 'including' FROM dw
+  UNION ALL SELECT doc_id, ws[4], ws[2], 'including' FROM dw
+  UNION ALL SELECT doc_id, ws[5], ws[6], 'especially' FROM dw
+)
+SELECT hyponym, hypernym, pattern,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM r WHERE hyponym <> hypernym
+GROUP BY hyponym, hypernym, pattern"""
+
+    # content-defined chunking: 3-gram rolling-hash boundaries (md5 48-bit
+    # prefix % 8), running-sum chunk ids, chunk hash + cross-doc shares.
+    sql["cdc_chunks"] = f"""
+WITH wsrc AS (
+  SELECT doc_id, unnest({_w('text')}) AS word,
+         generate_subscripts({_w('text')}, 1) - 1 AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos >= 2
+               AND ('0x' || substr(md5(lag(word, 2) OVER w || ' ' ||
+                                       lag(word, 1) OVER w || ' ' || word),
+                                   1, 12))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS bd
+  FROM wsrc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c AS (
+  SELECT doc_id, pos, word,
+         CAST(coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS chunk_no
+  FROM b
+),
+ch AS (
+  SELECT doc_id, chunk_no,
+         CAST(min(pos) AS INTEGER) AS start_pos,
+         CAST(count(*) AS BIGINT) AS n_words,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_no
+),
+sh AS (
+  SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ch GROUP BY chunk_hash
+)
+SELECT doc_id, chunk_no, start_pos, n_words, chunk_hash, n_docs
+FROM ch JOIN sh USING (chunk_hash)"""
+
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """
 , spo AS (SELECT DISTINCT subject, predicate, object FROM std)

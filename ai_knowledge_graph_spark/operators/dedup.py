@@ -468,3 +468,79 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --- Content-defined chunking (rolling-hash boundaries) -----------------------
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """(doc_id, chunk_no, start_pos, n_words, chunk_hash, n_docs):
+    content-defined chunking at word granularity for shift-tolerant
+    shared-content detection (the FastCDC/LBFS boundary idea — Muthitacharoen
+    et al., SOSP 2001 — applied to token streams; ExactSubstr's fixed-k
+    sibling for storage-style dedup).
+
+    A chunk boundary falls AFTER word ``i`` (0-based) iff ``i >= gram-1``
+    and ``md5int(w[i-gram+1] .. w[i]) % modulus == 0`` — the boundary
+    depends only on the local ``gram``-word window, so an insertion early
+    in a document shifts chunk FRAMES only until the next boundary
+    (contrast with fixed-width chunking, where everything downstream
+    re-frames). ``chunk_hash`` is md5 of the space-joined chunk words;
+    ``n_docs`` counts distinct documents sharing that exact chunk content
+    (>1 = shared content worth deduplicating at the storage layer).
+
+    Plan shape: posexplode words → per-document window (lag×2 + running
+    sum — partitions are single documents, bounded by doc length) → one
+    hash aggregation per (doc, chunk) → one aggregation keyed on
+    chunk_hash joined back (both map-side combine). At 100 TB the windows
+    never cross documents, so the only global shuffles are the two
+    chunk-keyed aggregations. The md5int uses the 12-hex-digit prefix
+    (48 bits) — the established oracle-portable int64 conversion.
+    """
+    from pyspark.sql import Window
+
+    words = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_txt = F.concat_ws(
+        " ", *[F.lag("word", gram - 1 - j).over(w) for j in range(gram)]
+    )
+    gram_int = F.conv(F.substring(F.md5(gram_txt), 1, 12), 16, 10).cast("bigint")
+    boundary = F.when(
+        (F.col("pos") >= gram - 1) & (gram_int % modulus == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = words.withColumn("bd", boundary)
+    chunk_no = F.coalesce(
+        F.sum("bd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    chunked = flagged.withColumn("chunk_no", chunk_no)
+    chunks = chunked.groupBy("doc_id", "chunk_no").agg(
+        F.min("pos").alias("start_pos"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    shared = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return chunks.join(shared, "chunk_hash").select(
+        "doc_id", "chunk_no", "start_pos", "n_words", "chunk_hash", "n_docs"
+    )
