@@ -1314,6 +1314,51 @@ def q_cdc_chunks(spark, sf_dir):
     return cdc_chunks(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_knn_classify(spark, sf_dir):
+    # k-NN majority-vote weak labeling: every 7th vector plays "unlabeled
+    # query", the rest are the labeled corpus; 5 exact cosine neighbors,
+    # ties to the smaller label.
+    from ai_knowledge_graph_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    cands = emb.filter(F.col("vec_id") % 7 != 0)
+    return knn_classify(cands, queries, k=5)
+
+
+def q_taxonomy(spark, sf_dir):
+    # Hearst pairs -> bounded is_a closure (depth 2, min-support composition,
+    # max across derivations, minimal-depth semantics).
+    from ai_knowledge_graph_spark.operators.hearst import (
+        hearst_hypernyms,
+        taxonomy_closure,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    docs = docs.filter(F.size(ws) >= 6)
+    e = lambda i: F.element_at(ws, i)  # noqa: E731
+    L = F.lit
+    t = F.concat(
+        e(1), L(" such as "), e(2), L(", "), e(3), L(" and "), e(4), L(". "),
+        e(5), L(" and "), e(6), L(" and other "), e(1), L(". "),
+        e(2), L(" including "), e(3), L(" and "), e(4), L(". "),
+        e(6), L(" especially "), e(5), L("."),
+    )
+    pairs = hearst_hypernyms(docs.select("doc_id", t.alias("text")))
+    return taxonomy_closure(pairs, depth=2)
+
+
+def q_mis(spark, sf_dir):
+    # Luby-style maximal independent set over the undirected std KG,
+    # 4 deterministic-priority rounds.
+    from ai_knowledge_graph_spark.graph.walks import maximal_independent_set
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return maximal_independent_set(edges, rounds=4)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2455,6 +2500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "hearst": q_hearst,
         "cdc_chunks": q_cdc_chunks,
+        "knn_classify": q_knn_classify,
+        "taxonomy": q_taxonomy,
+        "mis": q_mis,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3393,6 +3441,115 @@ sh AS (
 )
 SELECT doc_id, chunk_no, start_pos, n_words, chunk_hash, n_docs
 FROM ch JOIN sh USING (chunk_hash)"""
+
+    # k-NN majority-vote labeling: exact cosine top-5 + (votes desc, label)
+    sql["knn_classify"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 7 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, label
+  FROM embeddings WHERE vec_id % 7 <> 0
+),
+s AS (
+  SELECT q.query_id, c.neighbor_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_sql_cos('q.qv', 'c.cv')}, 6) DESC, c.neighbor_id
+         ) AS rk
+  FROM q CROSS JOIN c
+),
+v AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM s WHERE rk <= 5 GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) AS rn
+  FROM v
+) WHERE rn = 1"""
+
+    # Hearst pairs -> depth-2 is_a closure (hearst fixture arithmetic base)
+    sql["taxonomy"] = f"""
+WITH dw AS (
+  SELECT doc_id, {_w('text')} AS ws FROM documents
+  WHERE len({_w('text')}) >= 6
+),
+r AS (
+  SELECT doc_id, ws[2] AS hyponym, ws[1] AS hypernym FROM dw
+  UNION ALL SELECT doc_id, ws[3], ws[1] FROM dw
+  UNION ALL SELECT doc_id, ws[4], ws[1] FROM dw
+  UNION ALL SELECT doc_id, ws[5], ws[1] FROM dw
+  UNION ALL SELECT doc_id, ws[6], ws[1] FROM dw
+  UNION ALL SELECT doc_id, ws[3], ws[2] FROM dw
+  UNION ALL SELECT doc_id, ws[4], ws[2] FROM dw
+  UNION ALL SELECT doc_id, ws[5], ws[6] FROM dw
+),
+base AS MATERIALIZED (
+  SELECT hyponym, hypernym, CAST(count(*) AS BIGINT) AS support
+  FROM r WHERE hyponym <> hypernym GROUP BY hyponym, hypernym
+),
+d2 AS MATERIALIZED (
+  SELECT l.hyponym, r.hypernym,
+         CAST(max(least(l.support, r.support)) AS BIGINT) AS support
+  FROM base l JOIN base r ON l.hypernym = r.hyponym
+  WHERE l.hyponym <> r.hypernym
+  GROUP BY l.hyponym, r.hypernym
+)
+SELECT hyponym, hypernym, 1 AS depth, support FROM base
+UNION ALL
+SELECT d2.hyponym, d2.hypernym, 2 AS depth, d2.support FROM d2
+WHERE NOT EXISTS (
+  SELECT 1 FROM base b
+  WHERE b.hyponym = d2.hyponym AND b.hypernym = d2.hypernym
+)"""
+
+    # Luby MIS: 4 unrolled rounds; (md5, node) total-order priorities
+    _mis_ctes = []
+    for _r in range(4):
+        _mis_ctes.append(f""",
+p{_r} AS MATERIALIZED (
+  SELECT node, md5(node || chr(31) || '{_r}') AS h FROM a{_r}
+),
+s{_r} AS MATERIALIZED (
+  SELECT p.node FROM p{_r} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und u JOIN p{_r} q ON u.b = q.node
+    WHERE u.a = p.node AND (q.h, q.node) < (p.h, p.node)
+  )
+),
+o{_r} AS MATERIALIZED (
+  SELECT DISTINCT u.b AS node FROM und u JOIN s{_r} s ON u.a = s.node
+  WHERE u.b NOT IN (SELECT node FROM s{_r})
+),
+a{_r + 1} AS MATERIALIZED (
+  SELECT node FROM a{_r}
+  WHERE node NOT IN (SELECT node FROM s{_r})
+    AND node NOT IN (SELECT node FROM o{_r})
+)""")
+    sql["mis"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)"""
+        + "".join(_mis_ctes)
+        + """
+SELECT node, 'in' AS state FROM s0"""
+        + "".join(
+            f"\nUNION ALL SELECT node, 'in' FROM s{_r}" for _r in range(1, 4)
+        )
+        + "".join(
+            f"""\nUNION ALL SELECT node, 'out' FROM o{_r}
+  WHERE node IN (SELECT node FROM a{_r})""" for _r in range(4)
+        )
+        + """
+UNION ALL SELECT node, 'undecided' FROM a4"""
+    )
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

@@ -117,3 +117,77 @@ def lpa_communities(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, state): Luby-style maximal-independent-set election over the
+    undirected simple graph, ``rounds`` synchronous rounds (Luby, SIAM J.
+    Comput. 1986) — the classic parallel symmetry-breaking primitive
+    (schedule non-conflicting entity-merge batches, pick cluster exemplars).
+
+    Round ``r``: every still-active node draws the deterministic priority
+    ``(md5(node <US> r), node)``; a node joins the MIS iff its priority is
+    strictly smaller than every active neighbor's, then it and its
+    neighbors leave the active set. The node id in the priority makes the
+    order total, so no round can deadlock. States after ``rounds``:
+    ``in`` (elected), ``out`` (dominated by an elected neighbor),
+    ``undecided`` (ran out of rounds — Luby needs O(log n) in expectation;
+    fixed rounds keep the operator oracle-replayable).
+
+    Plan shape per round: one join of the edge list onto the active set's
+    priorities, one map-side-combinable min aggregation per node, one
+    anti-join to shrink the active set. All shuffles are node-keyed.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    decided = None
+    for r in range(rounds):
+        pri = active.select(
+            "node",
+            F.struct(
+                F.md5(F.concat_ws(_SEP, F.col("node"), F.lit(str(r)))).alias("h"),
+                F.col("node").alias("n"),
+            ).alias("p"),
+        ).localCheckpoint(eager=True)
+        # smallest active-neighbor priority per active node
+        nbr_min = (
+            und.join(pri.select(F.col("node").alias("b"), F.col("p").alias("np")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("np").alias("min_np"))
+        )
+        cand = pri.join(nbr_min, "node", "left")
+        selected = cand.filter(
+            F.col("min_np").isNull() | (F.col("p") < F.col("min_np"))
+        ).select("node").localCheckpoint(eager=True)
+        dominated = (
+            und.join(selected.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(selected, "node", "left_anti")
+            .join(active, "node", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        batch = selected.withColumn("state", F.lit("in")).unionByName(
+            dominated.withColumn("state", F.lit("out"))
+        )
+        decided = batch if decided is None else decided.unionByName(batch)
+        active = (
+            active.join(selected, "node", "left_anti")
+            .join(dominated, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    rest = active.withColumn("state", F.lit("undecided"))
+    return rest if decided is None else decided.unionByName(rest)

@@ -84,3 +84,52 @@ def hearst_hypernyms(
         F.count(F.lit(1)).alias("support"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def taxonomy_closure(pairs: DataFrame, depth: int = 2) -> DataFrame:
+    """(hyponym, hypernym, depth, support): bounded transitive closure of
+    the mined is_a pairs — ``is_a(a,b) ∧ is_a(b,c) ⇒ is_a(a,c)`` up to
+    ``depth`` hops, the taxonomy-induction step after Hearst mining
+    (Snow et al., NeurIPS 2004 learn those compositions; here they are
+    materialized exactly).
+
+    Input: the :func:`hearst_hypernyms` output (pattern granularity is
+    collapsed by summing support per pair). ``depth`` is the MINIMAL
+    derivation length: a pair reachable directly never reappears as a
+    2-hop row (anti-join per level, the operators/inference.py J3 shape).
+    Composed support = min of the parts; across multiple derivations of
+    the same pair, the max such support wins (widest-bottleneck path).
+    Self-pairs arising from cycles are dropped.
+
+    Plan shape per level: one hash equi-join on the shared entity, one
+    map-side-combinable max aggregation, one anti-join against the
+    accumulated closure. Entity-keyed shuffles only — the 100 TB shape,
+    same as transitive_inference.
+    """
+    base = pairs.groupBy("hyponym", "hypernym").agg(
+        F.sum("support").alias("support")
+    )
+    base = base.localCheckpoint(eager=True)
+    out = base.withColumn("depth", F.lit(1))
+    frontier = base
+    for d in range(2, depth + 1):
+        step = (
+            frontier.alias("l")
+            .join(
+                base.alias("r"),
+                F.col("l.hypernym") == F.col("r.hyponym"),
+            )
+            .select(
+                F.col("l.hyponym").alias("hyponym"),
+                F.col("r.hypernym").alias("hypernym"),
+                F.least(F.col("l.support"), F.col("r.support")).alias("support"),
+            )
+            .filter(F.col("hyponym") != F.col("hypernym"))
+            .groupBy("hyponym", "hypernym")
+            .agg(F.max("support").alias("support"))
+            .join(out, ["hyponym", "hypernym"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(step.withColumn("depth", F.lit(d)))
+        frontier = step
+    return out

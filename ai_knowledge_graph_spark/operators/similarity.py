@@ -824,3 +824,53 @@ def ivfpq_topk(
         F.asc("adc_micro"), F.asc("neighbor_id")
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def knn_classify(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, predicted_label, votes): k-NN majority-vote labeling.
+
+    The standard application layer on top of the ANN stack (cosine_topk /
+    ivf_topk / pq_topk are interchangeable retrieval backends; this uses
+    the exact one so the result is oracle-replayable): each query takes the
+    majority label among its k nearest labeled candidates, ties broken to
+    the smaller label. A web-pipeline uses this shape for weak labeling —
+    propagating a small seed of human labels (quality tiers, topics,
+    licenses) across a huge embedded corpus.
+
+    Plan shape: cosine_topk's broadcast-queries scan (corpus is never
+    collected or broadcast), one hash join to attach candidate labels (on
+    neighbor_id), then two map-side-combinable aggregations — (query,
+    label) vote counts and a min_by over struct(-votes, label). No windows
+    beyond the top-k rank pruning inside cosine_topk (bounded at k per
+    query).
+    """
+    top = cosine_topk(
+        candidates.select(id_col, vec_col),
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    lab = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = top.join(lab, "neighbor_id").groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("nlabel").alias("predicted_label"), "votes"),
+                F.struct((-F.col("votes")).alias("nv"), F.col("nlabel")),
+            ).alias("w")
+        )
+        .select("query_id", "w.predicted_label", "w.votes")
+    )

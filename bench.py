@@ -111,6 +111,7 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     from ai_knowledge_graph_spark.operators.inference import infer_relationships
     from ai_knowledge_graph_spark.operators.standardize import standardize_triples
     from ai_knowledge_graph_spark.graph.centrality import pagerank
+    from ai_knowledge_graph_spark.graph.walks import lpa_communities, random_walks
 
     timings: dict[str, float] = {}
     extras: dict = {}
@@ -179,6 +180,24 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
                     F.col("subject").alias("src"), F.col("object").alias("dst")
                 ),
                 iterations=5,
+            ).count(),
+        )
+        timed(
+            "kg_random_walks",
+            lambda: random_walks(
+                std.select(
+                    F.col("subject").alias("src"), F.col("object").alias("dst")
+                ),
+                steps=4,
+            ).count(),
+        )
+        timed(
+            "kg_lpa",
+            lambda: lpa_communities(
+                std.select(
+                    F.col("subject").alias("src"), F.col("object").alias("dst")
+                ),
+                rounds=4,
             ).count(),
         )
         for k, v in timings.items():
@@ -271,6 +290,13 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     entry_mod.q_mix_corpus(spark, "/root/testdata/sf0.001").count()
     timed("doc_mix_corpus", lambda: entry_mod.q_mix_corpus(spark, sf_dir).count())
     timed("doc_c4", lambda: entry_mod.q_c4(spark, sf_dir).count())
+    # Hearst mining (regex scans + one agg) and content-defined chunking
+    # (per-doc lag/cumsum windows + two chunk-keyed aggs) over documents
+    timed("doc_hearst", lambda: entry_mod.q_hearst(spark, sf_dir).count())
+    timed(
+        "doc_cdc_chunks",
+        lambda: entry_mod.q_cdc_chunks(spark, sf_dir).count(),
+    )
     timed("doc_link_graph", lambda: entry_mod.q_link_graph(spark, sf_dir).count())
     timed("doc_bpe_merges", lambda: entry_mod.q_bpe_merges(spark, sf_dir).count())
     timed("doc_bpe_encode", lambda: entry_mod.q_bpe_encode(spark, sf_dir).count())
