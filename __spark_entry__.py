@@ -1359,6 +1359,53 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(edges, rounds=4)
 
 
+def q_entity_trends(spark, sf_dir):
+    # Per-snapshot entity mention counts + exact-integer burst flag over
+    # the triple_history snapshot windows.
+    from ai_knowledge_graph_spark.graph.kgops import entity_trends
+
+    raw = _raw_triples(spark, sf_dir, INFER_DOCS).withColumn("doc_id", _doc_id())
+    snaps = [
+        raw.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in ((0, 30), (10, 40), (20, 50))
+    ]
+    return entity_trends(snaps)
+
+
+def q_anchor_corpus(spark, sf_dir):
+    # Aggregated anchor texts per link target (the Brin & Page §2.2
+    # description signal) from the arithmetic link fixture.
+    from ai_knowledge_graph_spark.operators.webcrawl import (
+        anchor_corpus,
+        extract_links,
+    )
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    return anchor_corpus(extract_links(pages))
+
+
+def q_host_boilerplate(spark, sf_dir):
+    # Per-host boilerplate lines (>= 50% of the host's pages): synthesized
+    # nav line on every page, footer on even docs, per-doc body line.
+    from ai_knowledge_graph_spark.operators.curation import host_boilerplate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    docs = docs.filter(F.size(ws) >= 5)
+    host = F.concat(F.lit("host"), s(d % 7))
+    text = F.concat(
+        F.lit("NAV "), host, F.lit(" | menu\n"),
+        F.array_join(F.slice(ws, 1, 5), " "), F.lit("\n"),
+        F.when(d % 2 == 0, F.concat(F.lit("FOOT "), host)).otherwise(
+            F.concat(F.lit("ALT "), s(d % 3))
+        ),
+    )
+    pages = docs.select(host.alias("host"), d.alias("doc_id"), text.alias("text"))
+    return host_boilerplate(pages, min_share=0.5)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2503,6 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "taxonomy": q_taxonomy,
         "mis": q_mis,
+        "entity_trends": q_entity_trends,
+        "anchor_corpus": q_anchor_corpus,
+        "host_boilerplate": q_host_boilerplate,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3550,6 +3600,67 @@ SELECT node, 'in' AS state FROM s0"""
         + """
 UNION ALL SELECT node, 'undecided' FROM a4"""
     )
+
+    # per-snapshot entity mention counts + strict-inequality burst flag
+    sql["entity_trends"] = _PRELUDE_INFER + """
+, snapped AS (
+  SELECT v.snap, t.subject, t.object
+  FROM triples1 t
+  JOIN (VALUES (0, 0, 30), (1, 10, 40), (2, 20, 50)) v(snap, lo, hi)
+    ON t.doc_id >= v.lo AND t.doc_id < v.hi
+),
+men AS (
+  SELECT snap, entity, CAST(count(*) AS BIGINT) AS mentions FROM (
+    SELECT snap, subject AS entity FROM snapped
+    UNION ALL SELECT snap, object FROM snapped
+  ) GROUP BY snap, entity
+),
+tot AS (
+  SELECT entity, CAST(sum(mentions) AS BIGINT) AS total FROM men GROUP BY entity
+)
+SELECT m.entity, CAST(m.snap AS INT) AS snap, m.mentions, t.total,
+       m.mentions * 3 > 2 * t.total AS burst
+FROM men m JOIN tot t USING (entity)"""
+
+    # anchor-text corpus per link target (arithmetic link fixture)
+    sql["anchor_corpus"] = (
+        _LINK_ORACLE_PRELUDE
+        + """
+SELECT dst_url, anchor_text,
+  CAST(count(*) AS BIGINT) AS n_mentions,
+  CAST(count(DISTINCT 'host' || (doc_id % 7) || '.example.com') AS BIGINT)
+    AS n_src_hosts
+FROM expected
+WHERE dst_url IS NOT NULL AND trim(anchor_text) <> ''
+GROUP BY 1, 2"""
+    )
+
+    # per-host boilerplate lines: presence-counted, exact-integer share test
+    sql["host_boilerplate"] = f"""
+WITH d AS (
+  SELECT doc_id, 'host' || (doc_id % 7) AS host, {_w('text')} AS ws
+  FROM documents WHERE len({_w('text')}) >= 5
+),
+l AS (
+  SELECT host, doc_id,
+         'NAV host' || (doc_id % 7) || ' | menu' AS line FROM d
+  UNION ALL SELECT host, doc_id, array_to_string(ws[1:5], ' ') FROM d
+  UNION ALL SELECT host, doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'FOOT host' || (doc_id % 7)
+         ELSE 'ALT ' || (doc_id % 3) END FROM d
+),
+ld AS (SELECT DISTINCT host, doc_id, line FROM l),
+pl AS (
+  SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+  FROM ld GROUP BY host, line
+),
+ph AS (
+  SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS host_pages
+  FROM d GROUP BY host
+)
+SELECT pl.host, pl.line, pl.n_pages, ph.host_pages
+FROM pl JOIN ph USING (host)
+WHERE pl.n_pages * 1000000 >= 500000 * ph.host_pages"""
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

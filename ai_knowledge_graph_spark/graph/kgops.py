@@ -594,3 +594,42 @@ def entity_summary(
         .filter(F.col("fact_rank") <= k)
         .select("entity", "predicate", "object", "idf_micro", "fact_rank")
     )
+
+
+def entity_trends(snapshots: list[DataFrame]) -> DataFrame:
+    """(entity, snap, mentions, total, burst): per-snapshot entity mention
+    counts across crawl snapshots with exact-integer burst flagging — the
+    temporal-attention signal (Kleinberg, KDD 2002 burst detection,
+    reduced to its shuffle-friendly core) a crawl-fed KG uses to surface
+    trending entities.
+
+    ``mentions`` counts subject+object occurrences of the entity in that
+    snapshot's triple multiset; ``burst`` is true iff the snapshot holds
+    strictly more than twice the entity's average share:
+    ``mentions * n_snapshots > 2 * total``. Pure int64 arithmetic — no
+    float thresholds to diverge on.
+
+    Plan shape: one union + one map-side-combined count per snapshot, one
+    total aggregation, one hash join on entity. Entities absent from a
+    snapshot produce no row (their mentions are 0 by omission; total sums
+    the present rows).
+    """
+    n = len(snapshots)
+    per = None
+    for i, s in enumerate(snapshots):
+        m = (
+            s.select(F.col("subject").alias("entity"))
+            .unionByName(s.select(F.col("object").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("mentions"))
+            .select("entity", F.lit(i).alias("snap"), "mentions")
+        )
+        per = m if per is None else per.unionByName(m)
+    tot = per.groupBy("entity").agg(F.sum("mentions").alias("total"))
+    return per.join(tot, "entity").select(
+        "entity",
+        "snap",
+        "mentions",
+        "total",
+        (F.col("mentions") * n > F.lit(2) * F.col("total")).alias("burst"),
+    )

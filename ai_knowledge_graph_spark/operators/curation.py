@@ -457,3 +457,51 @@ def exact_substring_dedup_incremental(
     )
     dup = wins.join(hot, "_h").select(id_col, "_wpos")
     return _apply_window_removal(base, dup, k, id_col, text_col)
+
+
+def host_boilerplate(
+    pages: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_share: float = 0.5,
+) -> DataFrame:
+    """(host, line, n_pages, host_pages): lines that repeat across at least
+    ``min_share`` of a host's pages — per-host boilerplate (nav bars,
+    footers, cookie banners), the host-scoped refinement of corpus-level
+    line_dedup that CCNet applies per-shard and RefinedWeb per-domain.
+
+    A line counts once per page it appears on (presence, not multiplicity).
+    The share test is exact integer arithmetic: ``n_pages * 1_000_000 >=
+    round(min_share * 1e6) * host_pages`` — no float division to diverge
+    between engines.
+
+    Plan shape: line explode → distinct (host, page, line) → one count
+    keyed on (host, line), one count keyed on host, one hash join on host.
+    Host hotness is bounded: the per-(host,line) count combines map-side,
+    and the host-pages dimension is one row per host (broadcastable).
+    """
+    share_micro = int(round(min_share * 1_000_000))
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.col(id_col).alias("page_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .distinct()
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.countDistinct("page_id").alias("n_pages")
+    )
+    per_host = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("host_pages")
+    )
+    return (
+        per_line.join(F.broadcast(per_host), "host")
+        .filter(
+            F.col("n_pages") * F.lit(1_000_000)
+            >= F.lit(share_micro) * F.col("host_pages")
+        )
+        .select("host", "line", "n_pages", "host_pages")
+    )

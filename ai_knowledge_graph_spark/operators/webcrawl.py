@@ -797,3 +797,26 @@ def parse_sitemaps(
         )
         .filter(F.col("url") != "")
     )
+
+
+def anchor_corpus(links: DataFrame) -> DataFrame:
+    """(dst_url, anchor_text, n_mentions, n_src_hosts): aggregated anchor
+    texts per link target — the classic web-search description signal
+    (anchor text describes the TARGET page better than the page itself;
+    Brin & Page 1998 §2.2), which a crawl-fed KG uses as entity surface
+    forms and page descriptions.
+
+    One hash aggregation keyed on (dst_url, anchor_text); the mention
+    count combines map-side and the distinct-source-host count is bounded
+    per key by the host universe. Empty/whitespace anchors are dropped.
+    """
+    host = F.regexp_extract(F.col("url"), _AUTHORITY_RE, 1)
+    return (
+        links.filter(F.col("dst_url").isNotNull())
+        .filter(F.trim(F.col("anchor_text")) != "")
+        .groupBy("dst_url", "anchor_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct(host).alias("n_src_hosts"),
+        )
+    )
