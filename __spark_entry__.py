@@ -1406,6 +1406,22 @@ def q_host_boilerplate(spark, sf_dir):
     return host_boilerplate(pages, min_share=0.5)
 
 
+def q_inverted_index(spark, sf_dir):
+    # positional inverted index over documents: postings + df/cf stats.
+    from ai_knowledge_graph_spark.operators.ranking import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_link_predict(spark, sf_dir):
+    # Adamic-Adar link prediction over the std KG: wedge join + micro-unit
+    # 1/ln(deg) weights + anti-join against existing edges.
+    from ai_knowledge_graph_spark.graph.kgops import link_predict
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return link_predict(std)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2553,6 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_trends": q_entity_trends,
         "anchor_corpus": q_anchor_corpus,
         "host_boilerplate": q_host_boilerplate,
+        "inverted_index": q_inverted_index,
+        "link_predict": q_link_predict,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3661,6 +3679,55 @@ ph AS (
 SELECT pl.host, pl.line, pl.n_pages, ph.host_pages
 FROM pl JOIN ph USING (host)
 WHERE pl.n_pages * 1000000 >= 500000 * ph.host_pages"""
+
+    # positional inverted index: postings + term stats
+    sql["inverted_index"] = f"""
+WITH wsrc AS (
+  SELECT doc_id, unnest({_w('text')}) AS term,
+         generate_subscripts({_w('text')}, 1) - 1 AS pos
+  FROM documents
+),
+p AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+  FROM wsrc GROUP BY term, doc_id
+),
+s AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM p GROUP BY term
+)
+SELECT p.term, p.doc_id, p.tf, p.positions, s.df, s.cf
+FROM p JOIN s USING (term)"""
+
+    # Adamic-Adar link prediction: wedges + micro-unit 1/ln(deg) weights
+    sql["link_predict"] = _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+w AS (
+  SELECT z, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+  FROM deg WHERE deg >= 2
+),
+wedge AS (
+  SELECT u1.a AS x, u2.a AS y, u1.b AS z
+  FROM und u1 JOIN und u2 ON u1.b = u2.b
+  WHERE u1.a < u2.a
+),
+sc AS (
+  SELECT x AS node_a, y AS node_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(w.w) AS BIGINT) AS aa_micro
+  FROM wedge JOIN w ON wedge.z = w.z GROUP BY x, y
+)
+SELECT node_a, node_b, common, aa_micro FROM sc
+WHERE NOT EXISTS (
+  SELECT 1 FROM und u WHERE u.a = sc.node_a AND u.b = sc.node_b
+)"""
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

@@ -633,3 +633,62 @@ def entity_trends(snapshots: list[DataFrame]) -> DataFrame:
         "total",
         (F.col("mentions") * n > F.lit(2) * F.col("total")).alias("burst"),
     )
+
+
+def link_predict(
+    triples: DataFrame,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """(node_a, node_b, common, aa_micro): Adamic-Adar link prediction
+    (Adamic & Adar, Social Networks 2003) over the undirected simple graph
+    of the triple store — the standard KG-completion candidate scorer:
+    non-adjacent pairs sharing neighbors, scored by
+    ``sum over common z of 1/ln(deg(z))``, rare hubs weighing more.
+
+    ``aa_micro`` freezes each 1/ln term to int64 micro-units BEFORE the
+    sum (the tfidf/DSIR trick), so scores are summation-order-independent
+    and hash-exact. Common neighbors always have degree >= 2, so ln > 0.
+
+    Plan shape: one self-join of the undirected adjacency on the shared
+    neighbor z (the wedge enumeration triangles/rule-mining also use), a
+    degree join on z, one map-side-combinable aggregation per (a, b), and
+    an anti-join against the edge set (predict NEW links only).
+
+    100 TB guard: a hub z emits deg(z)^2 wedges; ``max_hub_degree=K``
+    drops z above K from the wedge join entirely (both sides), the same
+    functionality cap as mine_rules' max_join_fanout — scores then
+    undercount hub-mediated similarity, which Adamic-Adar's 1/ln weight
+    already discounts to near-zero.
+    """
+    e = triples.select(F.col("subject").alias("a"), F.col("object").alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    if max_hub_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_hub_degree)
+    # a common neighbor is adjacent to two distinct nodes, so deg >= 2 —
+    # the filter both encodes that invariant and keeps ln(deg) > 0 under
+    # ANSI division
+    w = deg.filter(F.col("deg") >= 2).withColumn(
+        "w",
+        F.round(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))).cast(
+            "bigint"
+        ),
+    )
+    wedges = (
+        und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        .join(und.select(F.col("a").alias("y"), F.col("b").alias("z2")),
+              F.col("z") == F.col("z2"))
+        .filter(F.col("x") < F.col("y"))
+        .join(w.select("z", "w"), "z")
+    )
+    scored = wedges.groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b")).agg(
+        F.count(F.lit(1)).alias("common"),
+        F.sum("w").alias("aa_micro"),
+    )
+    adjacent = und.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    return scored.join(adjacent, ["node_a", "node_b"], "left_anti")

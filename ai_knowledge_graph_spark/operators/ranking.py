@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import _words
+from ..session import spread
 
 K1 = 1.2
 B = 0.75
@@ -140,4 +141,46 @@ def rrf_fuse(
             n_lists.cast("long").alias("n_lists"),
         )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, tf, positions, df, cf): positional inverted index —
+    the materialized retrieval artifact behind bm25_rank (which recomputes
+    term stats per query batch; a 100 TB corpus builds THIS once and
+    serves queries from it).
+
+    ``positions`` is the comma-joined ascending word-offset list (0-based)
+    of the term in the document, ``tf`` its length; ``df`` = number of
+    documents containing the term, ``cf`` = total corpus occurrences.
+
+    Plan shape: posexplode words → one hash aggregation keyed (term,
+    doc) building tf + the sorted position list (collect_list bounded by
+    per-doc term frequency, never a cross-doc window) → one term-keyed
+    aggregation for df/cf → one hash join on term. At scale the output is
+    naturally bucketable by term — the standard sharded-index layout.
+    """
+    words = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("pos", "term"),
+    )
+    postings = words.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")), lambda p: p.cast("string")),
+            ",",
+        ).alias("positions"),
+    )
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    return postings.join(stats, "term").select(
+        "term", "doc_id", "tf", "positions", "df", "cf"
     )
