@@ -1422,6 +1422,36 @@ def q_link_predict(spark, sf_dir):
     return link_predict(std)
 
 
+def q_containment(spark, sf_dir):
+    # Asymmetric containment (quote/excerpt) detection: 6-word shingles,
+    # hot-shingle cap df<=20, exact integer ppm threshold 0.8.
+    from ai_knowledge_graph_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), k=6, min_containment=0.8, max_shingle_df=20
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    # Pearson degree assortativity of the undirected std KG: exact int64
+    # moment sums, one final float formula.
+    from ai_knowledge_graph_spark.graph.kgops import degree_assortativity
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return degree_assortativity(std)
+
+
+def q_hyperball(spark, sf_dir):
+    # HyperBall neighborhood function over the std KG: per-node HLL
+    # sketches of the 3-hop out-ball, relational registers, exact-integer
+    # harmonic sums.
+    from ai_knowledge_graph_spark.graph.walks import hyperball
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return hyperball(edges, radius=3, p=6)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2571,6 +2601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "inverted_index": q_inverted_index,
         "link_predict": q_link_predict,
+        "containment": q_containment,
+        "assortativity": q_assortativity,
+        "hyperball": q_hyperball,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3285,7 +3318,8 @@ SELECT source || '.example.org' AS host,
        'https://' || source || '.example.org/p' || CAST(doc_id % 50 AS VARCHAR) AS url,
        CASE WHEN doc_id % 3 = 0
             THEN printf('2024-01-%02d', doc_id % 28 + 1) END AS lastmod,
-       CASE WHEN doc_id % 4 = 0 THEN 0.9 ELSE 0.5 END AS priority
+       CASE WHEN doc_id % 4 = 0 THEN CAST(0.9 AS DOUBLE)
+            ELSE CAST(0.5 AS DOUBLE) END AS priority
 FROM documents"""
     # SCD2 triple validity runs across three crawl slices
     # (kgops.triple_history); runs computed relationally: a start is a
@@ -3728,6 +3762,126 @@ SELECT node_a, node_b, common, aa_micro FROM sc
 WHERE NOT EXISTS (
   SELECT 1 FROM und u WHERE u.a = sc.node_a AND u.b = sc.node_b
 )"""
+
+    # asymmetric shingle containment (quote detection), 6-grams, df cap 20
+    sql["containment"] = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(words) - 5, 0) + 1),
+    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         words[i+3] || ' ' || words[i+4] || ' ' || words[i+5])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents)
+  WHERE len(words) >= 6
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a FROM ex GROUP BY doc_id),
+hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
+exq AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM exq a JOIN exq b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared, z.size_a,
+       CAST((p.shared * 1000000) // z.size_a AS BIGINT) AS containment_ppm
+FROM p JOIN sizes z ON z.doc_id = p.doc_a
+WHERE (p.shared * 1000000) // z.size_a >= 800000"""
+
+    # Pearson degree assortativity: exact int64 moments, one float formula
+    sql["assortativity"] = _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a),
+pr AS (
+  SELECT dj.deg AS j, dk.deg AS k
+  FROM und u
+  JOIN deg dj ON u.a = dj.node
+  JOIN deg dk ON u.b = dk.node
+),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(j * k) AS BIGINT) AS s_jk,
+         CAST(sum(j) AS BIGINT) AS s_j,
+         CAST(sum(j * j) AS BIGINT) AS s_jj
+  FROM pr
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN den <> CAST(0.0 AS DOUBLE) THEN num / den END, 6)
+         AS assortativity
+FROM (
+  SELECT m2,
+    CAST(s_jk AS DOUBLE) / CAST(m2 AS DOUBLE)
+      - (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE))
+        * (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE)) AS num,
+    CAST(s_jj AS DOUBLE) / CAST(m2 AS DOUBLE)
+      - (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE))
+        * (CAST(s_j AS DOUBLE) / CAST(m2 AS DOUBLE)) AS den
+  FROM ag
+), nn"""
+
+    # HyperBall: 3 unrolled max-merge rounds over relational HLL registers
+    _hb_ctes = []
+    for _t in range(1, 4):
+        _hb_ctes.append(f""",
+k{_t} AS MATERIALIZED (
+  SELECT node, bucket, max(register) AS register FROM (
+    SELECT node, bucket, register FROM k{_t - 1}
+    UNION ALL
+    SELECT e.src AS node, k.bucket, k.register
+    FROM ed e JOIN k{_t - 1} k ON k.node = e.dst
+  ) GROUP BY node, bucket
+)""")
+    sql["hyperball"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+vn AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed
+  )
+),
+h0 AS (
+  SELECT node, ('0x' || substr(md5('hb:' || node), 1, 12))::BIGINT AS hv
+  FROM vn
+),
+k0 AS MATERIALIZED (
+  SELECT node, hv // 4398046511104 AS bucket,
+         CASE WHEN hv % 4398046511104 = 0 THEN 43
+              ELSE 42 - length(bin(hv % 4398046511104)) + 1 END AS register
+  FROM h0
+)"""
+        + "".join(_hb_ctes)
+        + """,
+per AS (
+  SELECT node,
+         sum(1::BIGINT << CAST(62 - register AS INT)) AS s_present,
+         CAST(count(*) AS BIGINT) AS np
+  FROM k3 GROUP BY node
+)
+SELECT node,
+       round(CASE WHEN raw <= CAST(160 AS DOUBLE) AND n_zero > 0
+                  THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / n_zero)
+                  ELSE raw END, 6) AS ball_size,
+       n_zero AS n_zero_registers
+FROM (
+  SELECT node, (64 - np) AS n_zero,
+    CAST(0.7213 AS DOUBLE)
+      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))
+      * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
+      * CAST(4611686018427387904 AS DOUBLE)
+      / CAST(s_present + (64 - np) * CAST(4611686018427387904 AS HUGEINT)
+             AS DOUBLE) AS raw
+  FROM per
+)"""
+    )
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

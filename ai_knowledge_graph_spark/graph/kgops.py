@@ -692,3 +692,60 @@ def link_predict(
     )
     adjacent = und.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
     return scored.join(adjacent, ["node_a", "node_b"], "left_anti")
+
+
+def degree_assortativity(triples: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, assortativity): Pearson degree
+    assortativity (Newman, PRL 2002) of the undirected simple graph — the
+    single scalar that says whether hubs link to hubs (>0, social-style)
+    or to leaves (<0, web/biology-style); a KG health metric worth
+    tracking per crawl snapshot.
+
+    Computed over the symmetric directed edge list (each undirected edge
+    contributes both (j,k) and (k,j), Newman's convention): with
+    j,k = endpoint degrees,
+
+        r = [S_jk/M - (S_j/M)^2] / [S_jj/M - (S_j/M)^2]
+
+    where S_jk = sum(j*k), S_j = sum(j), S_jj = sum(j^2) and M = row
+    count. All sums are exact int64 aggregations (degree products of a
+    48-degree hub on 10^12 edges stay far under 2^63); the final formula
+    is the only floating-point step, round(6).
+
+    Plan shape: one degree aggregation, two hash joins to attach endpoint
+    degrees, one global aggregate. Returns assortativity NULL for
+    degree-regular graphs (variance 0).
+    """
+    e = triples.select(F.col("subject").alias("a"), F.col("object").alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    paired = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("j")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("k")), "b")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("j") * F.col("k")).alias("s_jk"),
+        F.sum("j").alias("s_j"),
+        F.sum(F.col("j") * F.col("j")).alias("s_jj"),
+    )
+    n_nodes = deg.count()
+    md = F.col("m2").cast("double")
+    mean = F.col("s_j").cast("double") / md
+    num = F.col("s_jk").cast("double") / md - mean * mean
+    den = F.col("s_jj").cast("double") / md - mean * mean
+    return agg.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            F.when(den != 0.0, num / den),
+            6,
+        ).alias("assortativity"),
+    )

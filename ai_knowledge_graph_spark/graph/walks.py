@@ -191,3 +191,97 @@ def maximal_independent_set(
         )
     rest = active.withColumn("state", F.lit("undecided"))
     return rest if decided is None else decided.unionByName(rest)
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, ball_size, n_zero_registers): HyperBall (Boldi & Vigna,
+    arXiv 2013) — per-node HyperLogLog sketches of the out-reachable ball
+    within ``radius`` hops, iterated by max-merging each node's sketch
+    with its successors'. THE algorithm for neighborhood functions /
+    centralities on web-scale graphs (it computed distance distributions
+    on 3.5B-page crawls); exact BFS from every node is |V| frontiers,
+    HyperBall is one (node, bucket)-keyed aggregation per hop.
+
+    Registers are kept RELATIONALLY — (node, bucket, register) rows,
+    absent bucket = 0 — so the merge is a plain groupBy().max() that
+    combines map-side, and rho is exact integer arithmetic (the
+    operators/sketches.py hll_build convention: 48-bit md5 prefix, top
+    ``p`` bucket bits, rho = leading-zero count of the rest + 1, computed
+    via binary-string length — no float log). The cardinality estimate
+    mirrors hll_estimate: exact integer harmonic sum 2^(62-r) in
+    decimal(38,0), one double division, standard linear-counting
+    correction — so ``ball_size`` round(6)-hash-compares.
+
+    Plan shape per hop: one hash join of the edge list onto the sketch
+    (keyed on the successor) + one map-side-combinable max; sketch size
+    is at most |V| * 2^p rows. At 10^12 edges this is the published
+    HyperBall schema sharded by node.
+    """
+    m = 1 << p
+    rest_bits = 48 - p
+    e = (
+        edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hb:"), F.col("node"))), 1, 12), 16, 10
+    ).cast("bigint")
+    rest = h % F.lit(1 << rest_bits)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + 1
+    )
+    sketch = nodes.select(
+        "node",
+        F.shiftright(h, rest_bits).alias("bucket"),
+        rho.cast("int").alias("register"),
+    ).localCheckpoint(eager=True)
+    for _ in range(radius):
+        succ = e.join(sketch, sketch.node == e.e_dst).select(
+            F.col("e_src").alias("node"), "bucket", "register"
+        )
+        sketch = (
+            sketch.unionByName(succ)
+            .groupBy("node", "bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint(eager=True)
+        )
+    term = F.expr(
+        "shiftleft(cast(1 as bigint), cast(62 - register as int))"
+    ).cast("decimal(38,0)")
+    per = sketch.groupBy("node").agg(
+        F.sum(term).alias("_s"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    n_zero = (F.lit(m) - F.col("_np")).cast("long")
+    s_full = F.col("_s") + n_zero.cast("decimal(38,0)") * F.lit(2**62).cast(
+        "decimal(38,0)"
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(2**62))
+        / s_full.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        "node",
+        F.round(est, 6).alias("ball_size"),
+        n_zero.alias("n_zero_registers"),
+    )

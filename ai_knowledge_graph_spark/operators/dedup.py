@@ -544,3 +544,65 @@ def cdc_chunks(
     return chunks.join(shared, "chunk_hash").select(
         "doc_id", "chunk_no", "start_pos", "n_words", "chunk_hash", "n_docs"
     )
+
+
+# --- Containment (asymmetric near-dup / quote detection) ----------------------
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, size_a, containment_ppm): shingle containment
+    ``|S(A) ∩ S(B)| / |S(A)|`` for ordered pairs — the ASYMMETRIC near-dup
+    signal (Broder 1997's containment, the quote/excerpt detector): a short
+    document quoted inside a long one scores near 1.0 here while its
+    Jaccard stays near zero, so jaccard_pairs cannot see it.
+
+    ``containment_ppm`` is exact integer floor division
+    ``shared * 1_000_000 div size_a`` — no float ratio to diverge on.
+    Ordered pairs below ``min_containment`` are dropped.
+
+    Plan shape: distinct-shingle explode → one self-join on the shingle
+    (the blocking key) → one map-side-combinable count per ordered pair →
+    one join onto per-doc shingle counts. 100 TB guard: a shingle shared
+    by df documents emits df^2 ordered candidates; ``max_shingle_df=K``
+    drops shingles above K from the join (stop-shingle removal — the
+    standard containment-sketch mitigation), bounding per-key fanout.
+    """
+    sh = shingles(docs, k=k).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(hot, "shingle", "left_anti")
+    share_micro = int(round(min_containment * 1_000_000))
+    pairs = (
+        joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            joinable.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")),
+            "doc_a",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST((shared * 1000000) DIV size_a AS BIGINT)"),
+        )
+        .filter(F.col("containment_ppm") >= share_micro)
+        .select("doc_a", "doc_b", "shared", "size_a", "containment_ppm")
+    )
