@@ -137,6 +137,12 @@ def main() -> None:
         ("semdedup", entry_mod.q_semdedup),
         ("curate_corpus", entry_mod.q_curate_corpus),
         ("pq_topk", entry_mod.q_pq_topk),
+        # round-4 session-4 additions: CDC chunking (per-doc windows),
+        # Hearst mining (regex scans + one agg), asymmetric containment
+        # (capped shingle join) — all linear-family doc ops
+        ("cdc_chunks", entry_mod.q_cdc_chunks),
+        ("hearst", entry_mod.q_hearst),
+        ("containment", entry_mod.q_containment),
     ]
     def force(df) -> None:
         # noop sink: forces EVERY output column (count() lets Spark prune

@@ -1452,6 +1452,42 @@ def q_hyperball(spark, sf_dir):
     return hyperball(edges, radius=3, p=6)
 
 
+def q_node2vec(spark, sf_dir):
+    # Second-order non-backtracking walks (node2vec p->inf determinized)
+    # over the std KG, 4 hops.
+    from ai_knowledge_graph_spark.graph.walks import node2vec_walks
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return node2vec_walks(edges, steps=4)
+
+
+def q_ktruss(spark, sf_dir):
+    # 3-truss peeling over the undirected std KG, 3 synchronous rounds.
+    from ai_knowledge_graph_spark.graph.walks import ktruss
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return ktruss(edges, k=3, rounds=3)
+
+
+def q_url_templates(spark, sf_dir):
+    # URL pattern mining over two synthesized URL families per doc
+    # (digit-parameterized article path + static page); the oracle states
+    # the expected templates literally, so an engine regex bug mismatches.
+    from ai_knowledge_graph_spark.operators.webcrawl import url_templates
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("https://host"), s(d % 7), F.lit(".example.com"))
+    u1 = F.concat(host, F.lit("/article/"), s(d), F.lit("/page"), s(d % 3),
+                  F.lit(".html"))
+    u2 = F.concat(host, F.lit("/static/about.html"))
+    pages = docs.select(u1.alias("url")).unionByName(docs.select(u2.alias("url")))
+    return url_templates(pages)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2604,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "assortativity": q_assortativity,
         "hyperball": q_hyperball,
+        "node2vec": q_node2vec,
+        "ktruss": q_ktruss,
+        "url_templates": q_url_templates,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3882,6 +3921,86 @@ FROM (
   FROM per
 )"""
     )
+
+    # second-order non-backtracking walks: 4 unrolled min_by CTEs whose
+    # key prefixes a backtrack flag onto the md5 order
+    _n2v_ctes = []
+    for _t in range(1, 5):
+        _n2v_ctes.append(f""",
+v{_t} AS MATERIALIZED (
+  SELECT w.start,
+         max(w.node) AS prev,
+         min_by(e.dst,
+                (CASE WHEN e.dst = w.prev THEN '1' ELSE '0' END)
+                || md5(w.node || chr(31) || '{_t}' || chr(31) || e.dst)) AS node
+  FROM v{_t - 1} w JOIN e ON w.node = e.src
+  GROUP BY w.start
+)""")
+    sql["node2vec"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT DISTINCT subject AS src, object AS dst FROM std),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT src AS start, '' AS prev, src AS node FROM e
+)"""
+        + "".join(_n2v_ctes)
+        + """
+SELECT start, 0 AS step, node FROM v0"""
+        + "".join(
+            f"\nUNION ALL SELECT start, {_t} AS step, node FROM v{_t}"
+            for _t in range(1, 5)
+        )
+    )
+
+    # 3-truss: 3 unrolled peels (wedge join + canonical-edge join + count)
+    _kt_ctes = []
+    for _r in range(1, 4):
+        _kt_ctes.append(f""",
+y{_r - 1} AS (
+  SELECT a, b FROM t{_r - 1} UNION ALL SELECT b, a FROM t{_r - 1}
+),
+s{_r} AS MATERIALIZED (
+  SELECT w1.a AS a, w2.a AS b, CAST(count(*) AS BIGINT) AS support
+  FROM (SELECT a, b AS w FROM y{_r - 1}) w1
+  JOIN (SELECT a, b AS w FROM y{_r - 1}) w2
+    ON w1.w = w2.w AND w1.a < w2.a
+  JOIN t{_r - 1} ec ON ec.a = w1.a AND ec.b = w2.a
+  GROUP BY w1.a, w2.a
+),
+t{_r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM t{_r - 1} e
+  JOIN s{_r} s ON e.a = s.a AND e.b = s.b
+  WHERE s.support >= 1
+)""")
+    sql["ktruss"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, t0 AS MATERIALIZED (
+  SELECT DISTINCT least(subject, object) AS a,
+                  greatest(subject, object) AS b
+  FROM std WHERE subject <> object
+)"""
+        + "".join(_kt_ctes)
+        + """
+SELECT t3.a AS node_a, t3.b AS node_b, s3.support
+FROM t3 JOIN s3 ON t3.a = s3.a AND t3.b = s3.b"""
+    )
+
+    # URL template mining: oracle states the expected templates literally
+    sql["url_templates"] = """
+WITH l AS (
+  SELECT 'host' || (doc_id % 7) || '.example.com' AS host,
+         'https://host{n}.example.com/article/{n}/page{n}.html' AS template,
+         'https://host' || (doc_id % 7) || '.example.com/article/' || doc_id
+           || '/page' || (doc_id % 3) || '.html' AS u
+  FROM documents
+  UNION ALL
+  SELECT 'host' || (doc_id % 7) || '.example.com',
+         'https://host{n}.example.com/static/about.html',
+         'https://host' || (doc_id % 7) || '.example.com/static/about.html'
+  FROM documents
+)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+       min(u) AS example_url
+FROM l GROUP BY host, template"""
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

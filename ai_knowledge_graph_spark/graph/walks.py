@@ -285,3 +285,130 @@ def hyperball(
         F.round(est, 6).alias("ball_size"),
         n_zero.alias("n_zero_registers"),
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(start, step, node): second-order (node2vec-style) deterministic
+    walks — like :func:`random_walks` but NON-BACKTRACKING: at node ``u``
+    with predecessor ``w``, neighbors ``v != w`` are preferred over
+    returning to ``w`` (the p-parameter of Grover & Leskovec 2016 pushed
+    to its deterministic limit: return only when it is the sole option).
+
+    Choice key = ``('1' if v == prev else '0') || md5(u, t, v)`` — the
+    backtrack flag dominates the hash order, so a non-backtracking
+    neighbor always wins; among equals the md5 order decides. Same plan
+    shape as random_walks (one equi-join + one min_by per step); the
+    walk state additionally carries the predecessor, a constant-width
+    column.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        e.select(F.col("e_src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.lit(0).alias("step"),
+            F.lit("").alias("prev"),
+            F.col("start").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = frontier.select("start", "step", "node")
+    for t in range(1, steps + 1):
+        key = F.concat(
+            F.when(F.col("e_dst") == F.col("prev"), F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+            F.md5(F.concat_ws(_SEP, F.col("node"), F.lit(str(t)), F.col("e_dst"))),
+        )
+        frontier = (
+            frontier.join(e, frontier.node == e.e_src)
+            .groupBy("start")
+            .agg(
+                F.min_by("e_dst", key).alias("nx"),
+                F.max("node").alias("prev"),  # group-constant: one node/start
+            )
+            .select(
+                "start", F.lit(t).alias("step"), "prev", F.col("nx").alias("node")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(frontier.select("start", "step", "node"))
+    return out
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node_a, node_b, support): edges surviving ``rounds`` synchronous
+    k-truss peels (Cohen 2008) — every surviving edge sat in >= k-2
+    triangles of the then-current graph at each peel; the community
+    backbone primitive one notch stronger than k-core (which bounds
+    degree, not shared neighborhoods).
+
+    ``support`` is the edge's triangle count at the FINAL peel (the value
+    that justified its survival). Fixed synchronous rounds keep the
+    operator oracle-replayable; a fixpoint loop is the production variant
+    (each extra round is one more pass of the same plan).
+
+    Plan shape per round: wedge enumeration (one self-join of the
+    symmetric adjacency on the shared neighbor) + one join back onto the
+    canonical edge list + one map-side-combinable count + one filter —
+    all node/edge-keyed shuffles, the triangles-operator schema iterated.
+
+    Requires ``k >= 3`` (at k=2 the support threshold is vacuous and the
+    support join would silently drop triangle-free survivors).
+    """
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3")
+    cur = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = None
+    for _ in range(rounds):
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        wedges = (
+            sym.select(F.col("a").alias("x"), F.col("b").alias("w"))
+            .join(
+                sym.select(F.col("a").alias("y"), F.col("b").alias("w2")),
+                F.col("w") == F.col("w2"),
+            )
+            .filter(F.col("x") < F.col("y"))
+            .select(F.col("x").alias("a"), F.col("y").alias("b"), "w")
+        )
+        sup = (
+            wedges.join(cur, ["a", "b"], "left_semi")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        sup = sup.localCheckpoint(eager=True)
+    return cur.join(sup, ["a", "b"]).select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"), "support"
+    )

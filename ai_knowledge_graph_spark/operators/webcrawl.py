@@ -820,3 +820,32 @@ def anchor_corpus(links: DataFrame) -> DataFrame:
             F.countDistinct(host).alias("n_src_hosts"),
         )
     )
+
+
+def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, template, n_urls, example_url): URL pattern mining — collapse
+    digit runs to ``{n}`` and aggregate per host, the standard crawler
+    pass for spotting parameterized page families (pagination, article
+    ids, session paths) so the frontier can cap or canonicalize them
+    (the URL-template clustering of Koppula et al., WSDM 2010, reduced
+    to its digit-generalization core).
+
+    ``example_url`` is the lexicographically smallest member
+    (deterministic). One hash aggregation keyed (host, template); both
+    aggregates combine map-side, so hub hosts cost their distinct
+    template count, not their page count.
+    """
+    host = F.regexp_extract(F.col(url_col), _AUTHORITY_RE, 1)
+    template = F.regexp_replace(F.col(url_col), "[0-9]+", "{n}")
+    return (
+        pages.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("u"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("u").alias("example_url"),
+        )
+    )
