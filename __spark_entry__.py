@@ -1488,6 +1488,76 @@ def q_url_templates(spark, sf_dir):
     return url_templates(pages)
 
 
+def q_modularity(spark, sf_dir):
+    # Newman modularity decomposition of the LPA communities (4 rounds)
+    # over the undirected std KG — the quality score for q_lpa's output.
+    from ai_knowledge_graph_spark.graph.walks import lpa_communities, modularity
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return modularity(edges, lpa_communities(edges, rounds=4))
+
+
+def q_scc(spark, sf_dir):
+    # Strongly connected components over an arithmetically-synthesized
+    # directed graph (per-group cycles of length 3-6 + tail chains + a
+    # forward group link), so the oracle can replay the doubling closure
+    # on the exact same edge list. 3 doublings = 8-hop bound > max cycle.
+    from ai_knowledge_graph_spark.graph.walks import scc
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (d - d % 8).alias("base"), (d % 8).alias("r"),
+        (F.lit(3) + ((d - d % 8) / 8).cast("long") % 4).alias("cl"),
+    )
+    cyc = docs.select(
+        F.col("doc_id").alias("src"),
+        F.when(
+            F.col("r") < F.col("cl"),
+            F.col("base") + (F.col("r") + 1) % F.col("cl"),
+        )
+        .otherwise(F.col("doc_id") - 1)
+        .alias("dst"),
+    )
+    link = docs.filter(F.col("r") == 7).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return scc(cyc.unionByName(link), doublings=3)
+
+
+def q_funnel(spark, sf_dir):
+    # view -> click -> purchase funnel, 7-day entry-anchored window.
+    from ai_knowledge_graph_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, steps=("view", "click", "purchase"), window_sec=7 * 86400)
+
+
+def q_retention(spark, sf_dir):
+    # signup-anchored weekly retention cohorts.
+    from ai_knowledge_graph_spark.operators.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, anchor_type="signup")
+
+
+def q_ontology_check(spark, sf_dir):
+    # functional / inverse-functional violation profile per predicate.
+    from ai_knowledge_graph_spark.graph.kgops import functional_violations
+
+    return functional_violations(_std_triples(spark, sf_dir, INFER_DOCS))
+
+
+def q_harmonic(spark, sf_dir):
+    # exact bounded harmonic centrality (radius 3) over the undirected
+    # std KG — the reproducible-ranking twin of q_hyperball.
+    from ai_knowledge_graph_spark.graph.walks import harmonic_centrality
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return harmonic_centrality(edges, radius=3)
+
+
 def q_pagerank(spark, sf_dir):
     # Link-graph PageRank over the standardized KG edges (5 rounds, d=0.85).
     from ai_knowledge_graph_spark.graph.centrality import pagerank
@@ -2643,6 +2713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "ktruss": q_ktruss,
         "url_templates": q_url_templates,
+        "modularity": q_modularity,
+        "scc": q_scc,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "ontology_check": q_ontology_check,
+        "harmonic": q_harmonic,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -3522,6 +3598,54 @@ l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
 SELECT node, label FROM l4"""
     )
 
+    # Newman modularity of the LPA communities: replay the lpa CTE chain,
+    # then exact integer edge/degree counts + one float formula (the
+    # half-term is written twice so both engines square the same quotient)
+    sql["modularity"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
+        + "".join(_lpa_ctes)
+        + """
+, canon AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM und
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+  ) GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+pl AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM deg d JOIN l4 l ON d.node = l.node GROUP BY 1
+),
+ie AS (
+  SELECT la.label AS label, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM canon c
+  JOIN l4 la ON c.a = la.node
+  JOIN l4 lb ON c.b = lb.node
+  WHERE la.label = lb.label GROUP BY 1
+)
+SELECT pl.label, pl.n_nodes,
+       CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+       pl.degree_sum,
+       round(CAST(coalesce(ie.intra_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+             - (CAST(pl.degree_sum AS DOUBLE)
+                / (CAST(2.0 AS DOUBLE) * CAST(mm.m AS DOUBLE)))
+             * (CAST(pl.degree_sum AS DOUBLE)
+                / (CAST(2.0 AS DOUBLE) * CAST(mm.m AS DOUBLE))), 6)
+         AS contribution
+FROM pl LEFT JOIN ie USING (label) CROSS JOIN mm"""
+    )
+
     # Hearst hypernyms: expected rows stated arithmetically from the word
     # positions the fixture text is synthesized from (hearst.py patterns).
     sql["hearst"] = f"""
@@ -4001,6 +4125,159 @@ WITH l AS (
 SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
        min(u) AS example_url
 FROM l GROUP BY host, template"""
+
+    # bounded SCC: replay the arithmetic edge fixture + 3 path-doubling
+    # rounds (8-hop closure) + mutual-reachability min-partner grouping
+    _scc_ctes = []
+    for _k in range(1, 4):
+        _scc_ctes.append(f""",
+r{_k} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM r{_k - 1}
+    UNION ALL
+    SELECT a.src AS src, b.dst AS dst
+    FROM r{_k - 1} a JOIN r{_k - 1} b ON a.dst = b.src
+  ) WHERE src <> dst
+)""")
+    sql["scc"] = (
+        """
+WITH prm AS (
+  SELECT doc_id AS i, doc_id - (doc_id % 8) AS base, doc_id % 8 AS r,
+         3 + ((doc_id // 8) % 4) AS cl
+  FROM documents
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src,
+           CASE WHEN r < cl THEN base + ((r + 1) % cl) ELSE i - 1 END AS dst
+    FROM prm
+    UNION ALL
+    SELECT i AS src, i + 1 AS dst FROM prm WHERE r = 7
+  ) WHERE src <> dst
+)"""
+        + "".join(_scc_ctes)
+        + """,
+mut AS (
+  SELECT a.src AS node, a.dst AS pp
+  FROM r3 a JOIN r3 b ON a.src = b.dst AND a.dst = b.src
+),
+nodes AS (SELECT src AS node FROM r0 UNION SELECT dst FROM r0),
+part AS (
+  SELECT node, pp FROM mut UNION ALL SELECT node, node AS pp FROM nodes
+),
+sid AS (SELECT node, min(pp) AS scc_id FROM part GROUP BY node),
+sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM sid GROUP BY 1)
+SELECT s.node, s.scc_id, z.scc_size FROM sid s JOIN sz z USING (scc_id)"""
+    )
+
+    # funnel: entry-anchored 7-day window, strict step ordering, all
+    # comparisons on floor-epoch seconds (events-family convention)
+    sql["funnel"] = """
+WITH s1 AS (
+  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS view_sec
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS click_sec
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND floor(epoch(e.ts)) > s1.view_sec
+    AND floor(epoch(e.ts)) <= s1.view_sec + 604800
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS purchase_sec
+  FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase'
+    AND floor(epoch(e.ts)) > s2.click_sec
+    AND floor(epoch(e.ts)) <= s1.view_sec + 604800
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.view_sec, s2.click_sec, s3.purchase_sec,
+       CAST(1 + CAST(s2.click_sec IS NOT NULL AS INT)
+              + CAST(s3.purchase_sec IS NOT NULL AS INT) AS BIGINT)
+         AS steps_completed
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id"""
+
+    # retention: signup-anchored relative weekly cohorts, pure integer
+    # bucket arithmetic
+    sql["retention"] = """
+WITH anc AS (
+  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS anchor_sec
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT e.user_id,
+         anc.anchor_sec // 604800 AS cohort_week,
+         (CAST(floor(epoch(e.ts)) AS BIGINT) - anc.anchor_sec) // 604800
+           AS week_offset
+  FROM events e JOIN anc ON e.user_id = anc.user_id
+  WHERE CAST(floor(epoch(e.ts)) AS BIGINT) >= anc.anchor_sec
+)
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act GROUP BY 1, 2"""
+
+    # ontology consistency: functional / inverse-functional violation
+    # profile per predicate, exact integer ppm shares
+    sql["ontology_check"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+fwd AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS func_violations
+  FROM (SELECT predicate, subject, count(*) AS n_obj FROM spo GROUP BY 1, 2)
+  GROUP BY 1
+),
+inv AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n_objects,
+         CAST(sum(CASE WHEN n_subj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inv_violations
+  FROM (SELECT predicate, object, count(*) AS n_subj FROM spo GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT fwd.predicate, fwd.n_subjects, inv.n_objects,
+       fwd.func_violations, inv.inv_violations,
+       (fwd.func_violations * 1000000) // fwd.n_subjects AS func_ppm,
+       (inv.inv_violations * 1000000) // inv.n_objects AS inv_ppm
+FROM fwd JOIN inv ON fwd.predicate = inv.predicate"""
+
+    # exact bounded harmonic centrality: 2 unrolled min-distance BFS
+    # extensions over the symmetric edge set, 1/d frozen to 1000000 // d
+    sql["harmonic"] = _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+d1 AS MATERIALIZED (SELECT a AS node, b AS other, 1 AS d FROM und),
+d2 AS MATERIALIZED (
+  SELECT node, other, min(d) AS d FROM (
+    SELECT node, other, d FROM d1
+    UNION ALL
+    SELECT x.node AS node, u.b AS other, 2 AS d
+    FROM d1 x JOIN und u ON x.other = u.a
+    WHERE x.d = 1 AND x.node <> u.b
+  ) GROUP BY 1, 2
+),
+d3 AS MATERIALIZED (
+  SELECT node, other, min(d) AS d FROM (
+    SELECT node, other, d FROM d2
+    UNION ALL
+    SELECT x.node AS node, u.b AS other, 3 AS d
+    FROM d2 x JOIN und u ON x.other = u.a
+    WHERE x.d = 2 AND x.node <> u.b
+  ) GROUP BY 1, 2
+)
+SELECT node AS entity, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+FROM d3 GROUP BY 1"""
 
     # basic graph pattern ?x group ?y . ?y ?p ?z (kgops.match_basic_pattern)
     sql["kg_pattern"] = _PRELUDE_INFER + _STD_CTES + """

@@ -749,3 +749,47 @@ def degree_assortativity(triples: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def functional_violations(triples: DataFrame) -> DataFrame:
+    """(predicate, n_subjects, n_objects, func_violations, inv_violations,
+    func_ppm, inv_ppm): ontology consistency profiling — for each
+    predicate, how many subjects assert MORE THAN ONE distinct object
+    (violating a functional-property reading, owl:FunctionalProperty) and
+    how many objects are asserted by more than one distinct subject
+    (violating the inverse-functional reading). The standard KG-quality
+    pass for deciding which predicates are safe to treat as keys /
+    merge signals.
+
+    Two (predicate, endpoint)-keyed count-distinct aggregations + one
+    predicate-keyed rollup each + one broadcast-size join; ppm shares are
+    exact integer arithmetic (x*1e6 DIV n).
+    """
+    spo = triples.select("subject", "predicate", "object").distinct()
+    fwd = (
+        spo.groupBy("predicate", "subject")
+        .agg(F.count(F.lit(1)).alias("n_obj"))
+        .groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum((F.col("n_obj") > 1).cast("long")).alias("func_violations"),
+        )
+    )
+    inv = (
+        spo.groupBy("predicate", "object")
+        .agg(F.count(F.lit(1)).alias("n_subj"))
+        .groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum((F.col("n_subj") > 1).cast("long")).alias("inv_violations"),
+        )
+    )
+    return fwd.join(inv, "predicate").select(
+        "predicate",
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_objects").cast("long").alias("n_objects"),
+        F.col("func_violations").cast("long").alias("func_violations"),
+        F.col("inv_violations").cast("long").alias("inv_violations"),
+        F.expr("(func_violations * 1000000) DIV n_subjects").alias("func_ppm"),
+        F.expr("(inv_violations * 1000000) DIV n_objects").alias("inv_ppm"),
+    )

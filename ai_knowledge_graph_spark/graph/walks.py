@@ -412,3 +412,183 @@ def ktruss(
     return cur.join(sup, ["a", "b"]).select(
         F.col("a").alias("node_a"), F.col("b").alias("node_b"), "support"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(label, n_nodes, intra_edges, degree_sum, contribution): Newman
+    modularity decomposition of a community assignment over the undirected
+    simple graph — per community c, ``contribution`` is the additive term
+    ``m_c/m - (d_c/2m)^2`` (Newman & Girvan 2004), so the graph's
+    modularity Q is the sum of the column. The standard "did the
+    clustering find real structure" score for LPA/Louvain output.
+
+    ``labels`` is (node, label) — any assignment (LPA here). One canonical
+    edge list (a<b, deduped), one degree agg, two broadcast-size joins of
+    the label table onto edge endpoints, one count per community, and the
+    scalar m attached via a crossJoin of a 1-row aggregate (no
+    driver-side collect). Integer counts everywhere; the only float step
+    is the final formula, round(6).
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select(F.col("node"), F.col("label")).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_label = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    m = und.agg(F.count(F.lit(1)).alias("_m"))
+    md = F.col("_m").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        per_label.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / md
+                - half * half,
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
+def scc(
+    edges: DataFrame,
+    doublings: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, scc_id, scc_size): strongly connected components of the
+    DIRECTED graph, exact for every cycle realizable within
+    ``2**doublings`` hops (default 8) — path-doubling closure, then
+    mutual-reachability grouping with scc_id = min member.
+
+    Doubling (Valiant 1975's transitive-closure squaring): after round r
+    the pair set holds every (u,v) with a directed path of <= 2^r hops,
+    so rounds are LOGARITHMIC in path length — 3 shuffles buy 8 hops
+    where frontier BFS needs 8. Mutuality = one left-semi join of the
+    closure against its own transpose; components then need no iteration
+    at all (u,v mutual => same SCC => same min partner). Self-pairs are
+    filtered throughout: composing x->u with u->y never needs (u,u), and
+    singleton SCCs re-enter via the identity union at the end.
+
+    Pair-set size is the scale knob: closure is O(sum of reachable-set
+    sizes), fine for the bounded-diameter neighborhoods this targets
+    (cycle detection in KG predicates, redirect loops, template link
+    rings); for whole-web SCC use the FW-BW partition trick on top.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = e
+    for _ in range(doublings):
+        l = reach.select("src", F.col("dst").alias("_mid"))
+        r = reach.select(F.col("src").alias("_mid"), F.col("dst").alias("_d2"))
+        two = l.join(r, "_mid").select("src", F.col("_d2").alias("dst"))
+        reach = (
+            reach.unionByName(two)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    transpose = reach.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = reach.join(transpose, ["src", "dst"], "left_semi")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    partners = mutual.select(
+        F.col("src").alias("node"), F.col("dst").alias("p")
+    ).unionByName(nodes.select("node", F.col("node").alias("p")))
+    sid = partners.groupBy("node").agg(F.min("p").alias("scc_id"))
+    size = sid.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return sid.join(size, "scc_id").select("node", "scc_id", "scc_size")
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(entity, n_reached, harmonic_micro): EXACT bounded harmonic
+    centrality over the undirected simple graph — sum of 1/d(v,u) over
+    every u within ``radius`` hops of v (Boldi & Vigna's centrality; the
+    exact small-radius twin of the HyperBall estimate in
+    :func:`hyperball`, for when the ball fits and the ranking must be
+    reproducible).
+
+    BFS by relational iteration: round r extends the known-distance pair
+    set by one hop and keeps min(d) per (node, other) — pair-set size is
+    the sum of ball sizes, the same scale class as the closure in
+    :func:`scc`. The 1/d terms are frozen to exact integers
+    (``1000000 DIV d``) before the sum, so the ranking is
+    hash-reproducible across engines — no float accumulation anywhere.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = und.select(
+        F.col("a").alias("node"), F.col("b").alias("other"), F.lit(1).alias("d")
+    ).localCheckpoint(eager=True)
+    for r in range(2, radius + 1):
+        ext = (
+            dist.filter(F.col("d") == r - 1)
+            .join(und.select(F.col("a").alias("other"), F.col("b").alias("nxt")), "other")
+            .filter(F.col("node") != F.col("nxt"))
+            .select("node", F.col("nxt").alias("other"), F.lit(r).alias("d"))
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("node", "other")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.groupBy(F.col("node").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(F.expr("1000000 DIV d")).cast("long").alias("harmonic_micro"),
+    )

@@ -144,3 +144,106 @@ def session_stats(
         (F.max(sec) - F.min(sec)).alias("duration_sec"),
         F.round(F.sum(value_col), 6).alias("total_value"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, <step>_sec..., steps_completed): ordered funnel analysis —
+    for each user, the earliest strictly-increasing completion times of
+    ``steps``, all within ``window_sec`` of the FIRST step (the classic
+    product-analytics funnel: window anchored at entry, strict ordering
+    between steps).
+
+    Per step k: one filter + one hash aggregation keyed by user (min over
+    candidates later than step k-1 and inside the entry window) + one
+    user-keyed join — len(steps) node-keyed shuffles total, no windows,
+    no per-user sorting. A user appears iff they completed step 1;
+    uncompleted later steps are NULL and never un-NULL downstream (each
+    step's candidates gate on the previous step's time).
+
+    Timestamps compare as floor-epoch seconds via unix_timestamp (the
+    events-family convention: parquet naive ts reads as a UTC instant
+    here, and gaps/windows are shift-immune).
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    ev = events.select(
+        F.col(key_col).alias("user_id"), sec.alias("sec"), F.col(type_col).alias("t")
+    )
+    first = steps[0]
+    cur = (
+        ev.filter(F.col("t") == first)
+        .groupBy("user_id")
+        .agg(F.min("sec").alias(f"{first}_sec"))
+    )
+    prev_col = f"{first}_sec"
+    for step in steps[1:]:
+        cand = ev.filter(F.col("t") == step).select(
+            "user_id", F.col("sec").alias("_cand")
+        )
+        ok = F.when(
+            (F.col("_cand") > F.col(prev_col))
+            & (F.col("_cand") <= F.col(f"{first}_sec") + F.lit(window_sec)),
+            F.col("_cand"),
+        )
+        keep = [c for c in cur.columns]
+        cur = (
+            cur.join(cand, "user_id", "left")
+            .groupBy(*keep)
+            .agg(F.min(ok).alias(f"{step}_sec"))
+        )
+        prev_col = f"{step}_sec"
+    done = sum(
+        (F.col(f"{s}_sec").isNotNull()).cast("long") for s in steps
+    )
+    return cur.select(*cur.columns, done.alias("steps_completed"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    anchor_type: str = "signup",
+    bucket_sec: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): retention-cohort matrix — users
+    are cohorted by the week of their first ``anchor_type`` event; each
+    later activity (any type, at or after the anchor) lands in the
+    relative week bucket ``(sec - anchor_sec) // bucket_sec``; the cell
+    counts distinct active users.
+
+    Relative (anchor-aligned) buckets, not calendar weeks, so a user who
+    signs up Sunday night is not half-retained by an artifact of the
+    week boundary. Two user-keyed hash aggregations + one user-keyed
+    join + one (cohort, offset)-keyed count-distinct. All integer
+    arithmetic (floor-epoch seconds, floor division).
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    ev = events.select(
+        F.col(key_col).alias("user_id"), sec.alias("sec"), F.col(type_col).alias("t")
+    )
+    anchors = (
+        ev.filter(F.col("t") == anchor_type)
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("anchor_sec"))
+    )
+    b = F.lit(bucket_sec)
+    return (
+        ev.join(anchors, "user_id")
+        .filter(F.col("sec") >= F.col("anchor_sec"))
+        .select(
+            F.floor(F.col("anchor_sec") / b).cast("long").alias("cohort_week"),
+            F.floor((F.col("sec") - F.col("anchor_sec")) / b)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
