@@ -1568,6 +1568,67 @@ def q_pagerank(spark, sf_dir):
     return pr.select("entity", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_ppr(spark, sf_dir):
+    # Personalized PageRank from a deterministic seed set (~1/4 of nodes,
+    # md5 first hex in 0-3) — relevance-to-seeds, 5 rounds, d=0.85.
+    from ai_knowledge_graph_spark.graph.centrality import personalized_pagerank
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.substring(F.md5(F.col("node")), 1, 1).isin("0", "1", "2", "3")
+    )
+    pr = personalized_pagerank(edges, seeds, damping=0.85, iterations=5)
+    return pr.select("entity", F.round("ppr", 6).alias("ppr"))
+
+
+def q_cocite(spark, sf_dir):
+    # co-citation strength over the DIRECTED std KG: object pairs cited
+    # by common subjects (hub subjects > 64 objects dropped). min_count=1
+    # keeps the full wedge spectrum — the KG is sparse enough that >= 2
+    # is empty above sf0.001.
+    from ai_knowledge_graph_spark.graph.kgops import cocitation
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return cocitation(edges, min_count=1, max_fanout=64)
+
+
+def q_bibcouple(spark, sf_dir):
+    # bibliographic coupling = co-citation on the transposed edges:
+    # subject pairs citing common objects.
+    from ai_knowledge_graph_spark.graph.kgops import cocitation
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("object").alias("src"), F.col("subject").alias("dst"))
+    return cocitation(edges, min_count=1, max_fanout=64)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    # Dolma-style first-occurrence exact paragraph dedup over the same
+    # synthesized nav-header/footer structure as q_line_dedup (different
+    # rule: one canonical copy survives instead of hot lines dropping
+    # everywhere).
+    from ai_knowledge_graph_spark.operators.curation import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(synth)
+
+
 # --- event analytics + deterministic sampling ------------------------------
 
 
@@ -2719,6 +2780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "ontology_check": q_ontology_check,
         "harmonic": q_harmonic,
+        "ppr": q_ppr,
+        "cocite": q_cocite,
+        "bibcouple": q_bibcouple,
+        "paragraph_dedup": q_paragraph_dedup,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -5246,6 +5311,116 @@ pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
         + f"""
 SELECT node AS entity, round(pr, 6) AS pagerank FROM {_prev}"""
     )
+
+    # personalized PageRank: the pagerank chain with a seeds-only teleport
+    # (and dangling mass routed to seeds); the teleport scalar is written
+    # in the engine's exact op order ((1-d) + d*dang) / s
+    _ppr_iters = []
+    _pprev = "qr0"
+    for _k in range(1, 6):
+        _ppr_iters.append(f""",
+qdang{_k} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.pr), CAST(0 AS DOUBLE)) AS m
+  FROM {_pprev} p LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL
+),
+qmass{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr / o.od) AS m
+  FROM e JOIN {_pprev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+qr{_k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(0.85 AS DOUBLE) * COALESCE(m.m, CAST(0 AS DOUBLE))
+         + CASE WHEN s.node IS NOT NULL THEN
+             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              + CAST(0.85 AS DOUBLE) * (SELECT m FROM qdang{_k}))
+             / (SELECT s FROM ss)
+           ELSE CAST(0 AS DOUBLE) END AS pr
+  FROM nodes n
+  LEFT JOIN qmass{_k} m ON n.node = m.node
+  LEFT JOIN sd s ON n.node = s.node
+)""")
+        _pprev = f"qr{_k}"
+    sql["ppr"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT subject AS src, object AS dst FROM std),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+sd AS MATERIALIZED (
+  SELECT node FROM nodes WHERE substr(md5(node), 1, 1) IN ('0', '1', '2', '3')
+),
+ss AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS s FROM sd),
+outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+qr0 AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ss)
+              ELSE CAST(0 AS DOUBLE) END AS pr
+  FROM nodes n LEFT JOIN sd s ON n.node = s.node
+)"""
+        + "".join(_ppr_iters)
+        + f"""
+SELECT node AS entity, round(pr, 6) AS ppr FROM {_pprev}"""
+    )
+
+    # co-citation / bibliographic coupling: capped wedge joins on the
+    # shared source (resp. shared target)
+    _cocite_body = """
+ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 64),
+ee AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN ok USING (src)),
+pr AS (
+  SELECT l.dst AS a, r.dst AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM ee l JOIN ee r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common FROM pr WHERE n_common >= 1"""
+    sql["cocite"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (
+  SELECT DISTINCT subject AS src, object AS dst FROM std
+  WHERE subject <> object
+),"""
+        + _cocite_body
+    )
+    sql["bibcouple"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (
+  SELECT DISTINCT object AS src, subject AS dst FROM std
+  WHERE subject <> object
+),"""
+        + _cocite_body
+    )
+
+    # first-occurrence paragraph dedup over the line_dedup synth fixture;
+    # the first-occurrence key is the same doc-major ordinal both sides
+    sql["paragraph_dedup"] = """
+WITH synth AS (
+  SELECT doc_id,
+         'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10)
+           || 'Copyright ' || source AS text
+  FROM documents
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+  FROM synth
+),
+f AS (SELECT para, min(doc_id * 100000 + pos) AS fk FROM ex GROUP BY 1),
+k AS (
+  SELECT e.doc_id, e.pos, e.para
+  FROM ex e JOIN f ON e.para = f.para
+  WHERE e.doc_id * 100000 + e.pos = f.fk
+),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM k GROUP BY 1
+),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM ex GROUP BY 1)
+SELECT t.doc_id, coalesce(ka.text, '') AS text, t.n_paras,
+       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id"""
 
     # --- event analytics + deterministic sampling -----------------------
 

@@ -538,3 +538,79 @@ def personalized_pagerank(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(entity, ppr): fixed-iteration personalized PageRank — teleport mass
+    goes ONLY to ``seeds`` (node column: ``node``), so scores measure
+    relevance-to-the-seed-set rather than global importance (the standard
+    KG entity-relevance / related-entity primitive; Haveliwala 2002's
+    topic-sensitive PageRank with a hard seed distribution).
+
+    Same per-iteration plan as :func:`pagerank` (one src equi-join, one
+    dst hash agg, one scalar dangling reduce, one node-set left join,
+    per-round localCheckpoint); the only differences are the initial
+    vector (uniform over seeds) and the teleport term (seeds-only, also
+    absorbing the dangling mass). Non-seed nodes unreachable from the
+    seeds keep exactly 0.0.
+    """
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(True).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    s = sd.count()
+    if s == 0:
+        return nodes.select(F.col("node").alias("entity"), F.lit(0.0).alias("ppr"))
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = outdeg.localCheckpoint(eager=True)
+    ranks = nodes.join(sd, "node", "left").select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.e_src == ranks.node)
+            .join(outdeg, "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
+            .agg(F.sum("pr"))
+            .first()[0]
+            or 0.0
+        )
+        # teleport share per seed, computed once in this exact op order so
+        # the SQL oracle can mirror it term for term
+        t = ((1.0 - damping) + damping * dangling) / s
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(sd, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    + F.when(F.col("is_seed"), F.lit(t)).otherwise(F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("ppr"))

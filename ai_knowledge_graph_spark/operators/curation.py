@@ -505,3 +505,55 @@ def host_boilerplate(
         )
         .select("host", "line", "n_pages", "host_pages")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level FIRST-OCCURRENCE paragraph dedup (the Dolma / RefinedWeb
+    exact-paragraph pass): every exact paragraph keeps only its first
+    occurrence in corpus order (smallest (doc_id, position)); all later
+    copies are dropped from their documents. Complements
+    :func:`line_dedup`, which drops high-frequency lines EVERYWHERE — here
+    one canonical copy always survives, the right rule for syndicated
+    article bodies (the content should stay in the corpus exactly once).
+
+    Returns (id_col, text [cleaned], n_paras, n_kept) — one row per input
+    document, including documents whose every paragraph was a later copy
+    (text ""). First-occurrence selection is one paragraph-keyed
+    min-aggregation over the ordinal key ``doc-major, position-minor``
+    (id * 100000 + pos — positions are bounded by document size, not
+    corpus size), then one join back; no windows, no global sort.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).localCheckpoint(eager=True)
+    first = ex.groupBy("para").agg(
+        F.min(F.col("_id") * 100000 + F.col("pos")).alias("_first")
+    )
+    kept = (
+        ex.join(first, "para")
+        .filter(F.col("_id") * 100000 + F.col("pos") == F.col("_first"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s.getField("para"),
+                ),
+                sep,
+            ).alias("_text"),
+        )
+    )
+    totals = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_text", F.lit("")).alias(text_col),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
