@@ -1629,6 +1629,51 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(synth)
 
 
+def q_readability(spark, sf_dir):
+    # Flesch-Kincaid grade + reading ease over documents.
+    from ai_knowledge_graph_spark.operators.textstats import readability
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "fk_grade", "reading_ease",
+    )
+
+
+def q_rake(spark, sf_dir):
+    # RAKE keyword extraction with corpus-level word stats, top 3 per doc.
+    from ai_knowledge_graph_spark.operators.textstats import rake_keywords
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return rake_keywords(docs, top_k=3)
+
+
+def q_recrawl(spark, sf_dir):
+    # change-rate recrawl scheduling over 4 arithmetic snapshot cuts:
+    # presence (doc_id+s) % 11 != 0, content version bumps when
+    # (doc_id+t) % 3 == 0 at snapshot t.
+    from ai_knowledge_graph_spark.operators.webcrawl import recrawl_priority
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/d"),
+        F.col("doc_id").cast("string"),
+    )
+    snaps = []
+    for s in range(4):
+        ver = sum(
+            ((F.col("doc_id") + F.lit(t)) % 3 == 0).cast("int")
+            for t in range(1, s + 1)
+        ) if s else F.lit(0)
+        snaps.append(
+            docs.filter((F.col("doc_id") + F.lit(s)) % 11 != 0).select(
+                url.alias("url"),
+                F.concat(F.lit("v"), ver.cast("string")).alias("content_sha"),
+            )
+        )
+    return recrawl_priority(snaps)
+
+
 # --- event analytics + deterministic sampling ------------------------------
 
 
@@ -2784,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocite": q_cocite,
         "bibcouple": q_bibcouple,
         "paragraph_dedup": q_paragraph_dedup,
+        "readability": q_readability,
+        "rake": q_rake,
+        "recrawl": q_recrawl,
         "rule_mining": q_rule_mining,
         "fact_fusion": q_fact_fusion,
         "kg_diff": q_kg_diff,
@@ -5421,6 +5469,125 @@ t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM ex GROUP BY 1)
 SELECT t.doc_id, coalesce(ka.text, '') AS text, t.n_paras,
        CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept
 FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id"""
+
+    # Flesch-Kincaid: exact integer word/sentence/vowel-group counts,
+    # float only in the two final formulas (round 6, same op order)
+    sql["readability"] = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     s -> trim(s) <> '') AS ss
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(ss) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum(list_transform(ws,
+              x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+           AS BIGINT) AS n_syllables
+  FROM w
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         round(CAST(0.39 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + CAST(11.8 AS DOUBLE)
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - CAST(15.59 AS DOUBLE), 6)
+       END AS fk_grade,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         round(CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+       END AS reading_ease
+FROM c"""
+
+    # RAKE: stopword-boundary phrases, corpus word degree/freq frozen to
+    # integer micro-scores BEFORE the phrase sum, per-doc top 3
+    sql["rake"] = f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+           - 1 AS pos
+  FROM documents
+),
+st AS (
+  SELECT doc_id, pos, word,
+         list_contains({_NSTOP}, word) AS is_stop
+  FROM ex
+),
+ph0 AS (
+  SELECT doc_id, pos, word, is_stop,
+         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS phrase_idx
+  FROM st
+),
+ph AS MATERIALIZED (
+  SELECT doc_id, phrase_idx,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS phrase_len
+  FROM ph0 WHERE NOT is_stop GROUP BY 1, 2
+),
+mem AS (
+  SELECT doc_id, phrase_idx, phrase_len,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM ph
+),
+ws AS (
+  SELECT word, (sum(phrase_len) * 1000000) // count(*) AS wscore
+  FROM mem GROUP BY 1
+),
+sc AS (
+  SELECT m.doc_id, m.phrase_idx, CAST(sum(w.wscore) AS BIGINT) AS score_micro
+  FROM mem m JOIN ws w ON m.word = w.word GROUP BY 1, 2
+),
+rk AS (
+  SELECT p.doc_id, p.phrase, p.phrase_len, s.score_micro,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY s.score_micro DESC, p.phrase ASC) AS rank
+  FROM ph p JOIN sc s
+    ON p.doc_id = s.doc_id AND p.phrase_idx = s.phrase_idx
+)
+SELECT doc_id, phrase, phrase_len, score_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3"""
+
+    # recrawl scheduling: replay the snapshot arithmetic (presence +
+    # version bumps), consecutive-pair digest compare, integer ppm buckets
+    sql["recrawl"] = """
+WITH snaps AS MATERIALIZED (
+  SELECT 'https://' || source || '.example.org/d' || doc_id AS url, s,
+         'v' || (CASE WHEN s >= 1 AND (doc_id + 1) % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN s >= 2 AND (doc_id + 2) % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN s >= 3 AND (doc_id + 3) % 3 = 0 THEN 1 ELSE 0 END)
+           AS sha
+  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS s)
+  WHERE (doc_id + s) % 11 <> 0
+),
+pres AS (SELECT url, CAST(count(*) AS BIGINT) AS n_snaps FROM snaps GROUP BY 1),
+pairs AS (
+  SELECT a.url, CAST(count(*) AS BIGINT) AS n_obs_pairs,
+         CAST(sum(CASE WHEN a.sha <> b.sha THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes
+  FROM snaps a JOIN snaps b ON a.url = b.url AND b.s = a.s + 1
+  GROUP BY 1
+)
+SELECT p.url, p.n_snaps,
+       CAST(coalesce(r.n_obs_pairs, 0) AS BIGINT) AS n_obs_pairs,
+       CAST(coalesce(r.n_changes, 0) AS BIGINT) AS n_changes,
+       CASE WHEN coalesce(r.n_obs_pairs, 0) > 0
+            THEN (r.n_changes * 1000000) // r.n_obs_pairs END AS change_ppm,
+       CASE WHEN coalesce(r.n_obs_pairs, 0) = 0 THEN 'unknown'
+            WHEN (r.n_changes * 1000000) // r.n_obs_pairs >= 500000 THEN 'fast'
+            WHEN (r.n_changes * 1000000) // r.n_obs_pairs > 0 THEN 'medium'
+            ELSE 'slow' END AS priority
+FROM pres p LEFT JOIN pairs r USING (url)"""
 
     # --- event analytics + deterministic sampling -----------------------
 

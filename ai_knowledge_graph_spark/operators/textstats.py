@@ -9,7 +9,7 @@ them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import NORMALIZE_STOPWORDS
@@ -562,4 +562,137 @@ def tfidf_keywords(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(id_col, "word", "tf", "df", "score_micro", "rank")
+    )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(..., n_words, n_sentences, n_syllables, fk_grade, reading_ease):
+    Flesch-Kincaid grade level and Flesch reading ease (Kincaid et al.
+    1975) — the classic rule-based readability pair, a standard
+    quality/complexity signal in web-corpus curation stacks.
+
+    Sentences = non-blank ``[.!?]+`` segments; words = lowercase alnum
+    runs; syllables = vowel-group count per word, floored at 1 (the
+    standard heuristic). All three counts are exact integers computed
+    inside whole-stage codegen (regexp + array HOFs, no UDFs); the two
+    formulas are the only float steps, round(6), written with the same
+    operation order the SQL oracle uses. Degenerate docs (no words or
+    no sentences) report NULL scores rather than dividing by zero.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != F.lit("")
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+        ),
+    )
+    base = docs.select(
+        "*",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(sents).cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    ok = (F.col("n_words") > 0) & (F.col("n_sentences") > 0)
+    return base.select(
+        "*",
+        F.when(
+            ok,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            ),
+        ).alias("fk_grade"),
+        F.when(
+            ok,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("reading_ease"),
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase, phrase_len, score_micro, rank): RAKE keyword
+    extraction (Rose et al. 2010) with CORPUS-level word statistics —
+    candidate phrases are maximal stopword-free runs of alnum words;
+    each member word scores degree/frequency where degree sums the
+    lengths of every corpus phrase containing it; a phrase scores the
+    sum of its members. Corpus-wide stats (the distributed twist on
+    single-doc RAKE) make scores comparable across documents.
+
+    Word scores are frozen to exact integers ((degree * 1e6) DIV freq)
+    BEFORE the phrase sum, so ranking is hash-reproducible. Phrase
+    membership dedups per (doc, phrase-instance); per-doc top_k uses a
+    doc-partitioned row_number (bounded per-key cardinality: a doc's
+    own phrase count). Ties break (score desc, phrase asc).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(NORMALIZE_STOPWORDS)])
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words).alias("pos", "word"),
+    ).select(
+        "_id", "pos", "word",
+        F.array_contains(stop_arr, F.col("word")).alias("is_stop"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    ph = (
+        ex.withColumn("phrase_idx", F.sum(F.col("is_stop").cast("int")).over(w))
+        .filter(~F.col("is_stop"))
+        .groupBy("_id", "phrase_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("phrase_len"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    members = ph.select(
+        "_id", "phrase_idx", "phrase_len",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    wstats = (
+        members.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+        )
+        .select("word", F.expr("(degree * 1000000) DIV freq").alias("wscore"))
+    )
+    scored = (
+        members.join(wstats, "word")
+        .groupBy("_id", "phrase_idx")
+        .agg(F.sum("wscore").alias("score_micro"))
+        .join(ph, ["_id", "phrase_idx"])
+    )
+    rw = Window.partitionBy("_id").orderBy(
+        F.desc("score_micro"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            F.col("phrase_len").cast("long").alias("phrase_len"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

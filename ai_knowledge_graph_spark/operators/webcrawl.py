@@ -849,3 +849,61 @@ def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("u").alias("example_url"),
         )
     )
+
+
+def recrawl_priority(snapshots: list[DataFrame]) -> DataFrame:
+    """(url, n_snaps, n_obs_pairs, n_changes, change_ppm, priority):
+    change-rate estimation across crawl snapshots (the freshness-driven
+    recrawl scheduling of Cho & Garcia-Molina, TOIT 2003): for each URL,
+    compare content digests between CONSECUTIVE snapshots where the URL
+    is present in both; the observed change fraction maps to a recrawl
+    priority bucket (fast >= 50%, medium > 0, slow = 0, unknown when the
+    URL never appears in two consecutive snapshots).
+
+    ``snapshots`` is the crawl-ordered list of (url, content_sha) frames.
+    One union with a snapshot tag, one url-keyed presence aggregation,
+    one (url, snap+1) equi-self-join for the consecutive pairs — no
+    windows, no per-url sorting; change_ppm is exact integer arithmetic.
+    """
+    tagged = None
+    for i, snap in enumerate(snapshots):
+        t = snap.select(
+            "url", "content_sha", F.lit(i).alias("snap")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.localCheckpoint(eager=True)
+    presence = tagged.groupBy("url").agg(F.count(F.lit(1)).alias("n_snaps"))
+    nxt = tagged.select(
+        "url",
+        (F.col("snap") - 1).alias("snap"),
+        F.col("content_sha").alias("_sha2"),
+    )
+    pairs = (
+        tagged.join(nxt, ["url", "snap"])
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs_pairs"),
+            F.sum(
+                (F.col("content_sha") != F.col("_sha2")).cast("long")
+            ).alias("n_changes"),
+        )
+    )
+    ppm = F.expr("(n_changes * 1000000) DIV n_obs_pairs")
+    return (
+        presence.join(pairs, "url", "left")
+        .select(
+            "url",
+            F.col("n_snaps").cast("long").alias("n_snaps"),
+            F.coalesce("n_obs_pairs", F.lit(0)).cast("long").alias("n_obs_pairs"),
+            F.coalesce("n_changes", F.lit(0)).cast("long").alias("n_changes"),
+        )
+        .select(
+            "*",
+            F.when(F.col("n_obs_pairs") > 0, ppm).alias("change_ppm"),
+            F.when(F.col("n_obs_pairs") == 0, F.lit("unknown"))
+            .when(ppm >= 500000, F.lit("fast"))
+            .when(ppm > 0, F.lit("medium"))
+            .otherwise(F.lit("slow"))
+            .alias("priority"),
+        )
+    )
