@@ -1674,6 +1674,34 @@ def q_recrawl(spark, sf_dir):
     return recrawl_priority(snaps)
 
 
+def q_transe(spark, sf_dir):
+    # deterministic TransE plausibility scoring (dim=8) over the
+    # standardized KG; integer embeddings from the portable md5-48bit
+    # hash, int64 L1 score — the scoring half of kg_negatives' loop.
+    from ai_knowledge_graph_spark.graph.kgops import transe_score
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return transe_score(std, dim=8)
+
+
+def q_profile(spark, sf_dir):
+    # one-pass per-column dataset profiler over documents (ingest
+    # sanity primitive): rows / nulls / distinct / native-order min+max.
+    from ai_knowledge_graph_spark.operators.stats import profile_columns
+
+    docs = _docs(spark, sf_dir)
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_llr_keywords(spark, sf_dir):
+    # per-source distinctive terms by Dunning log-likelihood ratio,
+    # x*ln(x) terms frozen to int64 millis before the signed sum.
+    from ai_knowledge_graph_spark.operators.textstats import llr_keywords
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    return llr_keywords(docs, top_k=5, min_count=5)
+
+
 # --- event analytics + deterministic sampling ------------------------------
 
 
@@ -2801,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "transe": q_transe,
+        "profile": q_profile,
+        "llr_keywords": q_llr_keywords,
         "random_walks": q_random_walks,
         "lpa": q_lpa,
         "hearst": q_hearst,
@@ -5588,6 +5619,81 @@ SELECT p.url, p.n_snaps,
             WHEN (r.n_changes * 1000000) // r.n_obs_pairs > 0 THEN 'medium'
             ELSE 'slow' END AS priority
 FROM pres p LEFT JOIN pairs r USING (url)"""
+
+    # TransE scoring (kgops.transe_score, dim=8): integer embedding
+    # components from the shared md5-48bit scheme (entity/relation vocabs
+    # salted 'ent'/'rel'), int64 L1 reduce per triple.
+    sql["transe"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+ks AS (SELECT unnest(range(0, 8)) AS k),
+terms AS (
+  SELECT s.subject, s.predicate, s.object,
+    abs((('0x' || substr(md5(s.subject || chr(31) || 'ent' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)
+      + (('0x' || substr(md5(s.predicate || chr(31) || 'rel' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)
+      - (('0x' || substr(md5(s.object || chr(31) || 'ent' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)) AS term
+  FROM spo s CROSS JOIN ks k
+)
+SELECT subject, predicate, object, CAST(sum(term) AS BIGINT) AS transe_score
+FROM terms GROUP BY 1, 2, 3"""
+
+    # column profiler (stats.profile_columns): one aggregate per column in
+    # long format; min/max on the NATIVE type, cast to VARCHAR afterwards.
+    sql["profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_nulls,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str
+FROM documents"""
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    # Dunning LLR distinctive terms (textstats.llr_keywords): each x*ln(x)
+    # term frozen to round(x*ln(x)*1000) int64 BEFORE the signed sum so no
+    # float accumulation order can flip a result; per-source top 5.
+    def _xlx(x):
+        return (
+            f"CASE WHEN {x} > 0 THEN CAST(round(CAST({x} AS DOUBLE)"
+            f" * ln(CAST({x} AS DOUBLE)) * 1000.0) AS BIGINT) ELSE 0 END"
+        )
+
+    _llr_terms = " + ".join(
+        [_xlx("aa"), _xlx("bb"), _xlx("cc"), _xlx("dd")]
+    ) + " - " + " - ".join(
+        [_xlx("aa + bb"), _xlx("cc + dd"), _xlx("aa + cc"), _xlx("bb + dd")]
+    ) + " + " + _xlx("nn")
+    sql["llr_keywords"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+),
+a AS (SELECT source, word, CAST(count(*) AS BIGINT) AS aa FROM tok GROUP BY 1, 2),
+wt AS (SELECT word, CAST(count(*) AS BIGINT) AS wtc FROM tok GROUP BY 1),
+st AS (SELECT source, CAST(count(*) AS BIGINT) AS stc FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+j AS (
+  SELECT a.source, a.word, a.aa, wt.wtc - a.aa AS bb, st.stc - a.aa AS cc,
+         n.nn - wt.wtc - st.stc + a.aa AS dd, n.nn
+  FROM a JOIN wt USING (word) JOIN st ON a.source = st.source CROSS JOIN n
+  WHERE a.aa >= 5
+),
+sc AS (
+  SELECT source, word, aa AS n_in_source,
+         2 * ({_llr_terms}) AS llr_milli
+  FROM j
+),
+r AS (
+  SELECT source, word, n_in_source, llr_milli,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY llr_milli DESC, word ASC) AS rank
+  FROM sc
+)
+SELECT source, word, n_in_source, CAST(llr_milli AS BIGINT) AS llr_milli,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
 
     # --- event analytics + deterministic sampling -----------------------
 

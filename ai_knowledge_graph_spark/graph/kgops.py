@@ -836,3 +836,82 @@ def cocitation(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_count)
     )
+
+
+def transe_score(triples: DataFrame, dim: int = 8) -> DataFrame:
+    """(subject, predicate, object, transe_score): deterministic TransE
+    plausibility scoring (Bordes et al., NeurIPS 2013): score =
+    sum_k |h_k + r_k - t_k| over integer embedding components derived
+    from the portable 48-bit hash (``_h48(name, k) % 2001 - 1000``),
+    entity and relation vocabularies salted apart. Lower = more
+    plausible under the translation model; the scoring half of the
+    training loop whose negative-sampling half is :func:`kg_negatives`.
+
+    Vectors are materialized per DISTINCT entity/predicate (vocab-sized,
+    not triple-sized — the 100 TB shape), attached with three
+    broadcast-friendly equi-joins, and reduced with zip_with/aggregate
+    entirely in int64 — no floats anywhere, so the ranking is exactly
+    reproducible.
+    """
+    sep = F.lit("\x1f")
+
+    def vec(name_col, salt):
+        def comp(k):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            name_col, sep, F.lit(salt), sep, k.cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return h % 2001 - 1000
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+    # Checkpoint the deduplicated triple set ONCE (it feeds four branches:
+    # the join spine plus all three vocab derivations); do NOT checkpoint
+    # ents/rels themselves — re-joining projections of a checkpointed
+    # LogicalRDD back onto its own source trips a Spark 4.1 attribute-
+    # binding bug ("Could not find predicate#N in [name,v]") on small
+    # inputs where every join broadcasts.
+    spo = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ents = (
+        spo.select(F.col("subject").alias("name"))
+        .unionByName(spo.select(F.col("object").alias("name")))
+        .distinct()
+        .select("name", vec(F.col("name"), "ent").alias("v"))
+    )
+    rels = (
+        spo.select(F.col("predicate").alias("name"))
+        .distinct()
+        .select("name", vec(F.col("name"), "rel").alias("v"))
+    )
+    hv = ents.select(F.col("name").alias("subject"), F.col("v").alias("_h"))
+    tv = ents.select(F.col("name").alias("object"), F.col("v").alias("_t"))
+    rv = rels.select(F.col("name").alias("predicate"), F.col("v").alias("_r"))
+    diff = F.zip_with(
+        F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a + b),
+        F.col("_t"),
+        lambda a, b: F.abs(a - b),
+    )
+    return (
+        spo.join(F.broadcast(hv), "subject")
+        .join(F.broadcast(rv), "predicate")
+        .join(F.broadcast(tv), "object")
+        .select(
+            "subject", "predicate", "object",
+            F.aggregate(
+                diff, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("transe_score"),
+        )
+    )

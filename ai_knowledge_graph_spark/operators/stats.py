@@ -136,3 +136,32 @@ def exact_quantiles_by(
     return (
         cum.join(targets, group_cols).filter(cond).select(*group_cols, "p", "value", "rank")
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_str, max_str): one-pass
+    column profiler — the dataset-statistics primitive every ingest
+    pipeline runs before trusting a new source (null density, key
+    cardinality, range sanity). One aggregation per requested column
+    (each a single map-side-combinable pass over its own projection),
+    unioned into long format; min/max are computed on the NATIVE type
+    (numeric order for numerics) and cast to string only for the
+    uniform output schema.
+    """
+    out = None
+    for c in columns:
+        prof = df.select(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_v").isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct("_v").alias("n_distinct"),
+            F.min("_v").cast("string").alias("min_str"),
+            F.max("_v").cast("string").alias("max_str"),
+        ).select(
+            F.lit(c).alias("column"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce("n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_str", "max_str",
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -696,3 +696,77 @@ def rake_keywords(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def llr_keywords(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """(source, word, n_in_source, llr_milli, rank): per-source
+    distinctive-term mining by Dunning log-likelihood ratio (Dunning
+    1993; the topic-signature method of Lin & Hovy 2000) — for each
+    source, the words whose frequency there most exceeds the rest of
+    the corpus, the standard "what is this domain about" profiler.
+
+    LLR contingency: a = count(word, source), b = word elsewhere,
+    c = other words in source, d = everything else. Each x*ln(x) term
+    is frozen to round(x*ln(x)*1000) int64 BEFORE the signed sum (the
+    DSIR trick), so no float accumulation order can flip a result;
+    llr_milli = 2*(sum of frozen terms). One token explode + one
+    (source, word) count + two marginal joins + the scalar N via a
+    broadcast crossJoin; per-source top_k is a source-partitioned
+    row_number (source cardinality is tiny).
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    )
+    tok = docs.select(
+        F.col(source_col).alias("source"), F.explode(words).alias("word")
+    ).localCheckpoint(eager=True)
+    a = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+    wt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("_wt"))
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("_st"))
+    n = tok.agg(F.count(F.lit(1)).alias("_n"))
+
+    def xlx(x):
+        xd = x.cast("double")
+        return (
+            F.when(x > 0, F.round(xd * F.log(xd) * F.lit(1000.0)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    b = F.col("_wt") - F.col("a")
+    c = F.col("_st") - F.col("a")
+    d = F.col("_n") - F.col("_wt") - F.col("_st") + F.col("a")
+    llr = F.lit(2) * (
+        xlx(F.col("a")) + xlx(b) + xlx(c) + xlx(d)
+        - xlx(F.col("a") + b) - xlx(c + d)
+        - xlx(F.col("a") + c) - xlx(b + d)
+        + xlx(F.col("_n"))
+    )
+    scored = (
+        a.filter(F.col("a") >= min_count)
+        .join(wt, "word")
+        .join(st, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "word",
+            F.col("a").cast("long").alias("n_in_source"),
+            llr.cast("long").alias("llr_milli"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("llr_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source", "word", "n_in_source", "llr_milli",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
