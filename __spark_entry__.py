@@ -1702,6 +1702,60 @@ def q_llr_keywords(spark, sf_dir):
     return llr_keywords(docs, top_k=5, min_count=5)
 
 
+def q_textrank(spark, sf_dir):
+    # corpus-level TextRank keywords: integer-micro PageRank (5 rounds)
+    # over the adjacent-content-word co-occurrence graph; bit-exact int64
+    # recursion, top-50 by (score desc, word asc).
+    from ai_knowledge_graph_spark.operators.textstats import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir), iterations=5, top_k=50)
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    # prefix-blocked Levenshtein entity-resolution candidates (dist <= 2).
+    # The clean synthetic entities carry no natural typos (measured: zero
+    # pairs at dist<=3 above sf0.001), so the fixture injects them
+    # arithmetically — for every std entity whose md5 starts 0-7, a
+    # variant with the character at position (h48 % len) + 1 deleted —
+    # and the oracle replays the same injection. Variants whose edit
+    # falls inside the 2-char blocking prefix land in a different block
+    # and are (deliberately) missed: the documented prefix-block recall
+    # limit, exercised deterministically.
+    from ai_knowledge_graph_spark.operators.standardize import (
+        fuzzy_entity_pairs,
+    )
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    ents = (
+        std.select(F.col("subject").alias("entity"))
+        .unionByName(std.select(F.col("object").alias("entity")))
+        .distinct()
+    )
+    h48 = F.conv(F.substring(F.md5("entity"), 1, 12), 16, 10).cast("long")
+    noisy = (
+        ents.filter(F.substring(F.md5("entity"), 1, 1).rlike("[0-7]"))
+        .select(
+            "entity", (h48 % F.length("entity") + 1).cast("int").alias("p")
+        )
+        .select(
+            F.concat(
+                F.expr("substring(entity, 1, p - 1)"),
+                F.expr("substring(entity, p + 1)"),
+            ).alias("entity")
+        )
+    )
+    return fuzzy_entity_pairs(ents.unionByName(noisy))
+
+
+def q_markov(spark, sf_dir):
+    # first-order clickstream transition matrix: per-user (ts, event_id)
+    # ordered bigrams, source-conditional probability frozen to ppm.
+    from ai_knowledge_graph_spark.operators.events import markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(ev)
+
+
 # --- event analytics + deterministic sampling ------------------------------
 
 
@@ -2829,6 +2883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "textrank": q_textrank,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "markov": q_markov,
         "transe": q_transe,
         "profile": q_profile,
         "llr_keywords": q_llr_keywords,
@@ -5694,6 +5751,111 @@ r AS (
 SELECT source, word, n_in_source, CAST(llr_milli AS BIGINT) AS llr_milli,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5"""
+
+    # TextRank (textstats.textrank_keywords): integer-micro PageRank over
+    # the adjacent-content-word graph. The recursion is pure int64 on both
+    # sides (pr0 = 1e12 // n; pr' = 15e10 // n + 85*mass // 100 with
+    # mass = sum(pr // deg)), so the unrolled fixpoint is bit-exact —
+    # no round() anywhere, unlike the float pagerank oracle.
+    _tr_iters = []
+    _tprev = "tr0"
+    for _k in range(1, 6):
+        _tr_iters.append(f""",
+tmass{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(p.pr // o.deg) AS BIGINT) AS m
+  FROM e JOIN {_tprev} p ON e.src = p.node JOIN deg o ON e.src = o.src
+  GROUP BY e.dst
+),
+tr{_k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(150000000000 AS BIGINT) // (SELECT n FROM nn)
+         + (85 * COALESCE(m.m, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN tmass{_k} m ON n.node = m.node
+)""")
+        _tprev = f"tr{_k}"
+    sql["textrank"] = (
+        f"""
+WITH dw AS MATERIALIZED (
+  SELECT list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> len(w) >= 3 AND NOT list_contains({_NSTOP}, w)) AS ws
+  FROM documents
+),
+adj AS (
+  SELECT ws[i] AS a, ws[i+1] AS b
+  FROM dw, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2
+),
+ue AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM adj WHERE a <> b
+),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM ue UNION ALL SELECT b, a FROM ue
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+tr0 AS MATERIALIZED (
+  SELECT node, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS pr
+  FROM nodes
+)"""
+        + "".join(_tr_iters)
+        + f"""
+SELECT node AS word, CAST(pr AS BIGINT) AS tr_micro,
+       CAST(row_number() OVER (ORDER BY pr DESC, node ASC) AS BIGINT) AS rank
+FROM {_tprev} ORDER BY pr DESC, node ASC LIMIT 50"""
+    )
+
+    # fuzzy ER pairs (standardize.fuzzy_entity_pairs): prefix-2 block +
+    # length band + levenshtein <= 2. The typo fixture (delete char at
+    # (h48 % len) + 1 for md5-first-hex 0-7 entities) is replayed
+    # literally; ASCII gate on both sides (Spark levenshtein counts
+    # codepoints, DuckDB counts bytes).
+    sql["fuzzy_pairs"] = _PRELUDE_INFER + _STD_CTES + """
+, base AS MATERIALIZED (
+  SELECT DISTINCT entity FROM (
+    SELECT subject AS entity FROM std UNION ALL SELECT object FROM std)
+),
+noisy AS (
+  SELECT concat(substr(entity, 1, p - 1), substr(entity, p + 1)) AS entity
+  FROM (
+    SELECT entity,
+           CAST(('0x' || substr(md5(entity), 1, 12))::BIGINT
+                % len(entity) + 1 AS INT) AS p
+    FROM base WHERE substr(md5(entity), 1, 1) BETWEEN '0' AND '7')
+),
+ents AS MATERIALIZED (
+  SELECT entity, substr(entity, 1, 2) AS blk FROM (
+    SELECT DISTINCT entity FROM (
+      SELECT entity FROM base UNION ALL SELECT entity FROM noisy)
+  ) WHERE len(entity) >= 4 AND NOT regexp_matches(entity, '[^ -~]')
+),
+okb AS (SELECT blk FROM ents GROUP BY blk HAVING count(*) <= 1000)
+SELECT x.entity AS entity_a, y.entity AS entity_b,
+       CAST(levenshtein(x.entity, y.entity) AS BIGINT) AS edit_dist
+FROM ents x JOIN okb USING (blk) JOIN ents y USING (blk)
+WHERE x.entity < y.entity
+  AND abs(len(x.entity) - len(y.entity)) <= 2
+  AND levenshtein(x.entity, y.entity) <= 2"""
+
+    # Markov transitions (events.markov_transitions): per-user lead over
+    # (ts, event_id); source-conditional probability frozen to ppm ints.
+    sql["markov"] = """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
+       CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
+FROM c JOIN t USING (src)"""
 
     # --- event analytics + deterministic sampling -----------------------
 

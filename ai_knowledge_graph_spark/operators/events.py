@@ -247,3 +247,49 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(src_event, dst_event, n_transitions, prob_ppm): first-order Markov
+    transition mining over per-user event sequences — the clickstream
+    bigram model behind next-page prediction and anomalous-flow detection.
+
+    Per user, events order by (ts, tiebreak) and each consecutive pair
+    contributes one (src, dst) transition; row probability is the
+    source-conditional share frozen to exact ppm integers
+    ((n * 1e6) DIV total) so the output is hash-reproducible.
+
+    Shape: ONE shuffle by user (the lead window — per-key cardinality is
+    bounded by a user's own event count, the sessionize argument above),
+    then a transition-matrix hash agg whose key space is |event types|²
+    (tiny), with the per-source total attached by a broadcastable join.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src_event"),
+            F.lead(type_col).over(w).alias("dst_event"),
+        )
+        .filter(F.col("dst_event").isNotNull())
+    )
+    counts = pairs.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("src_event").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "src_event")
+        .select(
+            "src_event",
+            "dst_event",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.expr("(n_transitions * 1000000) DIV _tot").alias("prob_ppm"),
+        )
+    )

@@ -615,3 +615,71 @@ def incremental_entity_mapping(
         .unionByName(adopted)
         .unionByName(fresh_map)
     )
+
+
+def fuzzy_entity_pairs(
+    entities: DataFrame,
+    max_dist: int = 2,
+    prefix_len: int = 2,
+    min_len: int = 4,
+    max_block_size: int = 1000,
+    entity_col: str = "entity",
+) -> DataFrame:
+    """(entity_a, entity_b, edit_dist): typo-tolerant entity-resolution
+    candidates — distinct names from ``entities[entity_col]`` whose edit
+    distance is within ``max_dist``, the Levenshtein complement to the
+    token/stem similarity join of second_pass_assignments (reference
+    entity_standardization.py's first-word/length heuristics catch
+    rewordings; this catches spelling drift like "recieve"/"receive"
+    that shares no stem).
+
+    Scale shape: prefix-``prefix_len`` blocking (the standard ER block
+    for typo matching — documented recall limit: edits inside the prefix
+    are missed), a length band (abs(len diff) <= max_dist, cheap
+    pre-filter that prunes most block pairs before the O(len²) DP), and
+    a ``max_block_size`` hot-block guard mirroring lexical_inference's —
+    oversized blocks (degenerate shared prefixes) are dropped whole
+    rather than exploding O(block²).
+
+    Entities are gated to printable ASCII on both engine and oracle:
+    Spark's levenshtein counts codepoints while DuckDB's counts UTF-8
+    bytes, so non-ASCII rows are not oracle-comparable (measured:
+    'café'/'cafe' = 1 vs 2).
+    """
+    ents = (
+        entities.select(F.col(entity_col).alias("entity"))
+        .distinct()
+        .filter(
+            (F.length("entity") >= min_len)
+            & ~F.col("entity").rlike("[^ -~]")
+        )
+        .select("entity", F.substring("entity", 1, prefix_len).alias("blk"))
+        .localCheckpoint(eager=True)
+    )
+    ok = (
+        ents.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_block_size)
+        .select("blk")
+    )
+    blocked = ents.join(ok, "blk")
+    left = blocked.select("blk", F.col("entity").alias("entity_a"))
+    right = blocked.select("blk", F.col("entity").alias("entity_b"))
+    return (
+        left.join(right, "blk")
+        .filter(
+            (F.col("entity_a") < F.col("entity_b"))
+            & (
+                F.abs(F.length("entity_a") - F.length("entity_b"))
+                <= max_dist
+            )
+        )
+        .select(
+            "entity_a",
+            "entity_b",
+            F.levenshtein("entity_a", "entity_b").cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -770,3 +770,98 @@ def llr_keywords(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iterations: int = 5,
+    top_k: int = 50,
+    min_len: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, tr_micro, rank): corpus-level TextRank keyword extraction
+    (Mihalcea & Tarau, EMNLP 2004) — PageRank over the word co-occurrence
+    graph built from adjacent content words (lowercase alpha tokens of
+    length >= min_len with stopwords removed; window = 2, undirected).
+
+    The rank recursion runs entirely in int64 micro-units: total mass
+    1e12, pr0 = 1e12 DIV n, per iteration
+    ``pr' = (0.15 * 1e12) DIV n + (85 * in_mass) DIV 100`` with
+    ``in_mass = sum(pr DIV degree)`` — integer truncation on both ends,
+    so the fixpoint is bit-exact and hash-reproducible (no float
+    accumulation order anywhere; the documented trade is a tiny mass
+    leak per iteration, identical on every replay). The symmetrized
+    edge set guarantees degree >= 1 for every node, so there is no
+    dangling term.
+
+    Shape: adjacency pairs are row-local array ops (no self-join);
+    each PageRank round is one equi-join + one hash agg on (word, long)
+    payloads with per-round localCheckpoint (O(1) plan depth); the
+    final top_k is an orderBy+limit (TakeOrderedAndProject) with rank
+    attached over the bounded top_k-row result.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in sorted(NORMALIZE_STOPWORDS)])
+    toks = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0),
+        lambda w: (F.length(w) >= min_len) & ~F.array_contains(stop_arr, w),
+    )
+    seq = docs.select(toks.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = seq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("a"),
+                    F.element_at("ws", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    und = pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    e = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("word"),
+            F.lit(0).cast("long").alias("tr_micro"),
+            F.lit(0).cast("long").alias("rank"),
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    total = 1_000_000_000_000
+    teleport = (15 * total // 100) // n  # both DIVs exact int, same both sides
+    ranks = nodes.select("node", F.lit(total // n).cast("long").alias("pr"))
+    for _ in range(iterations):
+        mass = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("pr DIV deg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(mass, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr("(85 * coalesce(m, 0L)) DIV 100")
+            ).alias("pr"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    top = (
+        ranks.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(top_k)
+        .select(F.col("node").alias("word"), F.col("pr").alias("tr_micro"))
+    )
+    # rank window runs over the already-limited top_k rows (bounded by
+    # construction, same caveat as hybrid_rrf's result-list windows)
+    w = Window.orderBy(F.desc("tr_micro"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
