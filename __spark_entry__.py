@@ -1747,6 +1747,60 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_ndcg(spark, sf_dir):
+    # graded ranking eval: nDCG@5 of the SRP-bucketed ANN against the
+    # exact-cosine gold ranking (gain = 6 - exact rank); integer discount
+    # table shared literal-for-literal with the oracle.
+    from ai_knowledge_graph_spark.operators.ranking import ndcg_at_k
+
+    run = q_srp_topk(spark, sf_dir).select("query_id", "neighbor_id", "rk")
+    gold = q_embedding_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rk"
+    )
+    return ndcg_at_k(run, gold, k=5)
+
+
+def q_er_eval(spark, sf_dir):
+    # pair-level confusion of the fuzzy ER candidates against the known
+    # injected-typo gold pairs — quantifies the prefix-block recall loss
+    # deterministically (edits inside the 2-char prefix become FN).
+    from ai_knowledge_graph_spark.operators.dedup import dedup_eval
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    ents = (
+        std.select(F.col("subject").alias("entity"))
+        .unionByName(std.select(F.col("object").alias("entity")))
+        .distinct()
+    )
+    h48 = F.conv(F.substring(F.md5("entity"), 1, 12), 16, 10).cast("long")
+    marked = ents.filter(
+        F.substring(F.md5("entity"), 1, 1).rlike("[0-7]")
+    ).select("entity", (h48 % F.length("entity") + 1).cast("int").alias("p"))
+    variants = marked.select(
+        F.col("entity").alias("entity_a"),
+        F.concat(
+            F.expr("substring(entity, 1, p - 1)"), F.expr("substring(entity, p + 1)")
+        ).alias("entity_b"),
+    )
+    gold = variants.filter(
+        (F.col("entity_a") != F.col("entity_b"))
+        & (F.length("entity_b") >= 4)
+        & ~F.col("entity_a").rlike("[^ -~]")
+    )
+    pred = q_fuzzy_pairs(spark, sf_dir)
+    return dedup_eval(pred, gold)
+
+
+def q_summarize(spark, sf_dir):
+    # centroid extractive summarization: each doc's most corpus-
+    # representative 15-word window, nano-frozen probability scoring.
+    from ai_knowledge_graph_spark.operators.textstats import (
+        centroid_summaries,
+    )
+
+    return centroid_summaries(_docs(spark, sf_dir), seg_len=15)
+
+
 def q_markov(spark, sf_dir):
     # first-order clickstream transition matrix: per-user (ts, event_id)
     # ordered bigrams, source-conditional probability frozen to ppm.
@@ -2883,6 +2937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "ndcg": q_ndcg,
+        "er_eval": q_er_eval,
+        "summarize": q_summarize,
         "textrank": q_textrank,
         "fuzzy_pairs": q_fuzzy_pairs,
         "markov": q_markov,
@@ -5856,6 +5913,124 @@ t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
 SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (src)"""
+
+    # nDCG@5 of the SRP ANN ranking vs the exact-cosine gold ranking
+    # (ranking.ndcg_at_k): gain = 6 - gold rank; the log2 discount table
+    # is frozen to the SAME integer literals the engine computes in the
+    # driver (runtime log2 differs across libms in the last ulp).
+    import math as _math
+
+    _ndcg_w = {
+        r: int(round(1_000_000 / _math.log2(r + 1))) for r in range(1, 6)
+    }
+    _ndcg_idcg = sum((6 - r) * _ndcg_w[r] for r in range(1, 6))
+    _ndcg_case = " ".join(f"WHEN {r} THEN {v}" for r, v in _ndcg_w.items())
+    sql["ndcg"] = f"""
+WITH run AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rk FROM ({sql["srp_topk"]})
+),
+gold AS MATERIALIZED (
+  SELECT query_id, neighbor_id, CAST(6 - rk AS BIGINT) AS gain
+  FROM ({sql["embedding_topk"]})
+),
+d AS (
+  SELECT r.query_id,
+         CAST(sum(COALESCE(g.gain, 0) * (CASE r.rk {_ndcg_case} END))
+              AS BIGINT) AS dcg_micro
+  FROM run r LEFT JOIN gold g
+    ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id
+  GROUP BY r.query_id
+)
+SELECT query_id, dcg_micro,
+       CAST((dcg_micro * 1000000) // {_ndcg_idcg} AS BIGINT) AS ndcg_ppm
+FROM d"""
+
+    # ER-pair confusion vs the injected-typo gold (dedup.dedup_eval):
+    # pred = the fuzzy_pairs statement verbatim; gold = the same typo
+    # injection, kept only where both sides pass the operator's gates
+    # (len >= 4 + ASCII), so FN counts exactly the prefix-block misses.
+    sql["er_eval"] = f"""
+WITH pred AS MATERIALIZED (
+  SELECT least(entity_a, entity_b) AS a, greatest(entity_a, entity_b) AS b
+  FROM ({sql["fuzzy_pairs"]}) GROUP BY 1, 2
+),
+gold AS MATERIALIZED (
+  SELECT least(entity, v) AS a, greatest(entity, v) AS b FROM (
+    SELECT entity, concat(substr(entity, 1, p - 1), substr(entity, p + 1)) AS v
+    FROM (
+      SELECT entity,
+             CAST(('0x' || substr(md5(entity), 1, 12))::BIGINT
+                  % len(entity) + 1 AS INT) AS p
+      FROM ({_PRELUDE_INFER + _STD_CTES}
+            SELECT DISTINCT entity FROM (
+              SELECT subject AS entity FROM std
+              UNION ALL SELECT object FROM std))
+      WHERE substr(md5(entity), 1, 1) BETWEEN '0' AND '7')
+  ) WHERE v <> entity AND len(v) >= 4
+        AND NOT regexp_matches(entity, '[^ -~]')
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.a IS NOT NULL AS in_p, g.a IS NOT NULL AS in_g
+  FROM pred p FULL OUTER JOIN gold g ON p.a = g.a AND p.b = g.b
+),
+c AS (
+  SELECT
+    CAST(COALESCE(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+    CAST(COALESCE(sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+    CAST(COALESCE(sum(CASE WHEN in_g AND NOT in_p THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END
+    AS precision_ppm,
+  CASE WHEN tp + fn > 0 THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT) END
+    AS recall_ppm
+FROM c"""
+
+    # centroid extractive summarization (textstats.centroid_summaries):
+    # 15-word windows, nano-frozen corpus word probabilities, top-1 per
+    # doc by (score desc, seg_idx asc). Short docs (< 15 words) drop on
+    # both sides (Spark sequence guard == empty DuckDB range).
+    sql["summarize"] = f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT unnest(list_filter(ws, w -> NOT list_contains({_NSTOP}, w))) AS w
+  FROM dw
+),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+tot AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS t FROM tok),
+p AS MATERIALIZED (
+  SELECT w, (c * 1000000000) // (SELECT t FROM tot) AS p_nano FROM cnt
+),
+segs AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         list_slice(ws, (i - 1) * 15 + 1, i * 15) AS seg
+  FROM dw, UNNEST(range(1, len(ws) // 15 + 1)) AS r(i)
+  WHERE len(ws) >= 15
+),
+sw AS (
+  SELECT doc_id, seg_idx,
+         unnest(list_filter(seg, w -> NOT list_contains({_NSTOP}, w))) AS w
+  FROM segs
+),
+sc AS (
+  SELECT doc_id, seg_idx, CAST(sum(p.p_nano) // 15 AS BIGINT) AS score_nano
+  FROM sw JOIN p USING (w) GROUP BY 1, 2
+),
+r AS (
+  SELECT s.doc_id, s.seg_idx, array_to_string(s.seg, ' ') AS summary,
+         COALESCE(sc.score_nano, 0) AS score_nano,
+         row_number() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY COALESCE(sc.score_nano, 0) DESC, s.seg_idx ASC) AS rn
+  FROM segs s LEFT JOIN sc ON s.doc_id = sc.doc_id AND s.seg_idx = sc.seg_idx
+)
+SELECT doc_id, seg_idx, summary, CAST(score_nano AS BIGINT) AS score_nano
+FROM r WHERE rn = 1"""
 
     # --- event analytics + deterministic sampling -----------------------
 

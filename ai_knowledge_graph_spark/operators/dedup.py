@@ -606,3 +606,51 @@ def containment_pairs(
         .filter(F.col("containment_ppm") >= share_micro)
         .select("doc_a", "doc_b", "shared", "size_a", "containment_ppm")
     )
+
+
+def dedup_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    a_col: str = "entity_a",
+    b_col: str = "entity_b",
+) -> DataFrame:
+    """(tp, fp, fn, precision_ppm, recall_ppm): pair-level confusion
+    counts of a predicted duplicate/match pair set against a gold pair
+    set — the QA gate every dedup/ER stage needs before its output is
+    trusted to DELETE data. Pairs are canonicalized (least, greatest) on
+    both inputs so orientation never miscounts.
+
+    One full-outer equi-join on the pair key, then a single global agg
+    (one row out); ratios are frozen to ppm ints ((tp * 1e6) DIV total),
+    NULL when the denominator is empty. Linear in |pred| + |gold|.
+    """
+    def canon(df, tag):
+        return df.select(
+            F.least(a_col, b_col).alias("_a"),
+            F.greatest(a_col, b_col).alias("_b"),
+        ).distinct().withColumn(tag, F.lit(1))
+
+    p = canon(pred, "_p")
+    g = canon(gold, "_g")
+    return (
+        p.join(g, ["_a", "_b"], "full_outer")
+        .agg(
+            F.sum(((F.col("_p") == 1) & (F.col("_g") == 1)).cast("long")).alias("tp"),
+            F.sum((F.col("_g").isNull()).cast("long")).alias("fp"),
+            F.sum((F.col("_p").isNull()).cast("long")).alias("fn"),
+        )
+        .select(
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+        .select(
+            "tp", "fp", "fn",
+            F.expr(
+                "CASE WHEN tp + fp > 0 THEN (tp * 1000000) DIV (tp + fp) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN tp + fn > 0 THEN (tp * 1000000) DIV (tp + fn) END"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -184,3 +184,58 @@ def inverted_index(
     return postings.join(stats, "term").select(
         "term", "doc_id", "tf", "positions", "df", "cf"
     )
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    gold: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """(query_id, dcg_micro, ndcg_ppm): graded ranking evaluation — nDCG@k
+    of the ``run`` ranking against the ``gold`` ranking (gain of an item =
+    k+1 - its gold rank, 0 if absent), the standard IR eval that the ANN
+    recall grid can't express (recall@k is position-blind; nDCG penalizes
+    an ANN that finds the right set in the wrong order).
+
+    All arithmetic is int64: per-position discounts 1e6/log2(r+1) are
+    precomputed in the DRIVER as integer literals (shared with any oracle
+    — runtime log2 differs across libms in the last ulp), so
+    dcg_micro = sum(gain * w[rank]) is exact and
+    ndcg_ppm = (dcg * 1e6) DIV idcg with idcg the constant perfect-order
+    DCG. Shape: one broadcastable equi-join run x gold on (query, item)
+    + one hash agg per query — linear in run size.
+    """
+    import math
+
+    w = {r: int(round(1_000_000 / math.log2(r + 1))) for r in range(1, k + 1)}
+    idcg = sum((k + 1 - r) * w[r] for r in range(1, k + 1))
+    wmap = F.create_map(
+        *[F.lit(x) for r in w for x in (r, w[r])]
+    )
+    gains = gold.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        (F.lit(k + 1) - F.col(rank_col)).cast("long").alias("_gain"),
+    )
+    r = run.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        wmap[F.col(rank_col).cast("int")].cast("long").alias("_w"),
+    )
+    return (
+        r.join(gains, ["_q", "_i"], "left")
+        .groupBy(F.col("_q").alias(query_col))
+        .agg(
+            F.sum(F.coalesce("_gain", F.lit(0)) * F.col("_w"))
+            .cast("long")
+            .alias("dcg_micro")
+        )
+        .select(
+            query_col,
+            "dcg_micro",
+            F.expr(f"(dcg_micro * 1000000) DIV {idcg}").alias("ndcg_ppm"),
+        )
+    )

@@ -865,3 +865,91 @@ def textrank_keywords(
     # construction, same caveat as hybrid_rrf's result-list windows)
     w = Window.orderBy(F.desc("tr_micro"), F.asc("word"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def centroid_summaries(
+    docs: DataFrame,
+    seg_len: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seg_idx, summary, score_nano): centroid extractive
+    summarization (the SumBasic/centroid family, Nenkova & Vanderwende
+    2005) — each document's most corpus-representative ``seg_len``-word
+    window, the cheap deterministic "summary" column a training-data
+    pipeline materializes for augmentation and preview.
+
+    Documents split into consecutive full windows of ``seg_len`` words
+    (row-local array slice; the ragged tail window is dropped so every
+    candidate has identical length and scores are comparable). A window
+    scores the sum of its non-stopword members' corpus probabilities —
+    frozen to nano ints ((count * 1e9) DIV total) BEFORE the per-window
+    sum — DIV seg_len; windows whose members are all stopwords score 0.
+    Top-1 per doc by (score desc, seg_idx asc) via a per-doc-bounded
+    row_number. Shape: one vocab-sized count + a broadcastable prob
+    join; everything else row-local.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in sorted(NORMALIZE_STOPWORDS)])
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    dw = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    dw = dw.localCheckpoint(eager=True)
+
+    def notstop(w):
+        return ~F.array_contains(stop_arr, w)
+
+    tok = dw.select(
+        F.explode(F.filter("ws", notstop)).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = max(tok.count(), 1)
+    probs = cnt.select(
+        "w", F.expr(f"(c * 1000000000) DIV {total}").alias("p_nano")
+    )
+
+    # guard: Spark sequence(1, 0) DESCENDS (the winnow gotcha) — docs
+    # shorter than one window carry no candidate and are dropped here
+    # (DuckDB's range(1, 1) is empty, so the oracle drops them the same way)
+    segs = dw.filter(F.size("ws") >= seg_len).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("ws") / seg_len).cast("int")),
+                lambda i: F.struct(
+                    i.alias("seg_idx"),
+                    F.slice("ws", (i - F.lit(1)) * seg_len + 1, seg_len).alias(
+                        "seg"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_idx", "s.seg")
+    segs = segs.localCheckpoint(eager=True)
+
+    scored = (
+        segs.select(
+            "doc_id", "seg_idx", F.explode(F.filter("seg", notstop)).alias("w")
+        )
+        .join(F.broadcast(probs), "w")
+        .groupBy("doc_id", "seg_idx")
+        .agg(F.expr(f"sum(p_nano) DIV {seg_len}").alias("score_nano"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_nano"), F.asc("seg_idx")
+    )
+    return (
+        segs.join(scored, ["doc_id", "seg_idx"], "left")
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join("seg", " ").alias("summary"),
+            F.coalesce("score_nano", F.lit(0)).cast("long").alias("score_nano"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            "summary",
+            "score_nano",
+        )
+    )
