@@ -1571,7 +1571,7 @@ def q_pagerank(spark, sf_dir):
 def q_ppr(spark, sf_dir):
     # Personalized PageRank from a deterministic seed set (~1/4 of nodes,
     # md5 first hex in 0-3) — relevance-to-seeds, 5 rounds, d=0.85.
-    from ai_knowledge_graph_spark.graph.centrality import personalized_pagerank
+    from ai_knowledge_graph_spark.graph.centrality import seed_pagerank
 
     std = _std_triples(spark, sf_dir, INFER_DOCS)
     edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
@@ -1583,7 +1583,7 @@ def q_ppr(spark, sf_dir):
     seeds = nodes.filter(
         F.substring(F.md5(F.col("node")), 1, 1).isin("0", "1", "2", "3")
     )
-    pr = personalized_pagerank(edges, seeds, damping=0.85, iterations=5)
+    pr = seed_pagerank(edges, seeds, damping=0.85, iterations=5)
     return pr.select("entity", F.round("ppr", 6).alias("ppr"))
 
 

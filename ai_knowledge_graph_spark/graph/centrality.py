@@ -540,7 +540,7 @@ def personalized_pagerank(
     return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
 
 
-def personalized_pagerank(
+def seed_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
     damping: float = 0.85,

@@ -1,16 +1,16 @@
-"""Tests for personalized_pagerank, cocitation, paragraph_dedup."""
+"""Tests for seed_pagerank, cocitation, paragraph_dedup."""
 
 from __future__ import annotations
 
 from ai_knowledge_graph_spark.graph.centrality import (
     pagerank,
-    personalized_pagerank,
+    seed_pagerank,
 )
 from ai_knowledge_graph_spark.graph.kgops import cocitation
 from ai_knowledge_graph_spark.operators.curation import paragraph_dedup
 
 
-# --- personalized_pagerank ---------------------------------------------------
+# --- seed_pagerank ----------------------------------------------------------
 
 
 def test_ppr_mass_conserved_and_seed_biased(spark):
@@ -21,7 +21,7 @@ def test_ppr_mass_conserved_and_seed_biased(spark):
     seeds = spark.createDataFrame([("s",)], ["node"])
     got = {
         r["entity"]: r["ppr"]
-        for r in personalized_pagerank(edges, seeds, iterations=5).collect()
+        for r in seed_pagerank(edges, seeds, iterations=5).collect()
     }
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["s"] > got["a"] > 0.0
@@ -36,7 +36,7 @@ def test_ppr_unreachable_nodes_stay_zero(spark):
     seeds = spark.createDataFrame([("s",)], ["node"])
     got = {
         r["entity"]: r["ppr"]
-        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+        for r in seed_pagerank(edges, seeds, iterations=4).collect()
     }
     assert got["x"] == 0.0 and got["y"] == 0.0
     assert got["s"] > 0.0 and got["a"] > 0.0
@@ -53,7 +53,7 @@ def test_ppr_all_nodes_seeded_equals_pagerank(spark):
     )
     ppr = {
         r["entity"]: round(r["ppr"], 9)
-        for r in personalized_pagerank(edges, nodes, iterations=5).collect()
+        for r in seed_pagerank(edges, nodes, iterations=5).collect()
     }
     pr = {
         r["entity"]: round(r["pagerank"], 9)
@@ -67,7 +67,7 @@ def test_ppr_seeds_outside_graph_ignored(spark):
     seeds = spark.createDataFrame([("a",), ("zz",)], ["node"])
     got = {
         r["entity"]: r["ppr"]
-        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+        for r in seed_pagerank(edges, seeds, iterations=3).collect()
     }
     assert set(got) == {"a", "b"}
     assert abs(sum(got.values()) - 1.0) < 1e-9
