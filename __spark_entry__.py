@@ -1747,6 +1747,31 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_zipf(spark, sf_dir):
+    # Zipf exponent of the corpus frequency head (top-100 ranks): int64
+    # moments over micro-frozen ln, one final rounded division.
+    from ai_knowledge_graph_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_ranks=100)
+
+
+def q_qlm(spark, sf_dir):
+    # Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty),
+    # same query terms as bm25; per-term log frozen to micro ints via a
+    # SQL expression string shared verbatim with the oracle.
+    from ai_knowledge_graph_spark.operators.ranking import dirichlet_lm_rank
+
+    return dirichlet_lm_rank(_docs(spark, sf_dir), BM25_QUERY, mu=2000, top_n=20)
+
+
+def q_session_paths(spark, sf_dir):
+    # top in-session event trigrams (30-min gap sessions).
+    from ai_knowledge_graph_spark.operators.events import session_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_paths(ev, top_n=10)
+
+
 def q_ndcg(spark, sf_dir):
     # graded ranking eval: nDCG@5 of the SRP-bucketed ANN against the
     # exact-cosine gold ranking (gain = 6 - exact rank); integer discount
@@ -2937,6 +2962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "zipf": q_zipf,
+        "qlm": q_qlm,
+        "session_paths": q_session_paths,
         "ndcg": q_ndcg,
         "er_eval": q_er_eval,
         "summarize": q_summarize,
@@ -5913,6 +5941,119 @@ t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
 SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (src)"""
+
+    # Zipf-law slope (textstats.zipf_fit): int64 moments over micro-frozen
+    # ln of the top-100 (freq, rank) head; the one float step is the final
+    # division, round(6) both sides.
+    sql["zipf"] = """
+WITH cnt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents)
+  GROUP BY w
+),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+  FROM cnt ORDER BY c DESC, w ASC LIMIT 100
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM top
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nr, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT nr AS n_ranks,
+  CASE WHEN nr * sxx - sx * sx <> 0 THEN
+    round(CAST(nr * sxy - sx * sy AS DOUBLE)
+          / CAST(nr * sxx - sx * sx AS DOUBLE), 6) END AS slope
+FROM m"""
+
+    # Dirichlet query-likelihood retrieval (ranking.dirichlet_lm_rank):
+    # the per-term expression is the module's _DIRICHLET_TERM_SQL applied
+    # VERBATIM on both sides (same float op order by construction).
+    from ai_knowledge_graph_spark.operators.ranking import (
+        _DIRICHLET_TERM_SQL,
+    )
+
+    _qlm_terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    sql["qlm"] = f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM dw),
+ctot AS (
+  SELECT greatest(CAST((SELECT COALESCE(sum(len(ws)), 0) FROM dw) AS BIGINT),
+                  1) AS C
+),
+tokq AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(ws, w -> list_contains(
+           [{", ".join("'" + t + "'" for t in BM25_QUERY)}], w))) AS w
+  FROM dw
+),
+cfr AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tokq GROUP BY w),
+terms AS (
+  SELECT t.w, COALESCE(cfr.cf, 0) AS cf
+  FROM (VALUES {_qlm_terms}) t(w) LEFT JOIN cfr USING (w)
+),
+tfr AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tokq GROUP BY 1, 2
+),
+rowsq AS (
+  SELECT l.doc_id, COALESCE(f.tf, 0) AS tf, t.cf AS cf, l.len AS len,
+         (SELECT C FROM ctot) AS C
+  FROM lens l CROSS JOIN terms t
+  LEFT JOIN tfr f ON l.doc_id = f.doc_id AND t.w = f.w
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum({_DIRICHLET_TERM_SQL.format(mu=2000)}) AS BIGINT)
+           AS qlm_micro
+  FROM rowsq GROUP BY doc_id
+)
+SELECT doc_id, qlm_micro,
+       CAST(row_number() OVER (ORDER BY qlm_micro DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM agg ORDER BY qlm_micro DESC, doc_id ASC LIMIT 20"""
+
+    # in-session event trigrams (events.session_paths): the sessions CTE
+    # chain (same gap rule as sql["sessions"]) + two leads per (user,
+    # session), global bounded top-10.
+    sql["session_paths"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+), x AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS idx
+  FROM f
+), tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id, idx
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id, idx
+                                   ORDER BY ts, event_id) AS e3
+  FROM x
+), c AS (
+  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT e1, e2, e3, n_paths,
+  CAST(row_number() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS BIGINT)
+    AS rank
+FROM c ORDER BY n_paths DESC, e1, e2, e3 LIMIT 10"""
 
     # nDCG@5 of the SRP ANN ranking vs the exact-cosine gold ranking
     # (ranking.ndcg_at_k): gain = 6 - gold rank; the log2 discount table

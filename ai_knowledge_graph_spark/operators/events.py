@@ -293,3 +293,50 @@ def markov_transitions(
             F.expr("(n_transitions * 1000000) DIV _tot").alias("prob_ppm"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    path_len: int = 3,
+    top_n: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(e1, e2, e3, n_paths, rank): the corpus's most frequent in-session
+    event trigrams — the path-analysis complement to markov_transitions
+    (first-order bigrams can't see "view -> click -> purchase" vs
+    "view -> click -> error"; order-3 patterns can).
+
+    Sessions come from :func:`sessionize` (30-min gap), so a user's
+    overnight break doesn't fabricate a path. Shape: ONE shuffle by user
+    (sessionize's window and the two lead() windows share the same
+    partitioning, so Spark plans them in the same sort), a trigram hash
+    agg (key space |event types|^3, tiny), and a TakeOrderedAndProject
+    top_n with the rank attached over the bounded result. Ties break
+    (count desc, e1/e2/e3 asc).
+    """
+    assert path_len == 3, "oracle parity is pinned at trigrams"
+    sess = sessionize(
+        events, key_col=user_col, ts_col=ts_col, order_col=tiebreak_col
+    )
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        ts_col, tiebreak_col
+    )
+    tri = (
+        sess.select(
+            F.col(type_col).alias("e1"),
+            F.lead(type_col, 1).over(w).alias("e2"),
+            F.lead(type_col, 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+        )
+        .limit(top_n)
+    )
+    rw = Window.orderBy(F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return tri.withColumn("rank", F.row_number().over(rw).cast("long"))

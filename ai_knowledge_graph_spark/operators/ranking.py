@@ -24,7 +24,7 @@ bit-comparably after round(.,6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import _words
@@ -239,3 +239,73 @@ def ndcg_at_k(
             F.expr(f"(dcg_micro * 1000000) DIV {idcg}").alias("ndcg_ppm"),
         )
     )
+
+
+# The Dirichlet term score as ONE shared SQL expression string: the engine
+# applies it via F.expr and the oracle embeds it verbatim, so the float op
+# order is identical by construction (tf/cf/len/C all exact ints; ln and
+# one division are the only float steps, frozen to micro before the sum).
+_DIRICHLET_TERM_SQL = (
+    "CAST(round(ln((CAST(tf AS DOUBLE)"
+    " + CAST({mu} AS DOUBLE) * CAST(cf AS DOUBLE) / CAST(C AS DOUBLE))"
+    " / (CAST(len AS DOUBLE) + CAST({mu} AS DOUBLE))) * 1000000.0) AS BIGINT)"
+)
+
+
+def dirichlet_lm_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    mu: int = 2000,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, qlm_micro, rank): query-likelihood retrieval with Dirichlet
+    smoothing (Zhai & Lafferty 2001) — score(q,d) = sum over query terms of
+    ln((tf + mu*cf/C) / (len_d + mu)) — the probabilistic complement to
+    bm25_rank (BM25 zeroes absent terms; the LM smooths them with corpus
+    mass, so it ranks even zero-overlap docs).
+
+    Per-term log scores are frozen to int64 micro-units BEFORE the per-doc
+    sum. Shape: token explode -> per-doc tf for the |q| query terms only
+    (filter BEFORE aggregation, the bm25_rank rule) -> broadcast cross of
+    the |q|-row term-stats table against per-doc lengths -> hash agg ->
+    TakeOrderedAndProject top_n; linear in corpus tokens.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"), words.alias("ws")
+    ).localCheckpoint(eager=True)
+    lens = base.select("doc_id", F.size("ws").cast("long").alias("len"))
+    tok = base.select("doc_id", F.explode("ws").alias("w"))
+    c_total = max(tok.count(), 1)
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    qtok = tok.filter(F.array_contains(qt, F.col("w")))
+    cf = qtok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    terms = (
+        docs.sparkSession.createDataFrame([(t,) for t in query_terms], ["w"])
+        .join(cf, "w", "left")
+        .select("w", F.coalesce("cf", F.lit(0)).cast("long").alias("cf"))
+    )
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        lens.crossJoin(F.broadcast(terms))
+        .join(tf, ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("tf", F.lit(0)).cast("long").alias("tf"),
+            "cf",
+            "len",
+            F.lit(c_total).cast("long").alias("C"),
+        )
+        .select(
+            "doc_id",
+            F.expr(_DIRICHLET_TERM_SQL.format(mu=mu)).alias("term_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("long").alias("qlm_micro"))
+        .orderBy(F.desc("qlm_micro"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("qlm_micro"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -953,3 +953,56 @@ def centroid_summaries(
             "score_nano",
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_ranks: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """(n_ranks, slope): Zipf-law exponent of the corpus frequency
+    distribution — the least-squares slope of ln(freq) on ln(rank) over
+    the ``top_ranks`` head of the vocabulary (fitting only the head is
+    the standard practice AND the int64-overflow bound: with ranks
+    capped at 100 and ln frozen to micro ints (|x| <= ~1.4e7), every
+    moment n*Sxy, Sx*Sy stays under 2^63). Healthy natural-language
+    corpora fit slope ~ -1; a badly deduplicated or template-heavy crawl
+    drifts far from it, making this a one-row corpus QA gate.
+
+    All sums are int64 over frozen ln micro-units; the only float step
+    is the final slope division, rounded to 6 on both engine and oracle.
+    The rank table is top_ranks rows by construction
+    (TakeOrderedAndProject + a bounded row_number).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    cnt = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_ranks)
+    )
+    ranked = cnt.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+    ).select(
+        F.expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("y"),
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            F.col("nr").cast("long").alias("n_ranks"),
+            F.expr(
+                "CASE WHEN nr * sxx - sx * sx <> 0 THEN "
+                "round(CAST(nr * sxy - sx * sy AS DOUBLE)"
+                " / CAST(nr * sxx - sx * sx AS DOUBLE), 6) END"
+            ).alias("slope"),
+        )
+    )
