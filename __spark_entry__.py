@@ -1747,6 +1747,40 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_katz(spark, sf_dir):
+    # Katz centrality over the std KG (5 rounds, alpha=1/10), int64
+    # micro recursion — the non-degree-normalized contrast to pagerank.
+    from ai_knowledge_graph_spark.graph.centrality import katz_centrality
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return katz_centrality(edges, iterations=5, alpha_inv=10)
+
+
+def q_shards(spark, sf_dir):
+    # rendezvous-hash shard histogram over documents (8 shards).
+    from ai_knowledge_graph_spark.operators.sampling import rendezvous_shards
+
+    return rendezvous_shards(_docs(spark, sf_dir), key_col="doc_id", n_shards=8)
+
+
+def q_collocations(spark, sf_dir):
+    # top-20 adjacent-bigram collocations by micro-frozen PMI.
+    from ai_knowledge_graph_spark.operators.textstats import word_collocations
+
+    return word_collocations(_docs(spark, sf_dir), min_count=5, top_k=20)
+
+
+BLOCKLIST_TERMS = ["spark", "batch", "merge"]
+
+
+def q_blocklist(spark, sf_dir):
+    # leetspeak-normalized blocklist hits (the C4 bad-words gate shape).
+    from ai_knowledge_graph_spark.operators.curation import blocklist_hits
+
+    return blocklist_hits(_docs(spark, sf_dir), BLOCKLIST_TERMS)
+
+
 def q_zipf(spark, sf_dir):
     # Zipf exponent of the corpus frequency head (top-100 ranks): int64
     # moments over micro-frozen ln, one final rounded division.
@@ -2962,6 +2996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "katz": q_katz,
+        "shards": q_shards,
+        "collocations": q_collocations,
+        "blocklist": q_blocklist,
         "zipf": q_zipf,
         "qlm": q_qlm,
         "session_paths": q_session_paths,
@@ -5941,6 +5979,94 @@ t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
 SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (src)"""
+
+    # Katz centrality (centrality.katz_centrality): x0 = 0, five unrolled
+    # rounds of x' = 1e6 + sum(in x) // 10 — pure int64, bit-exact.
+    _katz_iters = []
+    _kprev = "k0"
+    for _k in range(1, 6):
+        _katz_iters.append(f""",
+km{_k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(p.x) AS BIGINT) AS m
+  FROM e JOIN {_kprev} p ON e.src = p.node GROUP BY e.dst
+),
+k{_k} AS MATERIALIZED (
+  SELECT n.node, 1000000 + COALESCE(m.m, 0) // 10 AS x
+  FROM nodes n LEFT JOIN km{_k} m ON n.node = m.node
+)""")
+        _kprev = f"k{_k}"
+    sql["katz"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, e AS MATERIALIZED (SELECT subject AS src, object AS dst FROM std),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+k0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS x FROM nodes)"""
+        + "".join(_katz_iters)
+        + f"""
+SELECT node AS entity, CAST(x AS BIGINT) AS katz_micro FROM {_kprev}"""
+    )
+
+    # rendezvous sharding (sampling.rendezvous_shards): per-key max of the
+    # (h48, shard) pair over 8 candidate shards; engine's array_max struct
+    # order == oracle's (h DESC, shard DESC) row_number.
+    sql["shards"] = """
+WITH s AS (
+  SELECT doc_id, i AS shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                             || CAST(i AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM documents, UNNEST(range(0, 8)) r(i)
+),
+a AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, shard DESC) AS rn
+  FROM s
+)
+SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_rows
+FROM a WHERE rn = 1 GROUP BY 1"""
+
+    # PMI collocations (textstats.word_collocations): shared _PMI_SQL
+    # expression, bigram-slot marginals, bounded top-20.
+    from ai_knowledge_graph_spark.operators.textstats import _PMI_SQL
+
+    sql["collocations"] = f"""
+WITH dw AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM dw, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS nl FROM pairs GROUP BY 1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM pairs GROUP BY 1),
+tot AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS N FROM pairs),
+sc AS (
+  SELECT b.w1, b.w2, b.n12, {_PMI_SQL} AS pmi_micro
+  FROM (SELECT b0.*, l.nl, r.nr, (SELECT N FROM tot) AS N
+        FROM big b0 JOIN lft l USING (w1) JOIN rgt r USING (w2)
+        WHERE b0.n12 >= 5) b
+)
+SELECT w1, w2, n12, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT)
+         AS rank
+FROM sc ORDER BY pmi_micro DESC, w1, w2 LIMIT 20"""
+
+    # blocklist gate (curation.blocklist_hits): lower + leet translate +
+    # token join against the VALUES blocklist; same maps both sides.
+    _bl_terms = ", ".join(f"('{t}')" for t in BLOCKLIST_TERMS)
+    sql["blocklist"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           translate(lower(text), '013457', 'oieast'), '[a-z]+')) AS term
+  FROM documents
+)
+SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS n_hits
+FROM tok t JOIN (VALUES {_bl_terms}) b(term) USING (term)
+GROUP BY 1, 2"""
 
     # Zipf-law slope (textstats.zipf_fit): int64 moments over micro-frozen
     # ln of the top-100 (freq, rank) head; the one float step is the final

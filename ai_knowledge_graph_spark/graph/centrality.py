@@ -614,3 +614,54 @@ def seed_pagerank(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("ppr"))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 5,
+    alpha_inv: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(entity, katz_micro): fixed-iteration Katz centrality (Katz 1953)
+    — x' = beta + alpha * A^T x with beta = 1 and alpha = 1/alpha_inv —
+    the path-counting prestige measure that, unlike PageRank, does not
+    normalize by out-degree (a page linked by one prolific hub scores
+    as high as one linked by a careful curator; useful as a CONTRAST
+    feature next to pagerank in a link-quality ensemble).
+
+    The recursion runs entirely in int64 micro-units: x0 = 0,
+    x' = 1e6 + (sum of in-neighbor x) DIV alpha_inv — integer
+    truncation both ends, bit-exact on replay. Magnitude bound:
+    after k rounds x <= 1e6 * sum((d_max/alpha_inv)^j, j<=k), so with
+    the default alpha_inv=10 the int64 budget holds to hub in-degrees
+    of ~450 at 5 rounds; raise alpha_inv for hubbier graphs.
+    Per-iteration plan is pagerank's: one equi-join on src, one
+    map-side-combined agg on dst, per-round localCheckpoint; payload
+    (node, long).
+    """
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(0).cast("long").alias("x"))
+    for _ in range(iterations):
+        mass = (
+            e.join(ranks, e.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("x").alias("m"))
+        )
+        ranks = nodes.join(mass, "node", "left").select(
+            "node",
+            F.expr(
+                f"1000000 + coalesce(m, 0L) DIV {alpha_inv}"
+            ).cast("long").alias("x"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("node").alias("entity"), F.col("x").alias("katz_micro")
+    )

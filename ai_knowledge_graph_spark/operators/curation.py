@@ -557,3 +557,43 @@ def paragraph_dedup(
         F.col("n_paras").cast("long").alias("n_paras"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# leetspeak normalization shared with the oracle: digits that commonly
+# stand in for letters. Applied AFTER lowercasing, BEFORE tokenization.
+LEET_FROM = "013457"
+LEET_TO = "oieast"
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, n_hits): obfuscation-tolerant blocklist filter —
+    the C4 "bad words" gate (Raffel et al. 2020 filter any document
+    containing a listed word) hardened against the trivial leetspeak
+    dodge: text lowercases and maps 0->o 1->i 3->e 4->a 5->s 7->t
+    BEFORE tokenizing, so "sp4m" still hits a "spam" entry. Emits one
+    row per (doc, matched term) with the hit count; a curation funnel
+    anti-joins documents on doc_id to drop them.
+
+    Shape: one row-local translate + token explode, then a broadcast
+    semi-ish join against the |terms|-row blocklist and a (doc, term)
+    hash agg — linear in tokens, the blocklist is driver-sized by
+    definition.
+    """
+    normed = F.translate(F.lower(F.col(text_col)), LEET_FROM, LEET_TO)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(normed, F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tl = docs.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
+    return (
+        tok.join(F.broadcast(tl), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

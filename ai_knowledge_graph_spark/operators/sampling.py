@@ -281,3 +281,41 @@ def pack_sequences(
         ),
         (F.least(pend, dend) - F.greatest(pstart, F.col("_start"))).alias("seg_len"),
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, n_rows): rendezvous (highest-random-weight, Thaler &
+    Ravishankar 1996) shard assignment histogram — the data-layout
+    primitive for writing a corpus to N stable output shards: adding or
+    removing a shard moves only ~1/N of the keys (consistent hashing
+    without a ring), and the assignment is a pure function of
+    (key, shard), so re-runs and late-arriving rows land identically.
+
+    Entirely row-local: each key scores all n_shards with the portable
+    48-bit md5 hash and keeps the (h, shard)-lexicographic max via
+    array_max — no shuffle until the n_shards-row histogram agg.
+    """
+    sep = F.lit("\x1f")
+
+    def score(s):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), sep, s.cast("string"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        return F.struct(h.alias("h"), s.cast("int").alias("shard"))
+
+    shard = F.array_max(
+        F.transform(F.sequence(F.lit(0), F.lit(n_shards - 1)), score)
+    ).getField("shard")
+    return (
+        df.select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -1006,3 +1006,67 @@ def zipf_fit(
             ).alias("slope"),
         )
     )
+
+
+# The collocation PMI expression, applied verbatim by engine (F.expr) and
+# oracle so the float op order matches; n12/nl/nr/N are exact ints.
+_PMI_SQL = (
+    "CAST(round(ln(CAST(n12 AS DOUBLE) * CAST(N AS DOUBLE)"
+    " / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE))) * 1000000.0) AS BIGINT)"
+)
+
+
+def word_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n12, pmi_micro, rank): corpus collocation mining — the
+    top adjacent word bigrams by pointwise mutual information
+    (Church & Hanks 1990), PMI = ln(p(w1,w2) / (p(w1·) p(·w2))) with the
+    marginals taken over bigram slots (left-word and right-word counts),
+    so the probabilities live in one event space and the measure is
+    exact. The word-level twin of entity_pmi's chunk-window association.
+
+    n12/nl/nr/N are exact int64 counts; ln is the only float step,
+    frozen to micro ints through the shared ``_PMI_SQL`` expression.
+    Shape: one row-local adjacency explode, three hash aggs (bigrams +
+    two marginals), two broadcastable marginal joins, bounded top_k.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    seq = docs.select(words.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = seq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").localCheckpoint(eager=True)
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("nl"))
+    right = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("nr"))
+    n_total = max(pairs.count(), 1)
+    scored = (
+        big.filter(F.col("n12") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .select(
+            "w1", "w2",
+            F.col("n12").cast("long").alias("n12"),
+            F.col("nl").cast("long").alias("nl"),
+            F.col("nr").cast("long").alias("nr"),
+            F.lit(n_total).cast("long").alias("N"),
+        )
+        .select(
+            "w1", "w2", "n12", F.expr(_PMI_SQL).alias("pmi_micro")
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
