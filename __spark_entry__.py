@@ -1747,6 +1747,35 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_bpe_eval(spark, sf_dir):
+    # tokenizer compression eval: train 8 merges, encode with the
+    # production Arrow encoder, report corpus fertility + chars/token.
+    from ai_knowledge_graph_spark.operators.tokenizer import (
+        bpe_compression_stats,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs.select("text"), n_merges=8)
+    return bpe_compression_stats(docs, merges)
+
+
+def q_outliers(spark, sf_dir):
+    # per-source 2-sigma doc-length outliers on exact integer moments.
+    from ai_knowledge_graph_spark.operators.stats import length_outliers
+
+    return length_outliers(_docs(spark, sf_dir), k_sigma=2)
+
+
+def q_coverage(spark, sf_dir):
+    # cumulative head coverage of the token stream at k = 5/10/20.
+    from ai_knowledge_graph_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), ks=(5, 10, 20))
+
+
 def q_katz(spark, sf_dir):
     # Katz centrality over the std KG (5 rounds, alpha=1/10), int64
     # micro recursion — the non-degree-normalized contrast to pagerank.
@@ -2812,6 +2841,33 @@ GROUP BY doc_id"""
     return "".join(parts)
 
 
+def _bpe_eval_oracle_sql(k: int = 8) -> str:
+    """The encode chain of _bpe_encode_oracle_sql with a corpus-level
+    compression-stats final select (bpe_eval's oracle)."""
+    sep2 = "(chr(31) || chr(31))"
+    full = _bpe_encode_oracle_sql(k)
+    head = full[: full.rindex("\nSELECT doc_id,")]
+    return head + f""",
+wstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS n_words,
+         CAST(sum(list_sum(list_transform(words, w -> len(w)))) AS BIGINT)
+           AS n_chars
+  FROM dwords
+),
+tstats AS (
+  SELECT CAST(sum(len(list_filter(string_split(rep, {sep2}), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM e{k}
+)
+SELECT w.n_docs, w.n_words, w.n_chars, t.n_tokens,
+       CAST((t.n_tokens * 1000000) // w.n_words AS BIGINT)
+         AS tokens_per_word_ppm,
+       CAST((w.n_chars * 1000000) // t.n_tokens AS BIGINT)
+         AS chars_per_token_ppm
+FROM wstats w, tstats t"""
+
+
 def q_c4(spark, sf_dir):
     # C4 cleaning rules (Raffel et al. 2020 §2.2): line retention + page
     # gates. The fixture text has no line/punctuation structure, so it is
@@ -2996,6 +3052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "bpe_eval": q_bpe_eval,
+        "outliers": q_outliers,
+        "coverage": q_coverage,
         "katz": q_katz,
         "shards": q_shards,
         "collocations": q_collocations,
@@ -5979,6 +6038,49 @@ t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
 SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (src)"""
+
+    # tokenizer compression eval (tokenizer.bpe_compression_stats): the
+    # bpe_encode chain with a corpus-stats final select.
+    sql["bpe_eval"] = _bpe_eval_oracle_sql(8)
+
+    # per-source integer-moment length outliers (stats.length_outliers):
+    # the shared _OUTLIER_SQL inequality, k = 2.
+    from ai_knowledge_graph_spark.operators.stats import _OUTLIER_SQL
+
+    sql["outliers"] = f"""
+WITH base AS (
+  SELECT source AS grp, doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+mom AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY grp
+)
+SELECT b.grp AS source, b.doc_id, b.x AS n_chars
+FROM base b JOIN mom m USING (grp)
+WHERE {_OUTLIER_SQL.format(k2=4)}"""
+
+    # head token coverage (textstats.vocab_coverage) at k = 5/10/20.
+    sql["coverage"] = """
+WITH tok AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+tot AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS t FROM tok),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS k
+  FROM cnt ORDER BY c DESC, w ASC LIMIT 20
+),
+r AS (
+  SELECT k, CAST(sum(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS top_tokens
+  FROM top
+)
+SELECT CAST(k AS BIGINT) AS k, top_tokens,
+       CAST((top_tokens * 1000000) // (SELECT t FROM tot) AS BIGINT)
+         AS cover_ppm
+FROM r WHERE k IN (5, 10, 20)"""
 
     # Katz centrality (centrality.katz_centrality): x0 = 0, five unrolled
     # rounds of x' = 1e6 + sum(in x) // 10 — pure int64, bit-exact.

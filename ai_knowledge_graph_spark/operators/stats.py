@@ -165,3 +165,53 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+# the 3-sigma test as ONE shared SQL expression (engine F.expr == oracle):
+# |x - mean| > k*sigma  <=>  (n*x - sx)^2 > k^2 * (n*sxx - sx^2), with the
+# integer moments exact and only the two final products taken in DOUBLE
+# (both sides IEEE-multiply the same exact ints, so the comparison is
+# deterministic even past 2^53).
+_OUTLIER_SQL = (
+    "CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)"
+    " > CAST({k2} * (n * sxx - sx * sx) AS DOUBLE)"
+)
+
+
+def length_outliers(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k_sigma: int = 3,
+) -> DataFrame:
+    """(group, doc_id, value): rows whose ``value_col`` sits more than
+    ``k_sigma`` population standard deviations from their group's mean —
+    the per-source length-anomaly gate (a 2 MB "document" in a tweet
+    source is a scraper bug, not data). The z-test is evaluated on exact
+    int64 moments via the algebraic identity above, so there is no
+    mean/stddev rounding anywhere and results are hash-reproducible.
+
+    Shape: one map-side-combinable moment agg per group + a broadcast
+    join back (groups are few); a group with n < 2 or zero variance
+    flags nothing (rhs >= lhs = 0 edge handled by the strict >).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    mom = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        base.join(F.broadcast(mom), "grp")
+        .filter(F.expr(_OUTLIER_SQL.format(k2=k_sigma * k_sigma)))
+        .select(
+            F.col("grp").alias(group_col),
+            "doc_id",
+            F.col("x").alias(value_col),
+        )
+    )

@@ -1070,3 +1070,45 @@ def word_collocations(
     )
     w = Window.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 20, 50),
+    text_col: str = "text",
+) -> DataFrame:
+    """(k, top_tokens, cover_ppm): cumulative token coverage of the top-k
+    vocabulary — what share of the corpus token stream the k most
+    frequent words account for. The head-coverage curve is the cheap
+    corpus-health twin of zipf_fit (a boilerplate-heavy crawl covers 90%
+    with a handful of words; a healthy mix doesn't) and sizes
+    stopword/vocab lists empirically.
+
+    Exact int64 end to end: counts, a bounded top-max(ks) rank
+    (TakeOrderedAndProject + row_number over the bounded result), a
+    running sum over those <= max(ks) rows, cover_ppm = (cum * 1e6) DIV
+    total.
+    """
+    kmax = max(ks)
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    tok = docs.select(F.explode(words).alias("w"))
+    total = max(tok.count(), 1)
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(kmax)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    cum = Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number().over(w).alias("k"),
+        F.sum("c").over(cum).cast("long").alias("top_tokens"),
+    )
+    return ranked.filter(F.col("k").isin(*ks)).select(
+        F.col("k").cast("long").alias("k"),
+        "top_tokens",
+        F.expr(f"(top_tokens * 1000000) DIV {total}").alias("cover_ppm"),
+    )

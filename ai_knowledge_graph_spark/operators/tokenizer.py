@@ -319,3 +319,43 @@ def bpe_encode_ranked(
         words.select("word").distinct().withColumn("toks", enc(F.col("word")))
     )
     return _regroup(words.join(vocab, "word"), id_col)
+
+
+def bpe_compression_stats(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[int, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(n_docs, n_words, n_chars, n_tokens, tokens_per_word_ppm,
+    chars_per_token_ppm): corpus-level tokenizer evaluation — the
+    compression metrics (fertility = tokens/word, chars/token) every
+    tokenizer-training loop reports on held-out text before a vocab
+    ships; a merge table that stops compressing flags under-training,
+    one that balloons fertility on a new domain flags vocabulary drift.
+
+    Composes :func:`bpe_encode_ranked` (the production encoder — linear
+    in tokens, independent of merge count) with the SAME whitespace word
+    split, so the ratios are exact int64 ppm ((a * 1e6) DIV b) over
+    consistent token/word universes. One row out.
+    """
+    enc = bpe_encode_ranked(docs, merges, id_col=id_col, text_col=text_col)
+    words = _words(docs, id_col, text_col)
+    wagg = words.agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+    )
+    tagg = enc.agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    return (
+        wagg.crossJoin(F.broadcast(tagg))
+        .select(
+            "n_docs", "n_words", "n_chars", "n_tokens",
+            F.expr("(n_tokens * 1000000) DIV n_words").alias(
+                "tokens_per_word_ppm"
+            ),
+            F.expr("(n_chars * 1000000) DIV n_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+    )
