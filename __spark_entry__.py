@@ -1747,6 +1747,37 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_range_join(spark, sf_dir):
+    # interval join via the two-bucket trick (no theta join): every
+    # purchase within 1h AFTER each click by the same user.
+    from ai_knowledge_graph_spark.operators.events import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        window_sec=3600,
+    )
+
+
+def q_pred_symmetry(spark, sf_dir):
+    # symmetric-predicate discovery (reverse-edge share). Mined over the
+    # INFERRED graph for the same reason as rule_mining: phase-2 edges
+    # alone rarely carry both directions; the closed graph re-surfaces
+    # the inference symmetries as near-1e6-ppm predicates.
+    from ai_knowledge_graph_spark.graph.kgops import predicate_symmetry
+
+    return predicate_symmetry(_fin_triples(spark, sf_dir))
+
+
+def q_pred_inverse(spark, sf_dir):
+    # AMIE-style inverse rules q(b,a) <= p(a,b) with ppm confidence,
+    # over the inferred graph (empty over std — measured 0 rows).
+    from ai_knowledge_graph_spark.graph.kgops import predicate_inverses
+
+    return predicate_inverses(_fin_triples(spark, sf_dir), min_support=1)
+
+
 def q_bpe_eval(spark, sf_dir):
     # tokenizer compression eval: train 8 merges, encode with the
     # production Arrow encoder, report corpus fertility + chars/token.
@@ -3052,6 +3083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "range_join": q_range_join,
+        "pred_symmetry": q_pred_symmetry,
+        "pred_inverse": q_pred_inverse,
         "bpe_eval": q_bpe_eval,
         "outliers": q_outliers,
         "coverage": q_coverage,
@@ -6038,6 +6072,59 @@ t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
 SELECT c.src AS src_event, c.dst AS dst_event, c.n AS n_transitions,
        CAST((c.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
 FROM c JOIN t USING (src)"""
+
+    # range join (events.range_join): the oracle is the NAIVE theta join
+    # the engine's two-bucket plan must reproduce exactly.
+    sql["range_join"] = """
+WITH l AS (
+  SELECT user_id, event_id AS left_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS lt
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, event_id AS right_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS rt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.left_id, r.right_id,
+       CAST(r.rt - l.lt AS BIGINT) AS gap_sec
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.rt >= l.lt AND r.rt - l.lt <= 3600"""
+
+    # symmetric-predicate discovery (kgops.predicate_symmetry), over the
+    # inferred (dedup) graph like rule_mining.
+    sql["pred_symmetry"] = _PRELUDE_INFER + _STD_CTES + _INFER_CTES + """
+, spo AS MATERIALIZED (SELECT DISTINCT subject, predicate, object FROM dedup),
+g AS (
+  SELECT s.predicate, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN r.subject IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sym
+  FROM spo s LEFT JOIN spo r
+    ON s.predicate = r.predicate AND s.subject = r.object
+   AND s.object = r.subject
+  GROUP BY s.predicate
+)
+SELECT predicate, n_edges, n_sym,
+       CAST((n_sym * 1000000) // n_edges AS BIGINT) AS sym_ppm
+FROM g WHERE n_edges >= 2"""
+
+    # inverse-predicate rules (kgops.predicate_inverses), min_support=1,
+    # over the inferred (dedup) graph (empty over std — measured).
+    sql["pred_inverse"] = _PRELUDE_INFER + _STD_CTES + _INFER_CTES + """
+, spo AS MATERIALIZED (SELECT DISTINCT subject, predicate, object FROM dedup),
+sup AS (
+  SELECT a.predicate, b.predicate AS inverse,
+         CAST(count(*) AS BIGINT) AS n_support
+  FROM spo a JOIN spo b
+    ON a.subject = b.object AND a.object = b.subject
+   AND a.predicate <> b.predicate
+  GROUP BY 1, 2
+),
+np AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_p FROM spo GROUP BY 1)
+SELECT s.predicate, s.inverse, s.n_support, np.n_p,
+       CAST((s.n_support * 1000000) // np.n_p AS BIGINT) AS conf_ppm
+FROM sup s JOIN np USING (predicate)
+WHERE s.n_support >= 1"""
 
     # tokenizer compression eval (tokenizer.bpe_compression_stats): the
     # bpe_encode chain with a corpus-stats final select.

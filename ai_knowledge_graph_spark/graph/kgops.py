@@ -915,3 +915,76 @@ def transe_score(triples: DataFrame, dim: int = 8) -> DataFrame:
             ).alias("transe_score"),
         )
     )
+
+
+def predicate_symmetry(triples: DataFrame, min_edges: int = 2) -> DataFrame:
+    """(predicate, n_edges, n_sym, sym_ppm): symmetric-predicate discovery
+    — for each predicate, the share of its distinct (s, o) edges whose
+    reverse (o, s) also carries the SAME predicate. An ontology-learning
+    profile (schema induction from data, the empirical half of
+    functional_violations' declared-constraint check): predicates near
+    1e6 ppm behave as symmetric relations ("related to"), near 0 as
+    strictly directed ("part of").
+
+    One distinct + one self-equi-join on (predicate, reversed pair) +
+    one predicate-keyed agg; self-loops count as trivially symmetric
+    (their reverse is themselves), which is the honest reading.
+    """
+    spo = triples.select("subject", "predicate", "object").distinct()
+    spo = spo.localCheckpoint(eager=True)
+    rev = spo.select(
+        F.col("object").alias("subject"),
+        "predicate",
+        F.col("subject").alias("object"),
+        F.lit(1).alias("_r"),
+    )
+    return (
+        spo.join(rev, ["subject", "predicate", "object"], "left")
+        .groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("_r", F.lit(0))).cast("long").alias("n_sym"),
+        )
+        .filter(F.col("n_edges") >= min_edges)
+        .select(
+            "predicate", "n_edges", "n_sym",
+            F.expr("(n_sym * 1000000) DIV n_edges").alias("sym_ppm"),
+        )
+    )
+
+
+def predicate_inverses(
+    triples: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """(predicate, inverse, n_support, n_p, conf_ppm): inverse-predicate
+    rule mining — AMIE-style rules q(b, a) <= p(a, b) with support =
+    |{(a,b): p(a,b) and q(b,a)}| and confidence = support / |p| (PCA-free
+    denominator; the rule_mining sibling for the inverse shape, distinct
+    predicates only — the p = q diagonal is predicate_symmetry's job).
+
+    One distinct + one equi-join of the edge set against its reversal on
+    the (subject, object) pair + one (p, q)-keyed agg; join fan-out is
+    bounded by pair multiplicity across predicates (the predicate
+    vocabulary is schema-sized).
+    """
+    spo = triples.select("subject", "predicate", "object").distinct()
+    spo = spo.localCheckpoint(eager=True)
+    rev = spo.select(
+        F.col("object").alias("subject"),
+        F.col("predicate").alias("inverse"),
+        F.col("subject").alias("object"),
+    )
+    sup = (
+        spo.join(rev, ["subject", "object"])
+        .filter(F.col("predicate") != F.col("inverse"))
+        .groupBy("predicate", "inverse")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+        .filter(F.col("n_support") >= min_support)
+    )
+    np_ = spo.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    return sup.join(F.broadcast(np_), "predicate").select(
+        "predicate", "inverse", "n_support", "n_p",
+        F.expr("(n_support * 1000000) DIV n_p").alias("conf_ppm"),
+    )

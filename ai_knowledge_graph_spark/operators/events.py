@@ -340,3 +340,67 @@ def session_paths(
     )
     rw = Window.orderBy(F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
     return tri.withColumn("rank", F.row_number().over(rw).cast("long"))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """(key, left_id, right_id, gap_sec): interval/range join — every
+    (left, right) pair with the same key and ``0 <= t_right - t_left <=
+    window_sec`` (e.g. every purchase within an hour AFTER each click).
+    The brief names range joins, with as-of joins, as the custom
+    operators Spark lacks as primitives; the naive formulation is a
+    theta join (cartesian per key) that Spark executes as
+    BroadcastNestedLoopJoin — quadratic per key and a non-starter at
+    scale.
+
+    Bucket trick instead: both sides bucket by floor(epoch/W); a
+    qualifying right row can only live in the left row's bucket or the
+    next one, so the LEFT side explodes into those two (key, bucket)
+    slots, equi-joins right on (key, bucket) — a plain shuffled hash
+    join — and the exact [0, W] predicate filters the survivors.
+    Cost: 2x left replication + candidates bounded by per-(key, 2W)
+    density, linear for real event streams. Timestamps compare in
+    floor-epoch seconds (the events-family convention: parquet naive ts
+    reads as UTC instants here; gaps are shift-immune).
+    """
+    lsec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    l0 = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_id).alias("left_id"),
+        lsec.alias("_lt"),
+    ).select(
+        "_k", "left_id", "_lt",
+        F.explode(
+            F.array(
+                F.expr(f"_lt DIV {window_sec}"),
+                F.expr(f"_lt DIV {window_sec} + 1"),
+            )
+        ).alias("_b"),
+    )
+    r0 = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_id).alias("right_id"),
+        lsec.alias("_rt"),
+    ).withColumn("_b", F.expr(f"_rt DIV {window_sec}"))
+    return (
+        l0.join(r0, ["_k", "_b"])
+        .filter(
+            (F.col("_rt") >= F.col("_lt"))
+            & (F.col("_rt") - F.col("_lt") <= window_sec)
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "left_id",
+            "right_id",
+            (F.col("_rt") - F.col("_lt")).cast("long").alias("gap_sec"),
+        )
+        # no distinct needed: a right row owns exactly ONE bucket, so each
+        # (left, right) pair can match at most one of the left's two slots
+    )

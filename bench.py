@@ -305,6 +305,12 @@ def run_bench(spark, sf_dir: str, n_docs: int) -> dict:
     timed("doc_bpe_merges", lambda: entry_mod.q_bpe_merges(spark, sf_dir).count())
     timed("doc_bpe_encode", lambda: entry_mod.q_bpe_encode(spark, sf_dir).count())
     timed("embedding_pq_topk", lambda: entry_mod.q_pq_topk(spark, sf_dir).count())
+    # round-4 session-6 additions: TextRank (integer PageRank over the
+    # word graph, 5 joined rounds), centroid summaries (double explode +
+    # broadcast prob join), Dirichlet QLM (token explode + term cross)
+    timed("doc_textrank", lambda: entry_mod.q_textrank(spark, sf_dir).count())
+    timed("doc_summarize", lambda: entry_mod.q_summarize(spark, sf_dir).count())
+    timed("doc_qlm", lambda: entry_mod.q_qlm(spark, sf_dir).count())
     # round-4 north-rule composition: crawl pages -> as-of latest ->
     # REAL html->text extraction -> curation gate -> chunk -> extract ->
     # standardize -> infer (the whole KG build from raw pages, one query)
