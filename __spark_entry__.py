@@ -1747,6 +1747,25 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_quantile_sketch(spark, sf_dir):
+    # mergeable log2-histogram quantiles of document length (p50/90/99).
+    from ai_knowledge_graph_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(_docs(spark, sf_dir), "n_chars", ps=(50, 90, 99))
+
+
+def q_split_leakage(spark, sf_dir):
+    # near-dup leakage audit across the hash_split train/val/test cells.
+    from ai_knowledge_graph_spark.operators.curation import split_leakage
+    from ai_knowledge_graph_spark.operators.dedup import minhash_near_dup
+    from ai_knowledge_graph_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dup(docs, k=3, num_hashes=8, bands=4, threshold=0.5)
+    splits = hash_split(docs, "doc_id").select("doc_id", "split")
+    return split_leakage(pairs, splits)
+
+
 def q_range_join(spark, sf_dir):
     # interval join via the two-bucket trick (no theta join): every
     # purchase within 1h AFTER each click by the same user.
@@ -3083,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "quantile_sketch": q_quantile_sketch,
+        "split_leakage": q_split_leakage,
         "range_join": q_range_join,
         "pred_symmetry": q_pred_symmetry,
         "pred_inverse": q_pred_inverse,
@@ -7582,6 +7603,51 @@ FROM (
          n_zero
   FROM agg
 )"""
+
+    # mergeable log2-histogram quantiles (sketches.quantile_sketch) over
+    # document length: bucket = binary length - 1 (no float log2), ceil
+    # target (n*p + 99) // 100, first bucket reaching it.
+    _qs_one = """
+SELECT CAST({p} AS BIGINT) AS p, CAST(bucket AS BIGINT) AS bucket,
+       CAST(pow(2, bucket + 1) AS BIGINT) - 1 AS upper_bound,
+       cum_count, n
+FROM qcum WHERE cum_count >= (n * {p} + 99) // 100
+ORDER BY bucket LIMIT 1"""
+    sql["quantile_sketch"] = (
+        """
+WITH qhist AS MATERIALIZED (
+  SELECT length(bin(CAST(n_chars AS BIGINT))) - 1 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE n_chars >= 0 GROUP BY 1
+),
+qcum AS MATERIALIZED (
+  SELECT bucket,
+         CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_count,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM qhist
+)
+"""
+        + "\nUNION ALL\n".join(
+            f"({_qs_one.format(p=p)})" for p in (50, 90, 99)
+        )
+    )
+
+    # cross-split near-dup leakage (curation.split_leakage): composes the
+    # verified-pair statement with the split assignment, canonicalized on
+    # split name.
+    sql["split_leakage"] = f"""
+WITH pr AS MATERIALIZED (
+  SELECT a, b FROM ({sql["minhash_lsh_pairs"]})
+),
+sp AS MATERIALIZED (
+  SELECT doc_id, split FROM ({sql["hash_split"]})
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
+GROUP BY 1, 2"""
 
     return sql
 

@@ -597,3 +597,42 @@ def blocklist_hits(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """(split_a, split_b, n_pairs): near-duplicate leakage audit across
+    train/val/test splits — how many verified near-dup pairs STRADDLE
+    split boundaries. A random split of a near-dup-contaminated corpus
+    leaks test answers into train (the published decontamination failure
+    mode); the fix is splitting by near-dup GROUP, and this operator is
+    the gate proving whether that was done: off-diagonal rows must be
+    zero for a leakage-safe split.
+
+    ``pairs`` is any (a, b) duplicate-pair set (e.g. minhash_near_dup's
+    output); ``splits`` maps id -> split. Two broadcastable equi-joins
+    (the split table is one narrow row per doc) + one tiny agg keyed by
+    the 3x3 split matrix; pair orientation canonicalizes on SPLIT name
+    so (train, test) and (test, train) count as one cell.
+    """
+    sa = splits.select(
+        F.col(id_col).alias("a"), F.col(split_col).alias("_sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("b"), F.col(split_col).alias("_sb")
+    )
+    return (
+        pairs.select("a", "b")
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -23,7 +23,7 @@ batch against the historical URL set without touching the corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _WORD_BITS = 63
@@ -201,3 +201,63 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
         F.round(est, 6).alias("estimate"),
         F.col("n_zero").alias("n_zero_registers"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """(p, bucket, upper_bound, cum_count, n): mergeable log2-histogram
+    quantiles — each non-negative value lands in bucket floor(log2(v))
+    (v=0 -> bucket 0), the histogram is a counter monoid like this
+    module's Bloom/CMS/HLL tables (union = add counts, so per-shard
+    sketches merge without re-reading data), and quantile p is the first
+    bucket whose cumulative count reaches ceil(p% of n) — answer
+    guaranteed within a 2x value band (the bucket's [2^b, 2^(b+1)-1]).
+
+    Exact integers everywhere: the bucket is the binary-string length
+    minus one (length(conv(v,10,2)) - 1 — no float log2), the ceil
+    target is (n*p + 99) DIV 100, the cumulative window runs over at
+    most 64 bucket rows.
+    """
+    b = (
+        F.length(F.conv(F.col(value_col).cast("long").cast("string"), 10, 2))
+        - 1
+    ).cast("int")
+    hist = (
+        df.filter(F.col(value_col) >= 0)
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("c").over(w).cast("long").alias("cum_count"),
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for p in ps:
+        hit = (
+            cum.filter(F.expr(f"cum_count >= (n * {p} + 99) DIV 100"))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(p).cast("long").alias("p"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.expr("CAST(pow(2, bucket + 1) AS BIGINT) - 1").alias(
+                    "upper_bound"
+                ),
+                "cum_count",
+                "n",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
