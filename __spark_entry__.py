@@ -1747,6 +1747,36 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_topic_shift(spark, sf_dir):
+    # TextTiling-style sharpest topic shift per doc (10-word blocks,
+    # micro-frozen adjacent-block cosine).
+    from ai_knowledge_graph_spark.operators.textstats import topic_shifts
+
+    return topic_shifts(_docs(spark, sf_dir), window_words=10)
+
+
+def q_ab_lift(spark, sf_dir):
+    # deterministic A/B cohort conversion readout (md5 user split,
+    # purchase conversion, ppm rates).
+    from ai_knowledge_graph_spark.operators.events import ab_lift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_lift(ev, convert_type="purchase")
+
+
+def q_lang_mismatch(spark, sf_dir):
+    # declared-vs-predicted language confusion matrix: the ingest QA
+    # readout over the lang_id heuristic.
+    from ai_knowledge_graph_spark.operators.textstats import language_id
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return (
+        language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def q_quantile_sketch(spark, sf_dir):
     # mergeable log2-histogram quantiles of document length (p50/90/99).
     from ai_knowledge_graph_spark.operators.sketches import quantile_sketch
@@ -3102,6 +3132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "topic_shift": q_topic_shift,
+        "ab_lift": q_ab_lift,
+        "lang_mismatch": q_lang_mismatch,
         "quantile_sketch": q_quantile_sketch,
         "split_leakage": q_split_leakage,
         "range_join": q_range_join,
@@ -7647,6 +7680,83 @@ SELECT least(sa.split, sb.split) AS split_a,
        greatest(sa.split, sb.split) AS split_b,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
+GROUP BY 1, 2"""
+
+    # TextTiling sharpest shift (textstats.topic_shifts): 10-word blocks,
+    # exact int64 counts/dots/norms, cosine frozen via the shared
+    # _TILE_SIM_SQL, per-doc (sim, gap) lexicographic min.
+    from ai_knowledge_graph_spark.operators.textstats import _TILE_SIM_SQL
+
+    sql["topic_shift"] = f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+tsegs AS MATERIALIZED (
+  SELECT doc_id, i AS win, list_slice(ws, (i - 1) * 10 + 1, i * 10) AS seg
+  FROM dw, UNNEST(range(1, len(ws) // 10 + 1)) AS r(i)
+  WHERE len(ws) >= 20
+),
+tw AS MATERIALIZED (
+  SELECT doc_id, win, unnest(seg) AS w FROM tsegs
+),
+tcnt AS MATERIALIZED (
+  SELECT doc_id, win, w, CAST(count(*) AS BIGINT) AS c
+  FROM tw GROUP BY 1, 2, 3
+),
+tnorm AS (
+  SELECT doc_id, win, CAST(sum(c * c) AS BIGINT) AS nn
+  FROM tcnt GROUP BY 1, 2
+),
+tdot AS (
+  SELECT a.doc_id, a.win, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM tcnt a JOIN tcnt b
+    ON a.doc_id = b.doc_id AND b.win = a.win + 1 AND a.w = b.w
+  GROUP BY 1, 2
+),
+tgap AS (
+  SELECT na.doc_id, na.win AS gap_idx,
+         COALESCE(d.dot, 0) AS dot, na.nn AS na, nb.nn AS nb
+  FROM tnorm na
+  JOIN tnorm nb ON na.doc_id = nb.doc_id AND nb.win = na.win + 1
+  LEFT JOIN tdot d ON na.doc_id = d.doc_id AND na.win = d.win
+),
+tsim AS (
+  SELECT doc_id, CAST(gap_idx AS BIGINT) AS gap_idx,
+         {_TILE_SIM_SQL} AS sim_micro
+  FROM tgap
+),
+tr2 AS (
+  SELECT doc_id, gap_idx, sim_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sim_micro ASC, gap_idx ASC) AS rn
+  FROM tsim
+)
+SELECT doc_id, gap_idx, sim_micro FROM tr2 WHERE rn = 1"""
+
+    # A/B conversion readout (events.ab_lift): md5 user split, ppm rates.
+    sql["ab_lift"] = """
+WITH pu AS (
+  SELECT user_id AS u,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 12))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS cohort,
+         converted
+  FROM pu
+)
+SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST((sum(converted) * 1000000) // count(*) AS BIGINT) AS conv_ppm
+FROM c GROUP BY 1"""
+
+    # declared-vs-predicted language confusion (composes sql["lang_id"]).
+    sql["lang_mismatch"] = f"""
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN ({sql["lang_id"]}) p USING (doc_id)
 GROUP BY 1, 2"""
 
     return sql

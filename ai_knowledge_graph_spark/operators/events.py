@@ -404,3 +404,47 @@ def range_join(
         # no distinct needed: a right row owns exactly ONE bucket, so each
         # (left, right) pair can match at most one of the left's two slots
     )
+
+
+def ab_lift(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(cohort, n_users, n_converted, conv_ppm): deterministic A/B cohort
+    conversion readout — users hash into A or B (portable md5, so the
+    assignment replays on every rerun and every late-arriving event),
+    a user converts if they emitted at least one ``convert_type`` event,
+    and the per-cohort rate is frozen to ppm ints. The experiment-
+    analysis primitive on the events table (the statistical test layer
+    sits downstream; this is the exact-count input it needs).
+
+    Shape: one distinct per (user, converted-or-not) — a user-keyed agg
+    with map-side combine — then a 2-row cohort agg.
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            (F.col(type_col) == convert_type).cast("int").alias("cv"),
+        )
+        .groupBy("u")
+        .agg(F.max("cv").alias("converted"))
+    )
+    cohort = F.when(
+        F.conv(F.substring(F.md5(F.col("u").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return (
+        per_user.select(cohort.alias("cohort"), "converted")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "cohort", "n_users", "n_converted",
+            F.expr("(n_converted * 1000000) DIV n_users").alias("conv_ppm"),
+        )
+    )

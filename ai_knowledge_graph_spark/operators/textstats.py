@@ -1112,3 +1112,99 @@ def vocab_coverage(
         "top_tokens",
         F.expr(f"(top_tokens * 1000000) DIV {total}").alias("cover_ppm"),
     )
+
+
+# the adjacent-block cosine, applied verbatim on both sides: dot/na/nb are
+# exact int64 (sums of count products); sqrt and one division are the only
+# float steps, frozen to micro before any comparison.
+_TILE_SIM_SQL = (
+    "CAST(round(CAST(dot AS DOUBLE)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0) AS BIGINT)"
+)
+
+
+def topic_shifts(
+    docs: DataFrame,
+    window_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, gap_idx, sim_micro): TextTiling-style topic segmentation
+    (Hearst 1997) — documents split into consecutive ``window_words``
+    blocks; each inter-block gap scores the cosine similarity of the two
+    adjacent blocks' term vectors, and the row returned per document is
+    its SHARPPEST topic shift (global-minimum gap, ties to the earliest),
+    the split point a long-document chunker should cut at before
+    embedding.
+
+    Counts and dot products are exact int64; the cosine's sqrt/division
+    are frozen to micro ints through the shared ``_TILE_SIM_SQL``
+    expression. Shape: row-local windowing (the summarize slice), one
+    (doc, window, word) count agg, a self-equi-join on (doc, word) at
+    window+1 (each word matches only its neighbor window — linear), two
+    norm aggs, one per-doc min_by. Docs with fewer than 2 full windows
+    drop (no gap to score).
+    """
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    dw = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws")).filter(
+        F.size("ws") >= 2 * window_words
+    )
+    segs = dw.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("ws") / window_words).cast("int")),
+                lambda i: F.struct(
+                    i.alias("win"),
+                    F.slice(
+                        "ws", (i - F.lit(1)) * window_words + 1, window_words
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.win", F.explode("s.seg").alias("w"))
+    cnt = segs.groupBy("doc_id", "win", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cnt = cnt.localCheckpoint(eager=True)
+    norms = cnt.groupBy("doc_id", "win").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nn")
+    )
+    nxt = cnt.select(
+        "doc_id", (F.col("win") - 1).alias("win"), "w",
+        F.col("c").alias("c2"),
+    )
+    dots = (
+        cnt.join(nxt, ["doc_id", "win", "w"])
+        .groupBy("doc_id", "win")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("dot"))
+    )
+    gaps = (
+        norms.select("doc_id", "win", F.col("nn").alias("na"))
+        .join(
+            norms.select(
+                "doc_id", (F.col("win") - 1).alias("win"),
+                F.col("nn").alias("nb"),
+            ),
+            ["doc_id", "win"],
+        )
+        .join(dots, ["doc_id", "win"], "left")
+        .select(
+            "doc_id",
+            F.col("win").cast("long").alias("gap_idx"),
+            F.coalesce("dot", F.lit(0)).cast("long").alias("dot"),
+            "na", "nb",
+        )
+        .select("doc_id", "gap_idx", F.expr(_TILE_SIM_SQL).alias("sim_micro"))
+    )
+    return (
+        gaps.groupBy("doc_id")
+        .agg(
+            F.min(F.struct("sim_micro", "gap_idx")).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.gap_idx").alias("gap_idx"),
+            F.col("m.sim_micro").alias("sim_micro"),
+        )
+    )
