@@ -1747,6 +1747,38 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_revenue_nation(spark, sf_dir):
+    # TPC-H Q5-shape star join over the warehouse tables; revenue frozen
+    # to int64 cents per row before the sum, nation broadcast.
+    from ai_knowledge_graph_spark.operators.relational import (
+        revenue_by_nation,
+    )
+
+    return revenue_by_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_rolling(spark, sf_dir):
+    # daily event counts + trailing 7-day RANGE-window rolling sums.
+    from ai_knowledge_graph_spark.operators.events import rolling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_counts(ev, window_days=7)
+
+
+def q_event_corr(spark, sf_dir):
+    # Pearson correlation of click vs purchase daily counts (int64
+    # moments, one shared-expression float step).
+    from ai_knowledge_graph_spark.operators.events import event_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_correlation(ev, "click", "purchase")
+
+
 def q_topic_shift(spark, sf_dir):
     # TextTiling-style sharpest topic shift per doc (10-word blocks,
     # micro-frozen adjacent-block cosine).
@@ -3132,6 +3164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "revenue_nation": q_revenue_nation,
+        "rolling": q_rolling,
+        "event_corr": q_event_corr,
         "topic_shift": q_topic_shift,
         "ab_lift": q_ab_lift,
         "lang_mismatch": q_lang_mismatch,
@@ -7758,6 +7793,65 @@ FROM c GROUP BY 1"""
 SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN ({sql["lang_id"]}) p USING (doc_id)
 GROUP BY 1, 2"""
+
+    # TPC-H Q5-shape revenue per nation (relational.revenue_by_nation):
+    # the shared REVENUE_CENTS_SQL freezes per-row money to cents before
+    # any aggregation.
+    from ai_knowledge_graph_spark.operators.relational import (
+        REVENUE_CENTS_SQL,
+    )
+
+    sql["revenue_nation"] = f"""
+SELECT n.n_name,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum({REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+    # trailing 7-day rolling event counts (events.rolling_counts): RANGE
+    # frame over epoch days.
+    sql["rolling"] = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_n
+FROM daily"""
+
+    # Pearson correlation of two event types' daily counts (shared
+    # _PEARSON_SQL; outer-joined days, zero-filled).
+    from ai_knowledge_graph_spark.operators.events import _PEARSON_SQL
+
+    sql["event_corr"] = f"""
+WITH base AS (
+  SELECT event_type AS t, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+dx AS (SELECT day, CAST(count(*) AS BIGINT) AS x FROM base
+       WHERE t = 'click' GROUP BY 1),
+dy AS (SELECT day, CAST(count(*) AS BIGINT) AS y FROM base
+       WHERE t = 'purchase' GROUP BY 1),
+xy AS (
+  SELECT COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+  FROM dx FULL OUTER JOIN dy USING (day)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_days,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN {_PEARSON_SQL} END AS corr_micro
+FROM m"""
 
     return sql
 

@@ -448,3 +448,98 @@ def ab_lift(
             F.expr("(n_converted * 1000000) DIV n_users").alias("conv_ppm"),
         )
     )
+
+
+def rolling_counts(
+    events: DataFrame,
+    window_days: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, day, n, rolling_n): daily event counts plus the
+    trailing ``window_days``-day rolling sum per type — the time-series
+    smoothing every ops dashboard draws, as a RANGE window over epoch
+    days (value-based frame, so missing days genuinely fall out of the
+    window rather than sliding row-wise past them).
+
+    Days are exact ints (epoch DIV 86400); the rolling frame runs per
+    type over the DAILY rollup (bounded rows: types x days), never over
+    raw events.
+    """
+    day = F.expr(f"CAST(floor(unix_timestamp({ts_col})) DIV 86400 AS BIGINT)")
+    daily = (
+        events.select(F.col(type_col).alias("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).cast("long").alias("rolling_n"),
+    )
+
+
+# Pearson r's one float step, shared verbatim with the oracle; the five
+# moments are exact int64 over daily counts.
+_PEARSON_SQL = (
+    "CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0) AS BIGINT)"
+)
+
+
+def event_correlation(
+    events: DataFrame,
+    type_x: str,
+    type_y: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(n_days, corr_micro): Pearson correlation between two event types'
+    daily counts — the do-clicks-drive-purchases readout. Days carrying
+    neither type drop (no row to join); days with one side count the
+    other as 0 via the outer join + coalesce.
+
+    Integer moments (n, Sx, Sy, Sxy, Sxx, Syy are int64 over daily
+    counts), one shared-expression float step frozen to micro; NULL when
+    either variance is zero.
+    """
+    day = F.expr(f"CAST(floor(unix_timestamp({ts_col})) DIV 86400 AS BIGINT)")
+    base = events.select(F.col(type_col).alias("t"), day.alias("day"))
+
+    def daily(t):
+        return (
+            base.filter(F.col("t") == t)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    xy = (
+        daily(type_x).withColumnRenamed("c", "x")
+        .join(daily(type_y).withColumnRenamed("c", "y"), "day", "full_outer")
+        .select(
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    return (
+        xy.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 "
+                f"THEN {_PEARSON_SQL} END"
+            ).alias("corr_micro"),
+        )
+    )
