@@ -1747,6 +1747,22 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_session_incidents(spark, sf_dir):
+    # interval-overlap join: sessions x corpus error hours (cover-bucket
+    # plan, no theta join).
+    from ai_knowledge_graph_spark.operators.events import session_incidents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_incidents(ev, incident_type="error")
+
+
+def q_char_entropy(spark, sf_dir):
+    # char-bigram Shannon entropy per doc, milli-nats, xlx int freeze.
+    from ai_knowledge_graph_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_revenue_nation(spark, sf_dir):
     # TPC-H Q5-shape star join over the warehouse tables; revenue frozen
     # to int64 cents per row before the sum, nation broadcast.
@@ -3164,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "session_incidents": q_session_incidents,
+        "char_entropy": q_char_entropy,
         "revenue_nation": q_revenue_nation,
         "rolling": q_rolling,
         "event_corr": q_event_corr,
@@ -7793,6 +7811,68 @@ FROM c GROUP BY 1"""
 SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN ({sql["lang_id"]}) p USING (doc_id)
 GROUP BY 1, 2"""
+
+    # interval-overlap join (events.session_incidents): the sessions CTE
+    # chain + cover-bucket explode vs incident hours.
+    sql["session_incidents"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+), x AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS idx
+  FROM f
+), sess AS (
+  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(idx AS VARCHAR)
+           AS session_id,
+         user_id,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS lo,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS hi
+  FROM x GROUP BY user_id, idx
+), cov AS (
+  SELECT session_id, user_id,
+         unnest(range(lo // 3600, hi // 3600 + 1)) AS b
+  FROM sess
+), inc AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+         CAST(count(*) AS BIGINT) AS n_incidents
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT c.session_id, c.user_id, CAST(c.b * 3600 AS BIGINT) AS hour_sec,
+       i.n_incidents
+FROM cov c JOIN inc i USING (b)"""
+
+    # char-bigram entropy (textstats.char_entropy): xlx milli freeze.
+    _xlxm = (
+        "CAST(round(CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE))"
+        " * 1000.0) AS BIGINT)"
+    )
+    sql["char_entropy"] = f"""
+WITH cbase AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(lower(text)) >= 2
+),
+cbg AS (
+  SELECT doc_id, substr(t, i, 2) AS bg
+  FROM cbase, UNNEST(range(1, length(t))) AS r(i)
+),
+ccnt AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM cbg GROUP BY 1, 2
+),
+ca AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum({_xlxm.format(x="c")}) AS BIGINT) AS sxlx
+  FROM ccnt GROUP BY 1
+)
+SELECT doc_id, n AS n_bigrams,
+       ({_xlxm.format(x="n")} - sxlx) // n AS entropy_milli
+FROM ca"""
 
     # TPC-H Q5-shape revenue per nation (relational.revenue_by_nation):
     # the shared REVENUE_CENTS_SQL freezes per-row money to cents before

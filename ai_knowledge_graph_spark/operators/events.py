@@ -543,3 +543,55 @@ def event_correlation(
             ).alias("corr_micro"),
         )
     )
+
+
+def session_incidents(
+    events: DataFrame,
+    incident_type: str = "error",
+    bucket_sec: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(session_id, user_id, hour_sec, n_incidents): interval-overlap
+    join — which user sessions overlap corpus-wide incident hours (hours
+    containing at least one ``incident_type`` event). The "was this
+    session exposed to the outage" attribution query; together with
+    asof_join and range_join it completes the temporal-join family the
+    brief names.
+
+    Cover-bucket plan, no theta join: each session interval [start, end]
+    explodes into the hour buckets it covers (bounded: the 30-min
+    sessionize gap caps a session's span at ~events-per-session hours),
+    incident hours reduce to one row each, and the overlap is a plain
+    equi-join on the hour. Epoch arithmetic is integer end to end.
+    """
+    sec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    sess = (
+        sessionize(events, key_col=user_col, ts_col=ts_col)
+        .select("session_id", F.col(user_col).alias("user_id"), sec.alias("s"))
+        .groupBy("session_id", "user_id")
+        .agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"))
+    )
+    covered = sess.select(
+        "session_id",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_lo DIV {bucket_sec}"), F.expr(f"_hi DIV {bucket_sec}")
+            )
+        ).alias("_b"),
+    )
+    incidents = (
+        events.filter(F.col(type_col) == incident_type)
+        .select(sec.alias("s"))
+        .select(F.expr(f"s DIV {bucket_sec}").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_incidents"))
+    )
+    return covered.join(incidents, "_b").select(
+        "session_id",
+        "user_id",
+        (F.col("_b") * bucket_sec).cast("long").alias("hour_sec"),
+        "n_incidents",
+    )

@@ -1208,3 +1208,54 @@ def topic_shifts(
             F.col("m.sim_micro").alias("sim_micro"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, entropy_milli): character-bigram Shannon
+    entropy per document in milli-nats — the gibberish detector (random
+    byte soup maxes entropy; 'aaaa...' keyboard mash or template spam
+    floors it; natural language sits in a recognizable band, which is
+    how CCNet/Gopher-class pipelines use it).
+
+    H = ln(n) - (1/n)*sum(c_i ln c_i) over bigram counts; every x*ln(x)
+    term freezes to round(x ln x * 1000) int64 (the LLR/DSIR trick)
+    BEFORE the signed sum, and the final division is integer:
+    entropy_milli = (xlx(n) - sum xlx(c)) DIV n. Entirely row-group
+    local: one bigram explode + one (doc, bigram) count + one per-doc
+    agg; nothing corpus-wide.
+    """
+    t = F.lower(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("_t")).filter(
+        F.length("_t") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - 1),
+                lambda i: F.col("_t").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    xlx = "CAST(round(CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) * 1000.0) AS BIGINT)"
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.expr(xlx.format(x="c"))).cast("long").alias("sxlx"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_bigrams"),
+            F.expr(
+                "(" + xlx.format(x="n") + " - sxlx) DIV n"
+            ).alias("entropy_milli"),
+        )
+    )
