@@ -1747,6 +1747,21 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_novelty(spark, sf_dir):
+    # per-arrival-batch novel 8-gram share (crawl diminishing-returns).
+    from ai_knowledge_graph_spark.operators.curation import novelty_curve
+
+    return novelty_curve(_docs(spark, sf_dir), gram_n=8, batch_size=100)
+
+
+def q_embedding_qa(spark, sf_dir):
+    # one-row vector-table QA gate (dims / NULLs / zero norms / unit share).
+    from ai_knowledge_graph_spark.operators.similarity import embedding_qa
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_qa(emb, expected_dim=64)
+
+
 def q_session_incidents(spark, sf_dir):
     # interval-overlap join: sessions x corpus error hours (cover-bucket
     # plan, no theta join).
@@ -3180,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "novelty": q_novelty,
+        "embedding_qa": q_embedding_qa,
         "session_incidents": q_session_incidents,
         "char_entropy": q_char_entropy,
         "revenue_nation": q_revenue_nation,
@@ -7811,6 +7828,59 @@ FROM c GROUP BY 1"""
 SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN ({sql["lang_id"]}) p USING (doc_id)
 GROUP BY 1, 2"""
+
+    # novelty curve (curation.novelty_curve): first-occurrence-batch per
+    # 48-bit gram hash, per-batch new-share ppm.
+    sql["novelty"] = """
+WITH ng AS MATERIALIZED (
+  SELECT batch, unnest(gs) AS g FROM (
+    SELECT doc_id // 100 AS batch,
+           list_transform(
+             range(1, len(ws) - 6),
+             i -> ('0x' || substr(md5(array_to_string(ws[i : i + 7], ' ')),
+                                  1, 12))::BIGINT) AS gs
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents)
+  ) WHERE len(gs) >= 1
+),
+nf AS (SELECT g, CAST(min(batch) AS BIGINT) AS fb FROM ng GROUP BY g),
+pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_grams FROM ng GROUP BY 1),
+nw AS (
+  SELECT ng.batch, CAST(count(*) AS BIGINT) AS n_new
+  FROM ng JOIN nf ON ng.g = nf.g AND ng.batch = nf.fb
+  GROUP BY 1
+)
+SELECT CAST(pb.batch AS BIGINT) AS batch, pb.n_grams,
+       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+       CAST((COALESCE(nw.n_new, 0) * 1000000) // pb.n_grams AS BIGINT)
+         AS novelty_ppm
+FROM pb LEFT JOIN nw ON pb.batch = nw.batch"""
+
+    # embedding QA (similarity.embedding_qa): per-component micro-frozen
+    # norm^2, exact zero/unit tests.
+    sql["embedding_qa"] = """
+WITH rows_e AS (
+  SELECT CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS bad_dim,
+         CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+              THEN 1 ELSE 0 END AS has_null,
+         CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+              THEN NULL
+              ELSE list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                * 1000000.0) AS BIGINT)))
+         END AS n2
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(sum(has_null) AS BIGINT) AS n_null_component,
+       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST((sum(CASE WHEN n2 BETWEEN 999000 AND 1001000 THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS n_unit_ppm
+FROM rows_e"""
 
     # interval-overlap join (events.session_incidents): the sessions CTE
     # chain + cover-bucket explode vs incident hours.

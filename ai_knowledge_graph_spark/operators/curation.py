@@ -636,3 +636,71 @@ def split_leakage(
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    gram_n: int = 8,
+    batch_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(batch, n_grams, n_new, novelty_ppm): corpus novelty curve — per
+    arrival batch (``id DIV batch_size``), the share of its word
+    ``gram_n``-gram occurrences whose gram was NEVER seen in an earlier
+    batch. The diminishing-returns readout of continued crawling: a
+    healthy growing corpus decays slowly; a curve that crashes to ~0
+    says the crawler is re-fetching what it already has (and a flat ~1e6
+    says the dedup upstream is broken).
+
+    Two hash aggs over the exploded gram stream (md5-48bit gram keys —
+    the decontaminate/ExactSubstr convention): first occurrence batch
+    per gram (min), then per-batch totals vs grams-first-seen-here,
+    joined on the batch key. Linear; never materializes a seen-set per
+    batch.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (gram_n - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(words, i, gram_n), " ")), 1, 12
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    g = (
+        # guard BEFORE building grams: Spark sequence(1, size-(n-1))
+        # DESCENDS when the doc is shorter than one gram (the winnow
+        # gotcha); DuckDB's range is empty there, so the oracle drops
+        # short docs the same way this filter does.
+        docs.filter(F.size(words) >= gram_n)
+        .select(
+            F.expr(f"{id_col} DIV {batch_size}").cast("long").alias("batch"),
+            grams.alias("gs"),
+        )
+        .select("batch", F.explode("gs").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    first = g.groupBy("g").agg(F.min("batch").alias("fb"))
+    per_batch = g.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    new = (
+        g.join(first, "g")
+        .filter(F.col("batch") == F.col("fb"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return (
+        per_batch.join(new, "batch", "left")
+        .select(
+            "batch", "n_grams",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.expr(
+                "(coalesce(n_new, 0L) * 1000000) DIV n_grams"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -874,3 +874,49 @@ def knn_classify(
         )
         .select("query_id", "w.predicted_label", "w.votes")
     )
+
+
+def embedding_qa(
+    embeddings: DataFrame,
+    expected_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_vecs, n_bad_dim, n_null_component, n_zero_norm, n_unit_ppm):
+    one-row vector-table QA gate — the checks an embedding ingest runs
+    before ANN indexes are built over it: wrong-dimension rows (a
+    schema drift), NULL components (a serialization bug), zero-norm
+    vectors (cosine is undefined — these silently poison top-k), and
+    how many are already unit-normalized (norm² within 0.1% of 1).
+
+    norm² freezes per-COMPONENT to micro ints (round(x²·1e6) summed in
+    int64), so the zero/unit tests are exact and order-free. One pass,
+    one global agg.
+    """
+    v = F.col(vec_col)
+    norm2_micro = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.round(
+                x.cast("double") * x.cast("double") * F.lit(1000000.0)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    has_null = F.exists(v, lambda x: x.isNull())
+    rows = embeddings.select(
+        (F.size(v) != expected_dim).cast("long").alias("bad_dim"),
+        has_null.cast("long").alias("has_null"),
+        F.when(has_null, F.lit(None)).otherwise(norm2_micro).alias("n2"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("bad_dim").cast("long").alias("n_bad_dim"),
+        F.sum("has_null").cast("long").alias("n_null_component"),
+        F.sum((F.col("n2") == 0).cast("long")).cast("long").alias("n_zero_norm"),
+        F.expr(
+            "(sum(CASE WHEN n2 BETWEEN 999000 AND 1001000 THEN 1 ELSE 0 END)"
+            " * 1000000) DIV count(*)"
+        ).cast("long").alias("n_unit_ppm"),
+    )
