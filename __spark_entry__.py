@@ -1747,6 +1747,28 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_host_dup(spark, sf_dir):
+    # per-source exact-duplicate rate (normalized-content sha).
+    from ai_knowledge_graph_spark.operators.dedup import host_dup_rate
+
+    return host_dup_rate(_docs(spark, sf_dir))
+
+
+def q_convert_latency(spark, sf_dir):
+    # log2-bucketed first click->purchase latency distribution.
+    from ai_knowledge_graph_spark.operators.events import convert_latency
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return convert_latency(ev, "click", "purchase")
+
+
+def q_topo_layers(spark, sf_dir):
+    # bounded Kahn layering of the std KG; -1 = cyclic/deep residue.
+    from ai_knowledge_graph_spark.graph.kgops import topological_layers
+
+    return topological_layers(_std_triples(spark, sf_dir, INFER_DOCS), rounds=4)
+
+
 def q_novelty(spark, sf_dir):
     # per-arrival-batch novel 8-gram share (crawl diminishing-returns).
     from ai_knowledge_graph_spark.operators.curation import novelty_curve
@@ -3195,6 +3217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "host_dup": q_host_dup,
+        "convert_latency": q_convert_latency,
+        "topo_layers": q_topo_layers,
         "novelty": q_novelty,
         "embedding_qa": q_embedding_qa,
         "session_incidents": q_session_incidents,
@@ -7828,6 +7853,77 @@ FROM c GROUP BY 1"""
 SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN ({sql["lang_id"]}) p USING (doc_id)
 GROUP BY 1, 2"""
+
+    # per-source exact-dup rate (dedup.host_dup_rate): the dedup_exact
+    # hash convention grouped by source.
+    sql["host_dup"] = """
+WITH hd AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT sha256(regexp_replace(trim(text), '\\s+', ' ',
+                                                   'g'))) AS BIGINT)
+           AS n_unique
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT) AS dup_ppm
+FROM hd"""
+
+    # conversion latency histogram (events.convert_latency): first click
+    # per user -> first purchase at-or-after, log2(gap+1) buckets.
+    sql["convert_latency"] = """
+WITH b AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type AS t
+  FROM events
+),
+f0 AS (SELECT u, CAST(min(s) AS BIGINT) AS s0 FROM b
+       WHERE t = 'click' GROUP BY 1),
+g AS (
+  SELECT f0.u, CAST(min(b.s - f0.s0) AS BIGINT) AS gap
+  FROM f0 JOIN b ON b.u = f0.u AND b.t = 'purchase'
+             AND b.s >= f0.s0 AND b.s - f0.s0 <= 604800
+  GROUP BY 1
+),
+h AS (
+  SELECT CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY 1
+)
+SELECT bucket, CAST(pow(2, bucket) AS BIGINT) - 1 AS lo_sec, n FROM h"""
+
+    # bounded Kahn layering (kgops.topological_layers): 4 unrolled peels,
+    # residue = -1.
+    _tl_parts = []
+    _tl_out = []
+    for _k in range(4):
+        _tl_parts.append(f""",
+tz{_k} AS MATERIALIZED (
+  SELECT node FROM tn{_k}
+  WHERE node NOT IN (SELECT dst FROM te{_k})
+),
+tn{_k + 1} AS MATERIALIZED (
+  SELECT node FROM tn{_k} WHERE node IN (SELECT dst FROM te{_k})
+),
+te{_k + 1} AS MATERIALIZED (
+  SELECT src, dst FROM te{_k} WHERE src NOT IN (SELECT node FROM tz{_k})
+)""")
+        _tl_out.append(
+            f"SELECT node AS entity, CAST({_k} AS BIGINT) AS layer FROM tz{_k}"
+        )
+    _tl_out.append(
+        "SELECT node AS entity, CAST(-1 AS BIGINT) AS layer FROM tn4"
+    )
+    sql["topo_layers"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, te0 AS MATERIALIZED (SELECT DISTINCT subject AS src, object AS dst FROM std),
+tn0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM te0 UNION ALL SELECT dst FROM te0)
+)"""
+        + "".join(_tl_parts)
+        + "\n"
+        + "\nUNION ALL\n".join(_tl_out)
+    )
 
     # novelty curve (curation.novelty_curve): first-occurrence-batch per
     # 48-bit gram hash, per-batch new-share ppm.

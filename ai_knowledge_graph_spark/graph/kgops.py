@@ -988,3 +988,55 @@ def predicate_inverses(
         "predicate", "inverse", "n_support", "n_p",
         F.expr("(n_support * 1000000) DIV n_p").alias("conf_ppm"),
     )
+
+
+def topological_layers(
+    triples: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """(entity, layer): bounded topological layering — synchronous
+    zero-in-degree peeling (Kahn's algorithm, the distributed variant:
+    every currently-source node peels per round, so layer = longest
+    incoming path length for DAG nodes). Nodes still unpeeled after
+    ``rounds`` get layer -1: the cyclic core plus anything deeper than
+    the bound — the is-my-ontology-a-DAG diagnostic that complements
+    functional_violations (a "subclass of" hierarchy should layer
+    cleanly; a -1 residue inside it is a cycle to fix).
+
+    Per round: one distinct-dst anti-join (the new layer) + two
+    anti/semi joins shrinking the node and edge sets, each
+    localCheckpoint'd — the kcore peeling shape, O(rounds) fixed plan
+    depth.
+    """
+    e = (
+        triples.select(
+            F.col("subject").alias("src"), F.col("object").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in range(rounds):
+        dsts = e.select(F.col("dst").alias("node")).distinct()
+        zero = nodes.join(dsts, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        layer = zero.select(
+            F.col("node").alias("entity"), F.lit(k).cast("long").alias("layer")
+        )
+        out = layer if out is None else out.unionByName(layer)
+        nodes = nodes.join(zero, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = e.join(
+            zero.withColumnRenamed("node", "src"), "src", "left_anti"
+        ).localCheckpoint(eager=True)
+    residue = nodes.select(
+        F.col("node").alias("entity"), F.lit(-1).cast("long").alias("layer")
+    )
+    return out.unionByName(residue)

@@ -654,3 +654,34 @@ def dedup_eval(
             ).alias("recall_ppm"),
         )
     )
+
+
+def host_dup_rate(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_unique, dup_ppm): per-source exact-duplicate
+    rate — the first triage readout when a crawl looks bloated: which
+    SOURCE is feeding copies (a mirror, a session-id URL space, a
+    republisher), scoped before any expensive near-dup pass runs.
+
+    Same normalized-content sha256 as exact_dedup (whitespace-collapsed
+    trim), one (source, hash) distinct + one source agg; dup_ppm =
+    ((n_docs - n_unique) * 1e6) DIV n_docs.
+    """
+    h = F.sha2(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), 256
+    )
+    per = (
+        docs.select(F.col(group_col).alias("source"), h.alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("_h").cast("long").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "source", "n_docs", "n_unique",
+        F.expr("((n_docs - n_unique) * 1000000) DIV n_docs").alias("dup_ppm"),
+    )

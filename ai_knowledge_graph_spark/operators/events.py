@@ -595,3 +595,56 @@ def session_incidents(
         (F.col("_b") * bucket_sec).cast("long").alias("hour_sec"),
         "n_incidents",
     )
+
+
+def convert_latency(
+    events: DataFrame,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    window_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(bucket, lo_sec, n): log2-bucketed distribution of the FIRST
+    conversion latency — per user, the gap from their first ``from_type``
+    to the first ``to_type`` at-or-after it (within ``window_sec``),
+    histogrammed into power-of-two second bands. The how-long-does-
+    conversion-take readout, mergeable across shards like
+    quantile_sketch (same log2-counter monoid).
+
+    One user-keyed min-agg per side + one join + the bucket agg; gap 0
+    (same-second) lands in bucket 0 with every sub-2s gap.
+    """
+    sec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    base = events.select(
+        F.col(user_col).alias("u"), sec.alias("s"), F.col(type_col).alias("t")
+    )
+    first_from = (
+        base.filter(F.col("t") == from_type)
+        .groupBy("u")
+        .agg(F.min("s").alias("s0"))
+    )
+    tos = base.filter(F.col("t") == to_type).select("u", F.col("s").alias("s1"))
+    gap = (
+        first_from.join(tos, "u")
+        .filter(
+            (F.col("s1") >= F.col("s0"))
+            & (F.col("s1") - F.col("s0") <= window_sec)
+        )
+        .groupBy("u")
+        .agg(F.min(F.col("s1") - F.col("s0")).alias("gap"))
+    )
+    bucket = (
+        F.length(F.conv((F.col("gap") + 1).cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        gap.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            F.expr("CAST(pow(2, bucket) AS BIGINT) - 1").alias("lo_sec"),
+            "n",
+        )
+    )
