@@ -1747,6 +1747,27 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_uncertain(spark, sf_dir):
+    # active-learning uncertainty sampling over the classifier gate's
+    # exact int64 margins (top-50 closest to the boundary).
+    from ai_knowledge_graph_spark.operators.sampling import (
+        uncertainty_sample,
+    )
+    from ai_knowledge_graph_spark.operators.textstats import classifier_score
+
+    scored = classifier_score(_docs(spark, sf_dir), dim=4096)
+    return uncertainty_sample(scored, k=50)
+
+
+def q_embedding_pool(spark, sf_dir):
+    # chunk->doc mean pooling (vec_id DIV 10 groups), micro-frozen
+    # components, integer mean.
+    from ai_knowledge_graph_spark.operators.similarity import pool_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pool_embeddings(emb, group_size=10)
+
+
 def q_host_dup(spark, sf_dir):
     # per-source exact-duplicate rate (normalized-content sha).
     from ai_knowledge_graph_spark.operators.dedup import host_dup_rate
@@ -3217,6 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "uncertain": q_uncertain,
+        "embedding_pool": q_embedding_pool,
         "host_dup": q_host_dup,
         "convert_latency": q_convert_latency,
         "topo_layers": q_topo_layers,
@@ -7776,6 +7799,43 @@ SELECT least(sa.split, sb.split) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
+
+    # active-learning uncertainty sampling (sampling.uncertainty_sample):
+    # composes the classifier's exact int64 margin.
+    sql["uncertain"] = f"""
+WITH cs AS MATERIALIZED (
+  SELECT doc_id, raw_score FROM ({sql["classifier_score"]})
+)
+SELECT doc_id, CAST(raw_score AS BIGINT) AS raw_score,
+       CAST(abs(raw_score) AS BIGINT) AS uncertainty,
+       CAST(row_number() OVER (ORDER BY abs(raw_score) ASC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM cs ORDER BY abs(raw_score) ASC, doc_id ASC LIMIT 50"""
+
+    # chunk->doc mean pooling (similarity.pool_embeddings): micro-frozen
+    # components, integer mean (both engines truncate toward zero on
+    # negative integer division — verified), list re-assembled by pos.
+    sql["embedding_pool"] = """
+WITH pcomp AS (
+  SELECT vec_id // 10 AS group_id, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+),
+pnv AS (
+  SELECT vec_id // 10 AS group_id, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings GROUP BY 1
+),
+psm AS (
+  SELECT group_id, pos, CAST(sum(v) AS BIGINT) AS s
+  FROM pcomp GROUP BY 1, 2
+),
+pm AS (
+  SELECT s.group_id, n.n_vecs, s.pos, s.s // n.n_vecs AS m
+  FROM psm s JOIN pnv n USING (group_id)
+)
+SELECT CAST(group_id AS BIGINT) AS group_id, n_vecs,
+       list(m ORDER BY pos) AS pooled_micro
+FROM pm GROUP BY group_id, n_vecs"""
 
     # TextTiling sharpest shift (textstats.topic_shifts): 10-word blocks,
     # exact int64 counts/dots/norms, cosine frozen via the shared

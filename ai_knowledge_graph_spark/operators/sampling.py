@@ -319,3 +319,30 @@ def rendezvous_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    score_col: str = "raw_score",
+) -> DataFrame:
+    """(doc_id, raw_score, uncertainty, rank): uncertainty sampling for
+    active learning (Lewis & Gale 1994) — the k documents whose
+    classifier margin is closest to the decision boundary (|raw| with a
+    zero-bias linear gate), i.e. the rows a human labeler improves the
+    model most by judging. Entirely int64 (the classifier's raw_score is
+    exact), bounded top-k via TakeOrderedAndProject + a rank over the
+    k-row result; ties break on id.
+    """
+    out = (
+        scored.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("long").alias("raw_score"),
+            F.abs(F.col(score_col)).cast("long").alias("uncertainty"),
+        )
+        .orderBy(F.asc("uncertainty"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("uncertainty"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))

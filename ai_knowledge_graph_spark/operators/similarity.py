@@ -920,3 +920,52 @@ def embedding_qa(
             " * 1000000) DIV count(*)"
         ).cast("long").alias("n_unit_ppm"),
     )
+
+
+def pool_embeddings(
+    embeddings: DataFrame,
+    group_size: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group_id, n_vecs, pooled_micro): mean-pool chunk vectors into
+    one vector per group (id DIV group_size — the chunk->document
+    pooling step of every long-document embedding pipeline; swap the
+    group key for a real doc id column when chunks carry one).
+
+    Exact arithmetic: each component freezes to round(x*1e6) int64
+    BEFORE the sum, the mean is integer (sum DIV n), and the pooled
+    vector is an int64 array — so pooled outputs are hash-identical on
+    replay regardless of aggregation order. Shape: one explode to
+    (group, pos, val), one (group, pos) sum, one per-group sorted
+    re-assembly (array_sort over (pos, val) structs — per-group
+    cardinality = dim, bounded).
+    """
+    g = F.expr(f"{id_col} DIV {group_size}").cast("long")
+    comp = embeddings.select(
+        g.alias("group_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "v"),
+    )
+    nv = embeddings.select(g.alias("group_id")).groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    summed = comp.groupBy("group_id", "pos").agg(F.sum("v").alias("s"))
+    pooled = (
+        summed.join(F.broadcast(nv), "group_id")
+        .select("group_id", "n_vecs", "pos", F.expr("s DIV n_vecs").alias("m"))
+        .groupBy("group_id", "n_vecs")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("pooled_micro")
+        )
+    )
+    return pooled
