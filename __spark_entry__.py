@@ -1747,6 +1747,42 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_snm_pairs(spark, sf_dir):
+    # sorted-neighborhood ER candidates (window 3, lev <= 2) over the
+    # same typo-injected entity fixture as fuzzy_pairs — SNM catches the
+    # deletions prefix blocking keeps, and vice versa.
+    from ai_knowledge_graph_spark.operators.standardize import snm_pairs
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    ents = (
+        std.select(F.col("subject").alias("entity"))
+        .unionByName(std.select(F.col("object").alias("entity")))
+        .distinct()
+    )
+    h48 = F.conv(F.substring(F.md5("entity"), 1, 12), 16, 10).cast("long")
+    noisy = (
+        ents.filter(F.substring(F.md5("entity"), 1, 1).rlike("[0-7]"))
+        .select(
+            "entity", (h48 % F.length("entity") + 1).cast("int").alias("p")
+        )
+        .select(
+            F.concat(
+                F.expr("substring(entity, 1, p - 1)"),
+                F.expr("substring(entity, p + 1)"),
+            ).alias("entity")
+        )
+    )
+    return snm_pairs(ents.unionByName(noisy), window=3, max_dist=2)
+
+
+def q_distinct_curve(spark, sf_dir):
+    # cumulative-distinct user growth curve (first-seen-day formulation).
+    from ai_knowledge_graph_spark.operators.events import distinct_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return distinct_curve(ev)
+
+
 def q_uncertain(spark, sf_dir):
     # active-learning uncertainty sampling over the classifier gate's
     # exact int64 margins (top-50 closest to the boundary).
@@ -3238,6 +3274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "snm_pairs": q_snm_pairs,
+        "distinct_curve": q_distinct_curve,
         "uncertain": q_uncertain,
         "embedding_pool": q_embedding_pool,
         "host_dup": q_host_dup,
@@ -7799,6 +7837,50 @@ SELECT least(sa.split, sb.split) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
+
+    # sorted-neighborhood ER (standardize.snm_pairs): same typo fixture as
+    # fuzzy_pairs; rank = global row_number ORDER BY entity; neighbors
+    # within 3 ranks, lev <= 2.
+    sql["snm_pairs"] = _PRELUDE_INFER + _STD_CTES + """
+, sbase AS MATERIALIZED (
+  SELECT DISTINCT entity FROM (
+    SELECT subject AS entity FROM std UNION ALL SELECT object FROM std)
+),
+snoisy AS (
+  SELECT concat(substr(entity, 1, p - 1), substr(entity, p + 1)) AS entity
+  FROM (
+    SELECT entity,
+           CAST(('0x' || substr(md5(entity), 1, 12))::BIGINT
+                % len(entity) + 1 AS INT) AS p
+    FROM sbase WHERE substr(md5(entity), 1, 1) BETWEEN '0' AND '7')
+),
+sents AS MATERIALIZED (
+  SELECT entity, row_number() OVER (ORDER BY entity) AS rank FROM (
+    SELECT DISTINCT entity FROM (
+      SELECT entity FROM sbase UNION ALL SELECT entity FROM snoisy)
+  ) WHERE len(entity) >= 4 AND NOT regexp_matches(entity, '[^ -~]')
+)
+SELECT a.entity AS entity_a, b.entity AS entity_b,
+       CAST(levenshtein(a.entity, b.entity) AS BIGINT) AS edit_dist
+FROM sents a JOIN sents b
+  ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+WHERE levenshtein(a.entity, b.entity) <= 2"""
+
+    # cumulative-distinct growth (events.distinct_curve).
+    sql["distinct_curve"] = """
+WITH fs AS (
+  SELECT user_id AS u,
+         CAST(min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS BIGINT) AS fd
+  FROM events GROUP BY 1
+),
+dd AS (
+  SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new_users
+  FROM fs GROUP BY 1
+)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM dd"""
 
     # active-learning uncertainty sampling (sampling.uncertainty_sample):
     # composes the classifier's exact int64 margin.

@@ -648,3 +648,33 @@ def convert_latency(
             "n",
         )
     )
+
+
+def distinct_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n_new_users, cum_users): the cumulative-distinct growth
+    curve — per day, how many users appear for the FIRST time, and the
+    running total of users ever seen. The audience-growth readout whose
+    naive form (count distinct per expanding prefix) is quadratic; the
+    first-seen-day formulation is two hash aggs plus a cumulative window
+    over the day axis (bounded: one row per day).
+    """
+    day = F.expr(f"CAST(floor(unix_timestamp({ts_col})) AS BIGINT) DIV 86400")
+    first = (
+        events.select(F.col(user_col).alias("u"), day.alias("day"))
+        .groupBy("u")
+        .agg(F.min("day").alias("fd"))
+    )
+    daily = first.groupBy(F.col("fd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
