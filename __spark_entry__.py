@@ -1747,6 +1747,23 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_next_word(spark, sf_dir):
+    # conditional bigram table: per word, top-3 successors with exact
+    # ppm conditional probability.
+    from ai_knowledge_graph_spark.operators.textstats import next_word_table
+
+    return next_word_table(_docs(spark, sf_dir), top_k=3, min_count=3)
+
+
+def q_community_profile(spark, sf_dir):
+    # per-LPA-community size + highest-degree hub (ties lexicographic).
+    from ai_knowledge_graph_spark.graph.walks import community_profiles
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    edges = std.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return community_profiles(edges, rounds=4)
+
+
 def q_snm_pairs(spark, sf_dir):
     # sorted-neighborhood ER candidates (window 3, lev <= 2) over the
     # same typo-injected entity fixture as fuzzy_pairs — SNM catches the
@@ -3274,6 +3291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "next_word": q_next_word,
+        "community_profile": q_community_profile,
         "snm_pairs": q_snm_pairs,
         "distinct_curve": q_distinct_curve,
         "uncertain": q_uncertain,
@@ -7837,6 +7856,58 @@ SELECT least(sa.split, sb.split) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
+
+    # conditional bigram table (textstats.next_word_table).
+    sql["next_word"] = """
+WITH dw AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+prs AS MATERIALIZED (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM dw, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2
+),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM prs GROUP BY 1),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+  FROM prs GROUP BY 1, 2 HAVING count(*) >= 3
+),
+rnk AS (
+  SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+         row_number() OVER (PARTITION BY c12.w1
+                            ORDER BY c12.n12 DESC, c12.w2 ASC) AS rank
+  FROM c12 JOIN c1 USING (w1)
+)
+SELECT w1, w2, n12, CAST((n12 * 1000000) // n1 AS BIGINT) AS cond_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM rnk WHERE rank <= 3"""
+
+    # per-LPA-community rollup (walks.community_profiles): the lpa CTE
+    # chain + degree + per-label hub pick (deg desc, node asc).
+    sql["community_profile"] = (
+        _PRELUDE_INFER + _STD_CTES + """
+, ed AS (SELECT DISTINCT subject AS src, object AS dst FROM std),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed
+    UNION ALL SELECT dst AS a, src AS b FROM ed
+  ) WHERE a <> b
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
+        + "".join(_lpa_ctes)
+        + """,
+cdeg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+cj AS (
+  SELECT l.label, l.node, d.deg,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY d.deg DESC, l.node ASC) AS rn,
+         count(*) OVER (PARTITION BY l.label) AS nn
+  FROM l4 l JOIN cdeg d ON l.node = d.node
+)
+SELECT label, CAST(nn AS BIGINT) AS n_nodes, node AS top_entity,
+       CAST(deg AS BIGINT) AS top_degree
+FROM cj WHERE rn = 1"""
+    )
 
     # sorted-neighborhood ER (standardize.snm_pairs): same typo fixture as
     # fuzzy_pairs; rank = global row_number ORDER BY entity; neighbors

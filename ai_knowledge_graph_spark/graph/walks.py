@@ -592,3 +592,44 @@ def harmonic_centrality(
         F.count(F.lit(1)).alias("n_reached"),
         F.sum(F.expr("1000000 DIV d")).cast("long").alias("harmonic_micro"),
     )
+
+
+def community_profiles(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(label, n_nodes, top_entity, top_degree): per-community rollup of
+    the LPA communities — size plus the highest-degree member (the
+    community's "hub", ties to the lexicographically smallest entity),
+    the summary table a KG browser shows per cluster.
+
+    Composes :func:`lpa_communities` with the same undirected simple
+    graph's degree table; the hub pick is a min_by over
+    struct(-degree, entity) (one hash agg, no per-community window).
+    """
+    labels = lpa_communities(edges, rounds, src_col, dst_col)
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min(F.struct((-F.col("deg")).alias("nd"), F.col("node").alias("e"))).alias("_m"),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            F.col("_m.e").alias("top_entity"),
+            (-F.col("_m.nd")).cast("long").alias("top_degree"),
+        )
+    )

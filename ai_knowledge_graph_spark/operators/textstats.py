@@ -1259,3 +1259,51 @@ def char_entropy(
             ).alias("entropy_milli"),
         )
     )
+
+
+def next_word_table(
+    docs: DataFrame,
+    top_k: int = 3,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n12, cond_ppm, rank): the conditional bigram table — per
+    word, its ``top_k`` most likely successors with exact ppm conditional
+    probability (n12 * 1e6 DIV n1 over bigram-slot counts). The
+    maximum-likelihood bigram LM every autocomplete/next-token baseline
+    starts from, and the probability twin of word_collocations' PMI
+    (PMI finds SURPRISING pairs; this finds LIKELY ones).
+
+    Row-local adjacency explode + two hash aggs + a per-w1 bounded
+    row_number (per-key cardinality = a word's distinct successors).
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    seq = docs.select(words.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = seq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").localCheckpoint(eager=True)
+    n1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n12"))
+        .filter(F.col("n12") >= min_count)
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("n12"), F.asc("w2"))
+    return (
+        n12.join(F.broadcast(n1), "w1")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "w1", "w2", "n12",
+            F.expr("(n12 * 1000000) DIV n1").alias("cond_ppm"),
+            "rank",
+        )
+    )
