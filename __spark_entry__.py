@@ -1747,6 +1747,16 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_quality_pct(spark, sf_dir):
+    # calibration-free percentile normalization of the classifier margin
+    # (the FineWeb-style percentile gate input).
+    from ai_knowledge_graph_spark.operators.textstats import (
+        quality_percentiles,
+    )
+
+    return quality_percentiles(_docs(spark, sf_dir))
+
+
 def q_next_word(spark, sf_dir):
     # conditional bigram table: per word, top-3 successors with exact
     # ppm conditional probability.
@@ -3291,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "quality_pct": q_quality_pct,
         "next_word": q_next_word,
         "community_profile": q_community_profile,
         "snm_pairs": q_snm_pairs,
@@ -7856,6 +7867,18 @@ SELECT least(sa.split, sb.split) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
+
+    # percentile-normalized quality (textstats.quality_percentiles):
+    # composes the classifier margin; rank = row_number (raw desc, id asc).
+    sql["quality_pct"] = f"""
+WITH qcs AS MATERIALIZED (
+  SELECT doc_id, raw_score FROM ({sql["classifier_score"]})
+),
+qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qcs)
+SELECT doc_id, CAST(raw_score AS BIGINT) AS raw_score,
+       CAST((row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)
+             * 1000000) // (SELECT n FROM qn) AS BIGINT) AS pct_ppm
+FROM qcs"""
 
     # conditional bigram table (textstats.next_word_table).
     sql["next_word"] = """

@@ -1307,3 +1307,33 @@ def next_word_table(
             "rank",
         )
     )
+
+
+def quality_percentiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, raw_score, pct_ppm): rank-normalized classifier quality —
+    each document's percentile (ppm) within the corpus by the exact
+    int64 classifier margin, ties broken by id. Rank normalization is
+    how heterogeneous quality signals become comparable before mixing
+    (the FineWeb/DataComp recipe: filter by percentile, not by raw
+    threshold, so the gate is calibration-free and survives classifier
+    retraining).
+
+    The global rank uses distributed_rank (range repartition + offset
+    table — no single-task window); pct_ppm = (rank * 1e6) DIV n.
+    """
+    from .standardize import distributed_rank
+
+    scored = classifier_score(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("doc_id"), "raw_score"
+    )
+    n = max(scored.count(), 1)
+    ranked = distributed_rank(scored, [F.desc("raw_score"), F.asc("doc_id")])
+    return ranked.select(
+        "doc_id",
+        F.col("raw_score").cast("long").alias("raw_score"),
+        F.expr(f"(rank * 1000000) DIV {n}").alias("pct_ppm"),
+    )
