@@ -1747,6 +1747,22 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_itemsets(spark, sf_dir):
+    # per-session event-type pair itemsets (market-basket level 2).
+    from ai_knowledge_graph_spark.operators.events import session_itemsets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_itemsets(ev, min_support=3)
+
+
+def q_sentiment(spark, sf_dir):
+    # AFINN-style integer lexicon sentiment, milli average, NULL when no
+    # lexicon word matches.
+    from ai_knowledge_graph_spark.operators.textstats import sentiment_scores
+
+    return sentiment_scores(_docs(spark, sf_dir))
+
+
 def q_quality_pct(spark, sf_dir):
     # calibration-free percentile normalization of the classifier margin
     # (the FineWeb-style percentile gate input).
@@ -3301,6 +3317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "itemsets": q_itemsets,
+        "sentiment": q_sentiment,
         "quality_pct": q_quality_pct,
         "next_word": q_next_word,
         "community_profile": q_community_profile,
@@ -7867,6 +7885,67 @@ SELECT least(sa.split, sb.split) AS split_a,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
+
+
+    # per-session event-type pair itemsets (events.session_itemsets):
+    # sessions CTE chain + per-session sorted distinct type set + pair
+    # combinations + support ppm against the total session count.
+    sql["itemsets"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+), x AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS idx
+  FROM f
+), per AS MATERIALIZED (
+  SELECT user_id, idx, list_sort(list(DISTINCT event_type)) AS items
+  FROM x GROUP BY user_id, idx
+),
+ntot AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n FROM per),
+prs AS (
+  SELECT items[i] AS a, items[j] AS b
+  FROM per,
+       UNNEST(range(1, len(items) + 1)) AS r(i),
+       UNNEST(range(1, len(items) + 1)) AS r2(j)
+  WHERE len(items) >= 2 AND j > i
+)
+SELECT a AS item_a, b AS item_b, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST((count(*) * 1000000) // (SELECT n FROM ntot) AS BIGINT)
+         AS support_ppm
+FROM prs GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+    # lexicon sentiment (textstats.sentiment_scores): the literal
+    # SENTIMENT_LEXICON as a VALUES table, milli average, NULL on zero.
+    from ai_knowledge_graph_spark.operators.textstats import (
+        SENTIMENT_LEXICON,
+    )
+
+    _lex_vals = ", ".join(
+        f"('{w}', {v})" for w, v in SENTIMENT_LEXICON.items()
+    )
+    sql["sentiment"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+m AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(l.v) AS BIGINT) AS s
+  FROM tok t JOIN (VALUES {_lex_vals}) l(w, v) USING (w)
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CASE WHEN m.n_matched > 0 THEN CAST(m.s // m.n_matched AS BIGINT) END
+         AS sent_milli
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN m ON d.doc_id = m.doc_id"""
 
     # percentile-normalized quality (textstats.quality_percentiles):
     # composes the classifier margin; rank = row_number (raw desc, id asc).

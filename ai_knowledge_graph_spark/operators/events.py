@@ -678,3 +678,59 @@ def distinct_curve(
         "day", "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+def session_itemsets(
+    events: DataFrame,
+    min_support: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(item_a, item_b, n_sessions, support_ppm): frequent event-type
+    PAIRS per session (the market-basket level-2 itemsets of A-priori,
+    Agrawal & Srikant 1994) — which behaviors co-occur within one visit,
+    support measured against the total session count.
+
+    Row-group local after sessionization: the distinct type set per
+    session is tiny (bounded by |event types|), pairs explode from the
+    sorted set array (combinations, not a self-join), then one hash agg
+    + the scalar session total. min_support prunes before the ppm math.
+    """
+    sess = sessionize(events, key_col=user_col, ts_col=ts_col)
+    per = (
+        sess.groupBy("session_id")
+        .agg(F.array_sort(F.collect_set(type_col)).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    n_sessions = max(per.count(), 1)
+    # guard BEFORE building combinations: sequence(1, 0) descends for
+    # single-item sessions and element_at(_, 0) throws under ANSI
+    pairs = per.filter(F.size("items") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("items") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("items")),
+                        lambda j: F.struct(
+                            F.element_at("items", i).alias("a"),
+                            F.element_at("items", j).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    return (
+        pairs.select("p.a", "p.b")
+        .groupBy(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_support)
+        .select(
+            "item_a", "item_b", "n_sessions",
+            F.expr(f"(n_sessions * 1000000) DIV {n_sessions}").alias(
+                "support_ppm"
+            ),
+        )
+    )

@@ -1337,3 +1337,58 @@ def quality_percentiles(
         F.col("raw_score").cast("long").alias("raw_score"),
         F.expr(f"(rank * 1000000) DIV {n}").alias("pct_ppm"),
     )
+
+
+# tiny AFINN-style valence lexicon, shared literal-for-literal with the
+# oracle (integer milli-valences; a real deployment broadcasts the full
+# AFINN/VADER table through the same plan)
+SENTIMENT_LEXICON = {
+    "good": 3000, "great": 4000, "excellent": 5000, "love": 4000,
+    "fast": 2000, "win": 3000, "best": 4000, "happy": 3000,
+    "bad": -3000, "terrible": -4000, "awful": -5000, "hate": -4000,
+    "slow": -2000, "fail": -3000, "worst": -4000, "error": -3000,
+}
+
+
+def sentiment_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matched, sent_milli): lexicon sentiment scoring — the
+    AFINN-style integer-valence average (Nielsen 2011) over matched
+    words, in exact milli units (sum of matched valences DIV matched
+    count; 0 matches -> NULL score, not fake-neutral 0). The cheap
+    deterministic polarity feature a curation pipeline adds next to
+    quality/toxicity gates.
+
+    One token explode + a broadcast join against the lexicon (model-
+    sized by definition) + a per-doc agg; docs with no matched word keep
+    a row with n_matched = 0 via the left join back.
+    """
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "w STRING, v LONG"
+    )
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    matched = (
+        tok.join(F.broadcast(lex), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("v").cast("long").alias("_s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.expr(
+                "CASE WHEN n_matched > 0 THEN _s DIV n_matched END"
+            ).alias("sent_milli"),
+        )
+    )
