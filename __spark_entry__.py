@@ -1747,6 +1747,39 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_entity_pairs(ents.unionByName(noisy))
 
 
+def q_hard_negatives(spark, sf_dir):
+    # contrastive hard negatives: BM25 top-50 hits absent from the dense
+    # exact-cosine top-50 around vec 0 (the hybrid_rrf lists).
+    from pyspark.sql import Window
+
+    from ai_knowledge_graph_spark.operators.ranking import (
+        bm25_rank,
+        hard_negatives,
+    )
+    from ai_knowledge_graph_spark.operators.similarity import cosine_topk
+
+    lex = bm25_rank(_docs(spark, sf_dir), BM25_QUERY, top_n=50).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id")
+    )
+    return hard_negatives(lex, dense)
+
+
+def q_degree_dist(spark, sf_dir):
+    # log2-bucketed undirected degree histogram of the std KG.
+    from ai_knowledge_graph_spark.graph.kgops import degree_distribution
+
+    return degree_distribution(_std_triples(spark, sf_dir, INFER_DOCS))
+
+
 def q_itemsets(spark, sf_dir):
     # per-session event-type pair itemsets (market-basket level 2).
     from ai_knowledge_graph_spark.operators.events import session_itemsets
@@ -3317,6 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions -------------------------------------------
         # (inserted here as they land, so they enter the driver window)
+        "hard_negatives": q_hard_negatives,
+        "degree_dist": q_degree_dist,
         "itemsets": q_itemsets,
         "sentiment": q_sentiment,
         "quality_pct": q_quality_pct,
@@ -7886,6 +7921,42 @@ SELECT least(sa.split, sb.split) AS split_a,
 FROM pr JOIN sp sa ON pr.a = sa.doc_id JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY 1, 2"""
 
+
+    # contrastive hard negatives (ranking.hard_negatives): the
+    # hybrid_rrf lex/vec list bodies, anti-joined.
+    sql["hard_negatives"] = f"""
+WITH lex AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM ({sql["bm25"]})
+), vec AS MATERIALIZED (
+  SELECT neighbor_id AS doc_id FROM (
+    SELECT e.vec_id AS neighbor_id,
+      row_number() OVER (
+        ORDER BY round({_sql_cos("e.embedding", "q.embedding")}, 6) DESC,
+                 e.vec_id ASC) AS rk
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) WHERE rk <= 50
+)
+SELECT l.doc_id, CAST(l.rank AS BIGINT) AS lex_rank
+FROM lex l LEFT JOIN vec v ON l.doc_id = v.doc_id
+WHERE v.doc_id IS NULL"""
+
+    # degree histogram (kgops.degree_distribution): log2 buckets over
+    # undirected distinct-neighbor degree.
+    sql["degree_dist"] = _PRELUDE_INFER + _STD_CTES + """
+, dde AS (SELECT DISTINCT subject AS a, object AS b FROM std),
+ddu AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM dde UNION ALL SELECT b, a FROM dde
+  ) WHERE a <> b
+),
+ddg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM ddu GROUP BY a)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       CAST(pow(2, length(bin(deg)) - 1) AS BIGINT) AS lo_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM ddg GROUP BY 1, 2"""
 
     # per-session event-type pair itemsets (events.session_itemsets):
     # sessions CTE chain + per-session sorted distinct type set + pair

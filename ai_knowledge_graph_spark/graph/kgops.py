@@ -1040,3 +1040,35 @@ def topological_layers(
         F.col("node").alias("entity"), F.lit(-1).cast("long").alias("layer")
     )
     return out.unionByName(residue)
+
+
+def degree_distribution(triples: DataFrame) -> DataFrame:
+    """(bucket, lo_degree, n_nodes): log2-bucketed undirected degree
+    histogram of the KG — the scale-free sanity check (a web-ish graph
+    shows a heavy power-law tail; a bell-shaped histogram says the
+    extractor is emitting template noise, a single giant bucket says a
+    hub exploded). Mergeable counter monoid like the quantile sketch;
+    bucket = binary length of the degree (distinct-neighbor count).
+    """
+    e = triples.select(
+        F.col("subject").alias("a"), F.col("object").alias("b")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    bucket = (
+        F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        deg.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(
+            "bucket",
+            F.expr("CAST(pow(2, bucket) AS BIGINT)").alias("lo_degree"),
+            "n_nodes",
+        )
+    )

@@ -309,3 +309,22 @@ def dirichlet_lm_rank(
     )
     w = Window.orderBy(F.desc("qlm_micro"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hard_negatives(
+    lexical: DataFrame,
+    dense_gold: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, lex_rank): hard-negative mining for contrastive retrieval
+    training (the DPR/ANCE recipe: negatives that a LEXICAL retriever
+    ranks highly but the dense gold does not contain are the hard ones —
+    random negatives are too easy to teach anything). ``lexical`` must
+    carry (id, rank); ``dense_gold`` the gold id set. One anti-join, rank
+    preserved so samplers can weight by difficulty.
+    """
+    gold = dense_gold.select(F.col(id_col)).distinct()
+    return (
+        lexical.select(F.col(id_col), F.col("rank").cast("long").alias("lex_rank"))
+        .join(gold, id_col, "left_anti")
+    )
