@@ -1873,11 +1873,16 @@ def q_uncertain(spark, sf_dir):
 
 def q_embedding_pool(spark, sf_dir):
     # chunk->doc mean pooling (vec_id DIV 10 groups), micro-frozen
-    # components, integer mean.
-    from ai_knowledge_graph_spark.operators.similarity import pool_embeddings
+    # components, integer mean. LONG (row-per-component) form: every
+    # column is atomic, so the driver's pandas canonicalizer can sort
+    # and hash it (the array-valued pool_embeddings stays the library
+    # API; its round-4 driver row failed only on the list column).
+    from ai_knowledge_graph_spark.operators.similarity import (
+        pool_embeddings_long,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pool_embeddings(emb, group_size=10)
+    return pool_embeddings_long(emb, group_size=10)
 
 
 def q_host_dup(spark, sf_dir):
@@ -6038,7 +6043,9 @@ SELECT a, b, n_common FROM pr WHERE n_common >= 1"""
     )
 
     # first-occurrence paragraph dedup over the line_dedup synth fixture;
-    # the first-occurrence key is the same doc-major ordinal both sides
+    # the first-occurrence key is the lexicographic (doc_id, pos) min on
+    # both sides (the engine takes min over a struct; here a row-valued
+    # min) — overflow-free, no numeric-id or paragraph-count assumption
     sql["paragraph_dedup"] = """
 WITH synth AS (
   SELECT doc_id,
@@ -6051,11 +6058,11 @@ ex AS MATERIALIZED (
          generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
   FROM synth
 ),
-f AS (SELECT para, min(doc_id * 100000 + pos) AS fk FROM ex GROUP BY 1),
+f AS (SELECT para, min(ROW(doc_id, pos)) AS fk FROM ex GROUP BY 1),
 k AS (
   SELECT e.doc_id, e.pos, e.para
   FROM ex e JOIN f ON e.para = f.para
-  WHERE e.doc_id * 100000 + e.pos = f.fk
+  WHERE ROW(e.doc_id, e.pos) = f.fk
 ),
 ka AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
@@ -6245,6 +6252,8 @@ j AS (
          n.nn - wt.wtc - st.stc + a.aa AS dd, n.nn
   FROM a JOIN wt USING (word) JOIN st ON a.source = st.source CROSS JOIN n
   WHERE a.aa >= 5
+    AND CAST(a.aa AS DOUBLE) * CAST(n.nn AS DOUBLE)
+        > CAST(wt.wtc AS DOUBLE) * CAST(st.stc AS DOUBLE)
 ),
 sc AS (
   SELECT source, word, aa AS n_in_source,
@@ -8138,9 +8147,10 @@ SELECT doc_id, CAST(raw_score AS BIGINT) AS raw_score,
             AS BIGINT) AS rank
 FROM cs ORDER BY abs(raw_score) ASC, doc_id ASC LIMIT 50"""
 
-    # chunk->doc mean pooling (similarity.pool_embeddings): micro-frozen
-    # components, integer mean (both engines truncate toward zero on
-    # negative integer division — verified), list re-assembled by pos.
+    # chunk->doc mean pooling (similarity.pool_embeddings_long):
+    # micro-frozen components, integer mean (both engines truncate
+    # toward zero on negative integer division — verified). LONG form —
+    # one row per (group, component), all columns atomic.
     sql["embedding_pool"] = """
 WITH pcomp AS (
   SELECT vec_id // 10 AS group_id, i - 1 AS pos,
@@ -8154,14 +8164,11 @@ pnv AS (
 psm AS (
   SELECT group_id, pos, CAST(sum(v) AS BIGINT) AS s
   FROM pcomp GROUP BY 1, 2
-),
-pm AS (
-  SELECT s.group_id, n.n_vecs, s.pos, s.s // n.n_vecs AS m
-  FROM psm s JOIN pnv n USING (group_id)
 )
-SELECT CAST(group_id AS BIGINT) AS group_id, n_vecs,
-       list(m ORDER BY pos) AS pooled_micro
-FROM pm GROUP BY group_id, n_vecs"""
+SELECT CAST(s.group_id AS BIGINT) AS group_id, n.n_vecs,
+       CAST(s.pos AS BIGINT) AS pos,
+       CAST(s.s // n.n_vecs AS BIGINT) AS m
+FROM psm s JOIN pnv n USING (group_id)"""
 
     # TextTiling sharpest shift (textstats.topic_shifts): 10-word blocks,
     # exact int64 counts/dots/norms, cosine frozen via the shared

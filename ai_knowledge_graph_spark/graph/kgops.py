@@ -614,6 +614,8 @@ def entity_trends(snapshots: list[DataFrame]) -> DataFrame:
     snapshot produce no row (their mentions are 0 by omission; total sums
     the present rows).
     """
+    if not snapshots:
+        raise ValueError("entity_trends requires at least one snapshot")
     n = len(snapshots)
     per = None
     for i, s in enumerate(snapshots):

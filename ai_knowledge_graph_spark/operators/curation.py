@@ -524,20 +524,25 @@ def paragraph_dedup(
     Returns (id_col, text [cleaned], n_paras, n_kept) — one row per input
     document, including documents whose every paragraph was a later copy
     (text ""). First-occurrence selection is one paragraph-keyed
-    min-aggregation over the ordinal key ``doc-major, position-minor``
-    (id * 100000 + pos — positions are bounded by document size, not
-    corpus size), then one join back; no windows, no global sort.
+    min-aggregation over the lexicographic struct key ``(doc_id, pos)``
+    (overflow-free and id-type-agnostic — an arithmetic ordinal like
+    ``id * K + pos`` would silently collide across documents once a
+    document holds >= K paragraphs), then one join back; no windows, no
+    global sort.
     """
     ex = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).localCheckpoint(eager=True)
     first = ex.groupBy("para").agg(
-        F.min(F.col("_id") * 100000 + F.col("pos")).alias("_first")
+        F.min(F.struct("_id", "pos")).alias("_first")
     )
     kept = (
         ex.join(first, "para")
-        .filter(F.col("_id") * 100000 + F.col("pos") == F.col("_first"))
+        .filter(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -218,18 +218,27 @@ def ndcg_at_k(
     gains = gold.select(
         F.col(query_col).alias("_q"),
         F.col(item_col).alias("_i"),
-        (F.lit(k + 1) - F.col(rank_col)).cast("long").alias("_gain"),
+        # clamp: a gold rank beyond k contributes gain 0, never negative
+        F.greatest(F.lit(0), F.lit(k + 1) - F.col(rank_col))
+        .cast("long")
+        .alias("_gain"),
     )
     r = run.select(
         F.col(query_col).alias("_q"),
         F.col(item_col).alias("_i"),
-        wmap[F.col(rank_col).cast("int")].cast("long").alias("_w"),
+        # run positions beyond k carry discount 0 (outside the cutoff),
+        # so an all-beyond-k query sums to 0, not NULL
+        F.coalesce(wmap[F.col(rank_col).cast("int")], F.lit(0))
+        .cast("long")
+        .alias("_w"),
     )
     return (
         r.join(gains, ["_q", "_i"], "left")
         .groupBy(F.col("_q").alias(query_col))
         .agg(
-            F.sum(F.coalesce("_gain", F.lit(0)) * F.col("_w"))
+            F.coalesce(
+                F.sum(F.coalesce("_gain", F.lit(0)) * F.col("_w")), F.lit(0)
+            )
             .cast("long")
             .alias("dcg_micro")
         )

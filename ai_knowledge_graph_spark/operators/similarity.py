@@ -922,26 +922,32 @@ def embedding_qa(
     )
 
 
-def pool_embeddings(
+def pool_embeddings_long(
     embeddings: DataFrame,
     group_size: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(group_id, n_vecs, pooled_micro): mean-pool chunk vectors into
-    one vector per group (id DIV group_size — the chunk->document
-    pooling step of every long-document embedding pipeline; swap the
-    group key for a real doc id column when chunks carry one).
+    """(group_id, n_vecs, pos, m): mean-pool chunk vectors into one
+    vector per group, returned in LONG (row-per-component) form — the
+    chunk->document pooling step of every long-document embedding
+    pipeline. The group key is ``group_col`` when the chunk table
+    carries a real document id; otherwise ``id_col DIV group_size``
+    (the synthetic-fixture default).
 
     Exact arithmetic: each component freezes to round(x*1e6) int64
-    BEFORE the sum, the mean is integer (sum DIV n), and the pooled
-    vector is an int64 array — so pooled outputs are hash-identical on
-    replay regardless of aggregation order. Shape: one explode to
-    (group, pos, val), one (group, pos) sum, one per-group sorted
-    re-assembly (array_sort over (pos, val) structs — per-group
-    cardinality = dim, bounded).
+    BEFORE the sum and the mean is integer (sum DIV n), so outputs are
+    hash-identical on replay regardless of aggregation order. Shape:
+    one explode to (group, pos, val), one (group, pos) sum, one
+    broadcast join to the group sizes — all atomic columns, so any
+    row-hash harness (the driver's pandas canonicalizer included) can
+    certify it directly.
     """
-    g = F.expr(f"{id_col} DIV {group_size}").cast("long")
+    if group_col is not None:
+        g = F.col(group_col)
+    else:
+        g = F.expr(f"{id_col} DIV {group_size}").cast("long")
     comp = embeddings.select(
         g.alias("group_id"),
         F.posexplode(
@@ -957,9 +963,34 @@ def pool_embeddings(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     summed = comp.groupBy("group_id", "pos").agg(F.sum("v").alias("s"))
-    pooled = (
-        summed.join(F.broadcast(nv), "group_id")
-        .select("group_id", "n_vecs", "pos", F.expr("s DIV n_vecs").alias("m"))
+    return summed.join(F.broadcast(nv), "group_id").select(
+        "group_id",
+        "n_vecs",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("s DIV n_vecs").alias("m"),
+    )
+
+
+def pool_embeddings(
+    embeddings: DataFrame,
+    group_size: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """(group_id, n_vecs, pooled_micro): array-valued mean pooling — the
+    library API over :func:`pool_embeddings_long`, re-assembling each
+    group's components into an int64 vector (array_sort over (pos, m)
+    structs — per-group cardinality = dim, bounded).
+    """
+    return (
+        pool_embeddings_long(
+            embeddings,
+            group_size=group_size,
+            id_col=id_col,
+            vec_col=vec_col,
+            group_col=group_col,
+        )
         .groupBy("group_id", "n_vecs")
         .agg(
             F.transform(
@@ -968,4 +999,3 @@ def pool_embeddings(
             ).alias("pooled_micro")
         )
     )
-    return pooled

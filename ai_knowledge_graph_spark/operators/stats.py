@@ -168,13 +168,16 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
 
 
 # the 3-sigma test as ONE shared SQL expression (engine F.expr == oracle):
-# |x - mean| > k*sigma  <=>  (n*x - sx)^2 > k^2 * (n*sxx - sx^2), with the
-# integer moments exact and only the two final products taken in DOUBLE
-# (both sides IEEE-multiply the same exact ints, so the comparison is
-# deterministic even past 2^53).
+# |x - mean| > k*sigma  <=>  (n*x - sx)^2 > k^2 * (n*sxx - sx^2). Every
+# moment is widened to DOUBLE BEFORE any product: at web scale (n ~ 1e6+
+# rows of multi-KB values) sx*sx exceeds 2^63 and int64 arithmetic would
+# wrap (or throw under ANSI mode). Both engines IEEE-evaluate the
+# identical expression tree, so the comparison stays deterministic.
 _OUTLIER_SQL = (
-    "CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)"
-    " > CAST({k2} * (n * sxx - sx * sx) AS DOUBLE)"
+    "(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE))"
+    " > {k2} * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
 )
 
 

@@ -748,11 +748,22 @@ def llr_keywords(
         - xlx(F.col("a") + c) - xlx(b + d)
         + xlx(F.col("_n"))
     )
+    # Dunning LLR is two-sided: an UNDER-represented word scores just as
+    # high as an over-represented one. Gate on over-representation
+    # (p(word|source) > p(word), i.e. a*N > wt*st) so only genuinely
+    # distinctive terms rank. Compared in DOUBLE — at web scale the
+    # count products exceed int64; IEEE evaluation is identical in the
+    # engine and the oracle.
+    over = (
+        F.col("a").cast("double") * F.col("_n").cast("double")
+        > F.col("_wt").cast("double") * F.col("_st").cast("double")
+    )
     scored = (
         a.filter(F.col("a") >= min_count)
         .join(wt, "word")
         .join(st, "source")
         .crossJoin(F.broadcast(n))
+        .filter(over)
         .select(
             "source", "word",
             F.col("a").cast("long").alias("n_in_source"),

@@ -865,6 +865,8 @@ def recrawl_priority(snapshots: list[DataFrame]) -> DataFrame:
     one (url, snap+1) equi-self-join for the consecutive pairs — no
     windows, no per-url sorting; change_ppm is exact integer arithmetic.
     """
+    if not snapshots:
+        raise ValueError("recrawl_priority requires at least one snapshot")
     tagged = None
     for i, snap in enumerate(snapshots):
         t = snap.select(

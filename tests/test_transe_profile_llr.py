@@ -124,10 +124,13 @@ def test_llr_hand_replay(spark):
     )
     assert got[("A", "apple")]["llr_milli"] == want
     assert got[("A", "apple")]["n_in_source"] == 6
-    # distinctive words rank above the shared one in each source
+    # distinctive words rank first in each source
     assert got[("A", "apple")]["rank"] == 1
     assert got[("B", "banana")]["rank"] == 1
-    assert got[("A", "common")]["llr_milli"] < got[("A", "apple")]["llr_milli"]
+    # "common" is evenly distributed (a*n == wt*st): the over-representation
+    # gate excludes it entirely — LLR is two-sided, and an even (or under-
+    # represented) word must not surface as a source's distinctive term
+    assert ("A", "common") not in got and ("B", "common") not in got
 
 
 def test_llr_min_count_gate_and_top_k(spark):
