@@ -143,6 +143,16 @@ def main() -> None:
         ("cdc_chunks", entry_mod.q_cdc_chunks),
         ("hearst", entry_mod.q_hearst),
         ("containment", entry_mod.q_containment),
+        # round-5 additions (verdict ask #7): the text/IR family —
+        # TextRank keywords (iterative agg over the bigram graph),
+        # centroid summaries (windowed scoring), QLM retrieval (per-term
+        # agg), LLR keywords (contingency aggs), PMI collocations
+        # (bigram aggs) — all expected ~linear in corpus size
+        ("textrank", entry_mod.q_textrank),
+        ("summarize", entry_mod.q_summarize),
+        ("qlm", entry_mod.q_qlm),
+        ("llr_keywords", entry_mod.q_llr_keywords),
+        ("collocations", entry_mod.q_collocations),
     ]
     def force(df) -> None:
         # noop sink: forces EVERY output column (count() lets Spark prune
@@ -164,6 +174,20 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
     for name, fn in ops:  # row counts for the table, untimed
         counts[name] = fn(spark, OUT).count()
+
+    # semdedup with nlist='auto' at two embedding-table sizes (2k = sf0.1,
+    # 20k = this corpus): auto sizes nlist to hold expected cluster size
+    # constant, so the 10x growth must land ~10x (the fixed-nlist law
+    # measured 17.4x for the same pair in round 4)
+    from ai_knowledge_graph_spark.operators.similarity import semdedup
+
+    for tag, d in (("semdedup_auto_2k", "/root/testdata/sf0.1"),
+                   ("semdedup_auto_20k", OUT)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        force(semdedup(emb, threshold=0.35, nlist="auto"))  # warm
+        t = time.time()
+        force(semdedup(emb, threshold=0.35, nlist="auto"))
+        timings[tag] = round(time.time() - t, 3)
 
     print(
         json.dumps(

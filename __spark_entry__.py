@@ -3347,14 +3347,115 @@ def q_triangles(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER POLICY (round 4): the driver's correctness artifact has
-    # historically windowed the FIRST 50 dict entries, so entries rotate
-    # newest-certification-need first: queries green only in builder/judge
-    # runs lead; the long-stable core (driver-certified rounds 2 AND 3)
-    # takes the tail. Every query keeps an oracle either way.
+    # ORDER POLICY (round 5): the driver's correctness artifact windows
+    # the FIRST 50 dict entries. Round 5 dedicates the window to the
+    # never-driver-certified backlog (94 queries green only in builder/
+    # judge sweeps), highest value first, plus llr_keywords whose
+    # semantics changed this round. Every query keeps an oracle either
+    # way; COVERAGE.md carries the query -> certifying-round ledger.
     return {
-        # -- round-4 additions -------------------------------------------
-        # (inserted here as they land, so they enter the driver window)
+        # -- ROUND-5 WINDOW: never driver-certified backlog, highest value
+        # first (north-rule composition, LLM-curation canon, streaming,
+        # kgops, graph analytics), plus the queries whose semantics
+        # changed this round (embedding_pool long form, paragraph_dedup
+        # struct-min key, llr_keywords one-sided gate)
+        "e2e_crawl_kg": q_e2e_crawl_kg,
+        "embedding_pool": q_embedding_pool,
+        "exact_substring": q_exact_substring,
+        "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
+        "c4": q_c4,
+        "gopher": q_gopher,
+        "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "mix_corpus": q_mix_corpus,
+        "pack_sequences": q_pack_sequences,
+        "paragraph_dedup": q_paragraph_dedup,
+        "llr_keywords": q_llr_keywords,
+        "stream_kg": q_stream_kg,
+        "frontier": q_frontier,
+        "ivfpq_topk": q_ivfpq_topk,
+        "rule_mining": q_rule_mining,
+        "fact_fusion": q_fact_fusion,
+        "kg_diff": q_kg_diff,
+        "entity_roles": q_entity_roles,
+        "quantiles": q_quantiles,
+        "hearst": q_hearst,
+        "cdc_chunks": q_cdc_chunks,
+        "knn_classify": q_knn_classify,
+        "taxonomy": q_taxonomy,
+        "mis": q_mis,
+        "modularity": q_modularity,
+        "scc": q_scc,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "readability": q_readability,
+        "rake": q_rake,
+        "recrawl": q_recrawl,
+        "pagerank": q_pagerank,
+        "bm25": q_bm25,
+        "hits": q_hits,
+        "kcore": q_kcore,
+        "trustrank": q_trustrank,
+        "triangles": q_triangles,
+        "lm_perplexity": q_lm_perplexity,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "pq_topk": q_pq_topk,
+        "classifier_score": q_classifier_score,
+        "pii_redact": q_pii_redact,
+        "dsir_sample": q_dsir_sample,
+        "stream_sessions": q_stream_sessions,
+        "stream_late": q_stream_late,
+        "curate_corpus": q_curate_corpus,
+        "canonical_crawl": q_canonical_crawl,
+        # -- remaining never-driver-certified backlog (judge-r4 green)
+        "entity_trends": q_entity_trends,
+        "anchor_corpus": q_anchor_corpus,
+        "host_boilerplate": q_host_boilerplate,
+        "inverted_index": q_inverted_index,
+        "link_predict": q_link_predict,
+        "containment": q_containment,
+        "assortativity": q_assortativity,
+        "hyperball": q_hyperball,
+        "node2vec": q_node2vec,
+        "ktruss": q_ktruss,
+        "url_templates": q_url_templates,
+        "ontology_check": q_ontology_check,
+        "harmonic": q_harmonic,
+        "ppr": q_ppr,
+        "cocite": q_cocite,
+        "bibcouple": q_bibcouple,
+        "triple_history": q_triple_history,
+        "redirects": q_redirects,
+        "sitemap": q_sitemap,
+        "kg_negatives": q_kg_negatives,
+        "kg_pattern": q_kg_pattern,
+        "entity_summary": q_entity_summary,
+        "snapshot_diff": q_snapshot_diff,
+        "repetition_stats": q_repetition_stats,
+        "domain_stats": q_domain_stats,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "sessions": q_sessions,
+        "event_windows": q_event_windows,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "corpus_cube": q_corpus_cube,
+        "winnow": q_winnow,
+        "link_graph": q_link_graph,
+        "anchor_mentions": q_anchor_mentions,
+        "incr_mapping": q_incr_mapping,
+        "entity_pmi": q_entity_pmi,
+        "tfidf": q_tfidf,
+        "host_graph": q_host_graph,
+        "robots": q_robots,
+        "scd2": q_scd2,
+        "hybrid_rrf": q_hybrid_rrf,
+        "exact_substring_incr": q_exact_substring_incr,
+        "sketch_bloom": q_sketch_bloom,
+        "sketch_cms": q_sketch_cms,
+        "sketch_hll": q_sketch_hll,
+        # -- driver-certified round 4
         "hard_negatives": q_hard_negatives,
         "degree_dist": q_degree_dist,
         "itemsets": q_itemsets,
@@ -3365,7 +3466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": q_snm_pairs,
         "distinct_curve": q_distinct_curve,
         "uncertain": q_uncertain,
-        "embedding_pool": q_embedding_pool,
         "host_dup": q_host_dup,
         "convert_latency": q_convert_latency,
         "topo_layers": q_topo_layers,
@@ -3402,104 +3502,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov": q_markov,
         "transe": q_transe,
         "profile": q_profile,
-        "llr_keywords": q_llr_keywords,
         "random_walks": q_random_walks,
         "lpa": q_lpa,
-        "hearst": q_hearst,
-        "cdc_chunks": q_cdc_chunks,
-        "knn_classify": q_knn_classify,
-        "taxonomy": q_taxonomy,
-        "mis": q_mis,
-        "entity_trends": q_entity_trends,
-        "anchor_corpus": q_anchor_corpus,
-        "host_boilerplate": q_host_boilerplate,
-        "inverted_index": q_inverted_index,
-        "link_predict": q_link_predict,
-        "containment": q_containment,
-        "assortativity": q_assortativity,
-        "hyperball": q_hyperball,
-        "node2vec": q_node2vec,
-        "ktruss": q_ktruss,
-        "url_templates": q_url_templates,
-        "modularity": q_modularity,
-        "scc": q_scc,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "ontology_check": q_ontology_check,
-        "harmonic": q_harmonic,
-        "ppr": q_ppr,
-        "cocite": q_cocite,
-        "bibcouple": q_bibcouple,
-        "paragraph_dedup": q_paragraph_dedup,
-        "readability": q_readability,
-        "rake": q_rake,
-        "recrawl": q_recrawl,
-        "rule_mining": q_rule_mining,
-        "fact_fusion": q_fact_fusion,
-        "kg_diff": q_kg_diff,
-        "entity_roles": q_entity_roles,
-        "stream_late": q_stream_late,
-        "triple_history": q_triple_history,
-        "redirects": q_redirects,
-        "sitemap": q_sitemap,
-        "kg_negatives": q_kg_negatives,
-        "kg_pattern": q_kg_pattern,
-        "entity_summary": q_entity_summary,
-        "quantiles": q_quantiles,
-        "e2e_crawl_kg": q_e2e_crawl_kg,
-        "frontier": q_frontier,
-        "stream_kg": q_stream_kg,
-        "ivfpq_topk": q_ivfpq_topk,
-        # -- round-3 additions: driver-artifact certification pending ----
-        "canonical_crawl": q_canonical_crawl,
-        "snapshot_diff": q_snapshot_diff,
-        "repetition_stats": q_repetition_stats,
-        "domain_stats": q_domain_stats,
-        "pagerank": q_pagerank,
-        "asof_purchase_signup": q_asof_purchase_signup,
-        "sessions": q_sessions,
-        "event_windows": q_event_windows,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "curate_corpus": q_curate_corpus,
-        "line_dedup": q_line_dedup,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
-        "mix_corpus": q_mix_corpus,
-        "classifier_score": q_classifier_score,
-        "pack_sequences": q_pack_sequences,
-        "triangles": q_triangles,
-        "lm_perplexity": q_lm_perplexity,
-        "bm25": q_bm25,
-        "hits": q_hits,
-        "kcore": q_kcore,
-        "exact_substring": q_exact_substring,
-        "dsir_weights": q_dsir_weights,
-        "dsir_sample": q_dsir_sample,
-        "semdedup": q_semdedup,
-        "stream_sessions": q_stream_sessions,
-        "corpus_cube": q_corpus_cube,
-        "trustrank": q_trustrank,
-        "winnow": q_winnow,
-        "gopher": q_gopher,
-        "c4": q_c4,
-        "link_graph": q_link_graph,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "pq_topk": q_pq_topk,
-        "anchor_mentions": q_anchor_mentions,
-        "incr_mapping": q_incr_mapping,
-        "entity_pmi": q_entity_pmi,
-        "tfidf": q_tfidf,
-        "host_graph": q_host_graph,
-        "robots": q_robots,
-        "scd2": q_scd2,
-        "hybrid_rrf": q_hybrid_rrf,
-        "exact_substring_incr": q_exact_substring_incr,
-        "sketch_bloom": q_sketch_bloom,
-        "sketch_cms": q_sketch_cms,
-        "sketch_hll": q_sketch_hll,
-        # -- core: driver-certified green in BOTH rounds 2 and 3 ---------
+        # -- driver-certified rounds 2-3
+        "near_dup_groups": q_near_dup_groups,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "multimodal_stats": q_multimodal_stats,
+        "html_extract": q_html_extract,
+        "latest_crawl": q_latest_crawl,
+        "rag_retrieve": q_rag_retrieve,
+        "training_qa_v3": q_training_qa_v3,
+        "embedding_near_dup": q_embedding_near_dup,
+        "stream_dedup": q_stream_dedup,
+        # -- driver-certified round 1 (the long-stable core)
         "chunks": q_chunks,
         "chunk_stats": q_chunk_stats,
         "triples_raw": q_triples_raw,
@@ -3523,9 +3538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "near_dup_groups": q_near_dup_groups,
-        "minhash_dedup_docs": q_minhash_dedup_docs,
-        "multimodal_stats": q_multimodal_stats,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -3540,16 +3552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": q_candidate_pairs,
         "context_triples": q_context_triples,
         "relation_cap": q_relation_cap,
-        "rag_retrieve": q_rag_retrieve,
-        "training_qa_v3": q_training_qa_v3,
-        "embedding_near_dup": q_embedding_near_dup,
-        "stream_dedup": q_stream_dedup,
         "corpus_dedup": q_corpus_dedup,
         "model_scores": q_model_scores,
         "training_qa": q_training_qa,
         "ivf_topk": q_ivf_topk,
-        "html_extract": q_html_extract,
-        "latest_crawl": q_latest_crawl,
     }
 
 

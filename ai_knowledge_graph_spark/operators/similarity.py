@@ -230,7 +230,11 @@ def ivf_topk(
     selection is one groupBy over ids, assignment is a broadcast nested
     loop over nlist rows, the probe join is an equi-join on centroid_id,
     and per-list fan-out is corpus/nlist on average — tune nlist so each
-    list fits one task.
+    list fits one task. Like :func:`semdedup`, nlist must SCALE WITH N
+    (nlist ≈ N / target_list_size, FAISS's own guidance is ~sqrt(N)..N/256):
+    a fixed nlist makes probed-list scan cost N·n_probe/nlist grow
+    superlinearly in corpus size. The contract queries pin nlist=16 only
+    because the oracle replays the exact index shape.
     """
     from .dedup import _md5_long
 
@@ -391,9 +395,10 @@ def embedding_near_dup(
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    nlist: int = 16,
+    nlist: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic deduplication. Returns one row per input vector —
@@ -413,14 +418,25 @@ def semdedup(
 
     Scale shape — the entire point of SemDeDup is bounding the quadratic:
     the pairwise stage is a self-equi-join ON centroid_id, so cost is
-    Σ_c |c|² not N²; nlist grows with the corpus (the paper uses 50k
-    clusters for LAION) keeping each cluster task-sized. The centroid
-    table stays a broadcast dim; assignment is a broadcast nested loop;
-    the in-cluster window ranks cluster-sized partitions. Rounded (6dp)
-    cosines everywhere keep ranking + threshold decisions bit-identical
-    to the DuckDB oracle across float summation orders.
+    Σ_c |c|² not N²; nlist MUST grow with the corpus (the paper uses 50k
+    clusters for LAION) to keep each cluster task-sized. A FIXED nlist is
+    the measured 100-TB footgun: at nlist=16 the 200k-vector stage grew
+    17.4× when vectors grew 10× (BENCH/BASELINE.md round 4) — exactly the
+    Σ|c|² = N²/nlist law. ``nlist="auto"`` (the default) sizes
+    nlist = max(1, N // target_cluster_size), holding the expected
+    cluster size — and therefore per-task pairwise work — constant as the
+    corpus grows, which makes total cost ~linear in N (one extra count()
+    job, amortized). Pass an int to pin the index shape instead (e.g. to
+    mirror a pre-built IVF index). The centroid table stays a broadcast
+    dim; assignment is a broadcast nested loop; the in-cluster window
+    ranks cluster-sized partitions. Rounded (6dp) cosines everywhere keep
+    ranking + threshold decisions bit-identical to the DuckDB oracle
+    across float summation orders.
     """
     from .dedup import _md5_long
+
+    if nlist == "auto":
+        nlist = max(1, embeddings.count() // target_cluster_size)
 
     base = spread(embeddings).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
@@ -717,6 +733,12 @@ def ivfpq_topk(
     hash-exact. Hash-seeded coarse centroids and residual codebooks (the
     ivf_topk/pq_codebooks seeding; same all-buckets-occupied caveat).
     Residual doubles are the same IEEE subtractions on both engines.
+
+    Scale note (same Σ-law as semdedup/ivf_topk): nlist must grow with the
+    corpus — per-query scanned codes are N·n_probe/nlist, so a fixed nlist
+    degrades to a near-full scan as N grows. Size nlist ≈ N / target list
+    size (FAISS guidance ~sqrt(N) .. N/256); the contract query pins
+    nlist=8 only so the oracle replays the exact index shape.
     """
     from .dedup import _md5_long
 

@@ -102,3 +102,36 @@ def test_threshold_one_keeps_all_nonidentical(spark):
     vecs = {i: _vec(i) for i in range(12)}
     out = _run(spark, vecs, threshold=1.000001)
     assert all(v[2] for v in out.values())
+
+
+def test_auto_nlist_growth_is_linear(spark):
+    """nlist='auto' pins the Σ|c|² pairwise-cost law to ~linear growth.
+
+    SemDeDup's in-cluster self-join costs Σ_c C(|c|,2) ≈ N²/(2·nlist);
+    at FIXED nlist that is quadratic in N (the measured 17.4×-at-10×
+    round-4 footgun). nlist='auto' holds expected cluster size at
+    target_cluster_size, so cost must grow ~linearly. Pin it by
+    measuring the cost proxy from the output's own cluster sizes at two
+    corpus sizes 4× apart: linear → ratio ≈ 4, fixed-nlist quadratic
+    → ratio ≈ 16. Bound at 7 (generous md5-bucket variance headroom,
+    still far below quadratic).
+    """
+
+    def pair_cost(n: int) -> int:
+        df = spark.createDataFrame(
+            [(i, _vec(i)) for i in range(n)], ["vec_id", "embedding"]
+        )
+        out = semdedup(df, threshold=0.9999, nlist="auto",
+                       target_cluster_size=64)
+        sizes = [
+            r["cnt"]
+            for r in out.groupBy("centroid_id").count()
+            .withColumnRenamed("count", "cnt").collect()
+        ]
+        assert sum(sizes) == n
+        return sum(s * (s - 1) // 2 for s in sizes)
+
+    small, big = pair_cost(500), pair_cost(2000)
+    assert big < 7 * small, (small, big)
+    # and the expected cluster size actually held (auto sized nlist up)
+    assert big * 4 < 2000 * 2000 // 2, big  # nowhere near one-cluster N²
