@@ -62,6 +62,7 @@ def main() -> None:
         pb = data["host_probe"]["before"]["parallel_capacity"] or 0.0
         pa = data["host_probe"]["after"]["parallel_capacity"] or 0.0
         data["quiet_window_certified"] = bool(pb >= MIN_CAP and pa >= MIN_CAP)
+        data["quiet_min_cap"] = MIN_CAP
         data["quiet_attempt"] = attempt
         worst = min(pb, pa)
         print(f"[quiet_bench] capture probes {pb}/{pa} certified={data['quiet_window_certified']}", flush=True)
