@@ -1233,6 +1233,37 @@ def q_kg_negatives(spark, sf_dir):
     return kg_negatives(std, k=2)
 
 
+def q_kg_distmult(spark, sf_dir):
+    # deterministic DistMult bilinear-diagonal scoring (dim=8) over the
+    # standardized KG — the symmetric-relation sibling of q_transe (same
+    # hash-derived integer vectors, products exact in int64).
+    from ai_knowledge_graph_spark.graph.kgops import distmult_score
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return distmult_score(std, dim=8)
+
+
+def q_kg_mrr(spark, sf_dir):
+    # FILTERED link-prediction evaluation (Bordes et al. protocol):
+    # 1/8 md5 test sample, true tail ranked against every entity by
+    # TransE score with known tails excluded; per-predicate MRR
+    # (micro-frozen reciprocal ranks) + Hits@1/3/10.
+    from ai_knowledge_graph_spark.graph.kgops import link_prediction_eval
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return link_prediction_eval(std, dim=8, test_mod=8)
+
+
+def q_ntriples(spark, sf_dir):
+    # canonical RDF 1.1 N-Triples serialization of the standardized KG
+    # (IRIs minted under http://kg.local/, ECHAR-escaped literals) —
+    # the formatting itself is the thing under test.
+    from ai_knowledge_graph_spark.sources.triples_io import ntriples_lines
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return ntriples_lines(std)
+
+
 def q_kg_pattern(spark, sf_dir):
     # SPARQL-style basic graph pattern over the standardized KG:
     # ?x group ?y . ?y ?p ?z  — 2-hop walks that start with a "group" edge.
@@ -3455,6 +3486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom": q_sketch_bloom,
         "sketch_cms": q_sketch_cms,
         "sketch_hll": q_sketch_hll,
+        # -- round-5 additions (post-window by design: the round-5 window
+        # is reserved for the certification backlog; these are covered by
+        # test_entry + test_driver_canon + the sweep until a future window)
+        "kg_distmult": q_kg_distmult,
+        "kg_mrr": q_kg_mrr,
+        "ntriples": q_ntriples,
         # -- driver-certified round 4
         "hard_negatives": q_hard_negatives,
         "degree_dist": q_degree_dist,
@@ -6217,6 +6254,98 @@ terms AS (
 )
 SELECT subject, predicate, object, CAST(sum(term) AS BIGINT) AS transe_score
 FROM terms GROUP BY 1, 2, 3"""
+
+    # DistMult bilinear-diagonal scoring (kgops.distmult_score): same
+    # hash-derived integer vectors as transe, per-component PRODUCT
+    # h_k * r_k * t_k (each <= 1e9, dim-8 sum <= 8e9 — exact int64).
+    sql["kg_distmult"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+ks AS (SELECT unnest(range(0, 8)) AS k),
+terms AS (
+  SELECT s.subject, s.predicate, s.object,
+    (('0x' || substr(md5(s.subject || chr(31) || 'ent' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)
+      * (('0x' || substr(md5(s.predicate || chr(31) || 'rel' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)
+      * (('0x' || substr(md5(s.object || chr(31) || 'ent' || chr(31)
+            || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000) AS term
+  FROM spo s CROSS JOIN ks k
+)
+SELECT subject, predicate, object, CAST(sum(term) AS BIGINT) AS distmult_score
+FROM terms GROUP BY 1, 2, 3"""
+
+    # Filtered link-prediction eval (kgops.link_prediction_eval): 1/8 md5
+    # test sample; true tail ranked against EVERY entity by TransE score,
+    # candidates that form another true (h, r, e) excluded (the filtered
+    # protocol); ties break by candidate name; reciprocal ranks freeze to
+    # 1e6 DIV rank BEFORE the per-predicate integer mean.
+    sql["kg_mrr"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS MATERIALIZED (SELECT DISTINCT subject, predicate, object FROM std),
+ks AS (SELECT unnest(range(0, 8)) AS k),
+enames AS MATERIALIZED (
+  SELECT DISTINCT name FROM (
+    SELECT subject AS name FROM spo
+    UNION ALL SELECT object FROM spo)),
+ev AS MATERIALIZED (
+  SELECT name, k, ('0x' || substr(md5(name || chr(31) || 'ent' || chr(31)
+      || CAST(k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000 AS c
+  FROM enames CROSS JOIN ks),
+rv AS MATERIALIZED (
+  SELECT name, k, ('0x' || substr(md5(name || chr(31) || 'rel' || chr(31)
+      || CAST(k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000 AS c
+  FROM (SELECT DISTINCT predicate AS name FROM spo) CROSS JOIN ks),
+test AS (
+  SELECT * FROM spo
+  WHERE ('0x' || substr(md5(subject || chr(31) || predicate || chr(31)
+      || object), 1, 12))::BIGINT % 8 = 0),
+hr AS MATERIALIZED (
+  SELECT t.subject, t.predicate, t.object, h.k, h.c + r.c AS hr
+  FROM test t
+  JOIN ev h ON h.name = t.subject
+  JOIN rv r ON r.name = t.predicate AND r.k = h.k),
+strue AS (
+  SELECT h.subject, h.predicate, h.object,
+         CAST(sum(abs(h.hr - te.c)) AS BIGINT) AS s_true
+  FROM hr h JOIN ev te ON te.name = h.object AND te.k = h.k
+  GROUP BY 1, 2, 3),
+scand AS (
+  SELECT h.subject, h.predicate, h.object, c.name AS e,
+         CAST(sum(abs(h.hr - c.c)) AS BIGINT) AS s
+  FROM hr h JOIN ev c ON c.k = h.k
+  GROUP BY 1, 2, 3, 4),
+ranked AS (
+  SELECT s.subject, s.predicate, s.object,
+    CAST(1 + sum(CASE WHEN (kn.known IS NULL OR c.e = s.object)
+                       AND (c.s < s.s_true
+                            OR (c.s = s.s_true AND c.e < s.object))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+  FROM strue s
+  JOIN scand c USING (subject, predicate, object)
+  LEFT JOIN (SELECT subject, predicate, object AS e, 1 AS known FROM spo) kn
+    ON kn.subject = s.subject AND kn.predicate = s.predicate AND kn.e = c.e
+  GROUP BY 1, 2, 3)
+SELECT predicate, CAST(count(*) AS BIGINT) AS n_test,
+  CAST(CAST(sum(1000000 // rnk) AS BIGINT) // count(*) AS BIGINT)
+    AS mrr_micro,
+  CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+  CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+  CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+FROM ranked GROUP BY 1"""
+
+    # N-Triples serialization (triples_io.ntriples_lines): ECHAR escape
+    # chain shared literal-for-literal with NTRIPLES_ESCAPES (backslash
+    # FIRST), IRIs percent-encode the one IRI-illegal byte (space).
+    sql["ntriples"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std)
+SELECT '<http://kg.local/e/' || replace(subject, ' ', '%20') || '> '
+  || '<http://kg.local/p/' || replace(predicate, ' ', '%20') || '> "'
+  || replace(replace(replace(replace(object,
+       chr(92), chr(92) || chr(92)),
+       '"', chr(92) || '"'),
+       chr(10), chr(92) || 'n'),
+       chr(9), chr(92) || 't')
+  || '" .' AS line
+FROM spo"""
 
     # column profiler (stats.profile_columns): one aggregate per column in
     # long format; min/max on the NATIVE type, cast to VARCHAR afterwards.

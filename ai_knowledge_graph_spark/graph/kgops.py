@@ -1074,3 +1074,249 @@ def degree_distribution(triples: DataFrame) -> DataFrame:
             "n_nodes",
         )
     )
+
+
+def distmult_score(triples: DataFrame, dim: int = 8) -> DataFrame:
+    """(subject, predicate, object, distmult_score): deterministic
+    DistMult plausibility scoring (Yang et al., ICLR 2015): score =
+    sum_k h_k * r_k * t_k — the bilinear-diagonal sibling of
+    :func:`transe_score` (same hash-derived integer vectors, same vocab
+    tables), capturing SYMMETRIC relational patterns TransE cannot
+    (DistMult scores (s, p, o) and (o, p, s) identically by
+    construction). Shipping both scorers is the standard KG-embedding
+    ensemble move; disagreement between them flags relation types whose
+    geometry neither model fits.
+
+    Integer bounds: each component is in [-1000, 1000], so one product
+    is <= 1e9 and the dim-8 sum <= 8e9 — exact in int64, no floats,
+    hash-reproducible. Same plan shape as transe_score: vocab-sized
+    vector materialization + three broadcast equi-joins + a zip_with
+    reduction; one checkpoint on the shared spo spine (NOT on the vocab
+    projections — the Spark 4.1 attribute-binding trap documented
+    there).
+    """
+    sep = F.lit("\x1f")
+
+    def vec(name_col, salt):
+        def comp(k):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            name_col, sep, F.lit(salt), sep, k.cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return h % 2001 - 1000
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+    spo = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ents = (
+        spo.select(F.col("subject").alias("name"))
+        .unionByName(spo.select(F.col("object").alias("name")))
+        .distinct()
+        .select("name", vec(F.col("name"), "ent").alias("v"))
+    )
+    rels = (
+        spo.select(F.col("predicate").alias("name"))
+        .distinct()
+        .select("name", vec(F.col("name"), "rel").alias("v"))
+    )
+    hv = ents.select(F.col("name").alias("subject"), F.col("v").alias("_h"))
+    tv = ents.select(F.col("name").alias("object"), F.col("v").alias("_t"))
+    rv = rels.select(F.col("name").alias("predicate"), F.col("v").alias("_r"))
+    prod = F.zip_with(
+        F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a * b),
+        F.col("_t"),
+        lambda a, b: a * b,
+    )
+    return (
+        spo.join(F.broadcast(hv), "subject")
+        .join(F.broadcast(rv), "predicate")
+        .join(F.broadcast(tv), "object")
+        .select(
+            "subject", "predicate", "object",
+            F.aggregate(
+                prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("distmult_score"),
+        )
+    )
+
+
+def link_prediction_eval(
+    triples: DataFrame,
+    dim: int = 8,
+    test_mod: int = 8,
+) -> DataFrame:
+    """(predicate, n_test, mrr_micro, hits1, hits3, hits10): FILTERED
+    link-prediction evaluation (the Bordes et al. protocol every KG
+    embedding paper reports): a deterministic 1/test_mod sample of
+    triples is held out as the test set; for each test (h, r, t) the
+    true tail is ranked against every entity e by TransE score
+    s(h, r, e), EXCLUDING candidates that form another true triple
+    (h, r, e) — the "filtered" setting, so known facts never count as
+    errors. rank ties break by entity name, so ranks are deterministic;
+    reciprocal rank freezes to 1e6 DIV rank int64 micro-units BEFORE
+    the per-predicate mean (integer end to end — hash-reproducible).
+
+    This is the evaluation half that closes the KG-embedding loop:
+    :func:`transe_score` scores, :func:`kg_negatives` corrupts,
+    this ranks. Per-predicate MRR/Hits@k is the standard diagnostic for
+    WHICH relation types the geometry fails on (1-N relations crater
+    tail-ranking MRR; symmetric ones crater TransE but not DistMult).
+
+    Scale shape: candidate generation is test x |E| — the protocol's
+    inherent cost. Both factors are bounded by design: the test side is
+    a 1/test_mod hash sample (eval never needs the full corpus), and
+    the entity side is the vocab-sized vector table broadcast to it
+    (same broadcast-nested-loop shape as IVF centroid assignment).
+    Per-test-triple rank reduction is one hash agg keyed on the test
+    triple. At production vocab sizes, bound the candidate side by
+    relation-type blocks or :func:`kg_negatives` samples — documented
+    knob, same join tree.
+    """
+    sep = F.lit("\x1f")
+
+    def vec(name_col, salt):
+        def comp(k):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            name_col, sep, F.lit(salt), sep, k.cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return h % 2001 - 1000
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+    spo = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ents = (
+        spo.select(F.col("subject").alias("name"))
+        .unionByName(spo.select(F.col("object").alias("name")))
+        .distinct()
+        .select("name", vec(F.col("name"), "ent").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    rels = spo.select(F.col("predicate").alias("name")).distinct().select(
+        "name", vec(F.col("name"), "rel").alias("v")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("subject"), sep, F.col("predicate"), sep,
+                        F.col("object"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % test_mod
+        == 0
+    )
+    test = spo.filter(gate)
+    hv = ents.select(F.col("name").alias("subject"), F.col("v").alias("_h"))
+    rv = rels.select(F.col("name").alias("predicate"), F.col("v").alias("_r"))
+    tv = ents.select(F.col("name").alias("object"), F.col("v").alias("_t"))
+    # pre-combine h + r once per test triple; score(e) is then one
+    # zip_with against each candidate vector
+    hr = F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a + b)
+    scored_true = (
+        test.join(F.broadcast(hv), "subject")
+        .join(F.broadcast(rv), "predicate")
+        .join(F.broadcast(tv), "object")
+        .select(
+            "subject", "predicate", "object", hr.alias("_hr"),
+            F.aggregate(
+                F.zip_with(hr, F.col("_t"), lambda a, b: F.abs(a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_s_true"),
+        )
+    )
+    # explicit broadcast cross join: the eval protocol's test x |E|
+    # candidate grid (both sides bounded — see docstring scale note)
+    cand = scored_true.crossJoin(
+        F.broadcast(ents.select(F.col("name").alias("_e"), F.col("v").alias("_ev")))
+    )
+    s_cand = F.aggregate(
+        F.zip_with(F.col("_hr"), F.col("_ev"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    known = spo.select(
+        "subject", "predicate", F.col("object").alias("_e"),
+        F.lit(1).alias("_known"),
+    )
+    ranked = (
+        cand.select(
+            "subject", "predicate", "object", "_s_true", "_e",
+            s_cand.alias("_s"),
+        )
+        .join(known, ["subject", "predicate", "_e"], "left")
+        .filter(  # filtered protocol: drop other TRUE tails (keep t itself)
+            F.col("_known").isNull() | (F.col("_e") == F.col("object"))
+        )
+        .groupBy("subject", "predicate", "object")
+        .agg(
+            (
+                F.lit(1).cast("long")
+                + F.sum(
+                    F.when(
+                        (F.col("_s") < F.col("_s_true"))
+                        | (
+                            (F.col("_s") == F.col("_s_true"))
+                            & (F.col("_e") < F.col("object"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).cast("long")
+            ).alias("_rank")
+        )
+    )
+    return (
+        ranked.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.expr("1000000 DIV _rank")).cast("long").alias("_rr_sum"),
+            F.sum(F.when(F.col("_rank") <= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hits1"),
+            F.sum(F.when(F.col("_rank") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("hits3"),
+            F.sum(F.when(F.col("_rank") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("hits10"),
+        )
+        .select(
+            "predicate", "n_test",
+            F.expr("_rr_sum DIV n_test").alias("mrr_micro"),
+            "hits1", "hits3", "hits10",
+        )
+    )

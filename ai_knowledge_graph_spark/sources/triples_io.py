@@ -125,3 +125,65 @@ def export_neo4j_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(
         f"{out_dir}/edges"
     )
+
+
+# N-Triples string-literal escapes (RDF 1.1 N-Triples §2.4 ECHAR), applied
+# in this exact order (backslash FIRST or the later escapes double up).
+# The same four (pattern, replacement) pairs are embedded literal-for-
+# literal in the oracle SQL, so the formatting itself is hash-gated.
+NTRIPLES_ESCAPES = (
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\t", "\\t"),
+)
+
+
+def ntriples_lines(
+    triples: DataFrame, base: str = "http://kg.local/"
+) -> DataFrame:
+    """(line): canonical RDF 1.1 N-Triples serialization of the KG —
+    ``<{base}e/{subject}> <{base}p/{predicate}> "object" .`` — one triple
+    per line, the line-oriented RDF format built for exactly this kind of
+    distributed write (every line independent; parallel part-files
+    concatenate into a valid document, unlike Turtle/RDF-XML).
+    Subjects/predicates mint IRIs under ``base`` (spaces percent-encoded
+    — the only IRI-illegal byte the standardizer lets through: entities
+    are lowercased alnum/space after cleaning); objects serialize as
+    escaped string literals (ECHAR set in :data:`NTRIPLES_ESCAPES`).
+
+    Row-local select over the triple set — no shuffle, no UDF; pair with
+    :func:`write_ntriples` for the text sink. Beyond-reference surface:
+    the reference exports JSON/Neo4j-CSV/HTML (graph_store.py); N-Triples
+    is the interop format those can't provide (loads into any triple
+    store / SPARQL engine unchanged).
+    """
+
+    def iri(col, kind):
+        return F.concat(
+            F.lit("<" + base + kind + "/"),
+            F.regexp_replace(col, " ", "%20"),
+            F.lit(">"),
+        )
+
+    lit = F.col("object")
+    for pat, rep in NTRIPLES_ESCAPES:
+        lit = F.replace(lit, F.lit(pat), F.lit(rep))
+    return triples.select("subject", "predicate", "object").distinct().select(
+        F.concat(
+            iri(F.col("subject"), "e"),
+            F.lit(" "),
+            iri(F.col("predicate"), "p"),
+            F.lit(' "'),
+            lit,
+            F.lit('" .'),
+        ).alias("line")
+    )
+
+
+def write_ntriples(
+    triples: DataFrame, path: str, base: str = "http://kg.local/"
+) -> None:
+    """K-family sink: the KG as an N-Triples document (part-files of
+    independent lines; cat them for a single .nt)."""
+    ntriples_lines(triples, base=base).write.mode("overwrite").text(path)

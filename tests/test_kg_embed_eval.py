@@ -1,0 +1,162 @@
+"""distmult_score / link_prediction_eval / ntriples_lines unit tests.
+
+Brute-force twin: the tests re-derive the md5-hash embedding components
+in plain Python (the same portable 48-bit construction the engine and
+the DuckDB oracles share) and check the distributed results row for row,
+so a hash, join, or rank regression cannot hide behind oracle symmetry
+(both sides sharing the same SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_knowledge_graph_spark.graph.kgops import (
+    distmult_score,
+    link_prediction_eval,
+    transe_score,
+)
+from ai_knowledge_graph_spark.sources.triples_io import (
+    NTRIPLES_ESCAPES,
+    ntriples_lines,
+)
+
+TRIPLES = [
+    ("ada lovelace", "wrote", "first program"),
+    ("first program", "ran on", "analytical engine"),
+    ("charles babbage", "designed", "analytical engine"),
+    ("ada lovelace", "knew", "charles babbage"),
+    ("charles babbage", "knew", "ada lovelace"),
+    ("analytical engine", "is a", "computer"),
+    ("ada lovelace", "wrote", "notes"),
+]
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _vec(name: str, salt: str, dim: int = 8) -> list[int]:
+    return [_h48(f"{name}\x1f{salt}\x1f{k}") % 2001 - 1000 for k in range(dim)]
+
+
+def _fixture(spark):
+    return spark.createDataFrame(TRIPLES, ["subject", "predicate", "object"])
+
+
+def test_distmult_matches_bruteforce_and_is_symmetric(spark):
+    out = {
+        (r["subject"], r["predicate"], r["object"]): r["distmult_score"]
+        for r in distmult_score(_fixture(spark), dim=8).collect()
+    }
+    assert len(out) == len(set(TRIPLES))
+    for (s, p, o), got in out.items():
+        h, r, t = _vec(s, "ent"), _vec(p, "rel"), _vec(o, "ent")
+        assert got == sum(h[k] * r[k] * t[k] for k in range(8))
+    # bilinear-diagonal symmetry: swapping s and o cannot change the score
+    swapped = distmult_score(
+        _fixture(spark).select(
+            F.col("object").alias("subject"),
+            "predicate",
+            F.col("subject").alias("object"),
+        ),
+        dim=8,
+    ).collect()
+    for r_ in swapped:
+        assert r_["distmult_score"] == out[
+            (r_["object"], r_["predicate"], r_["subject"])
+        ]
+
+
+def test_transe_vs_distmult_disagree_on_symmetric_pairs(spark):
+    # the documented ensemble property: TransE scores (s,p,o) != (o,p,s)
+    # in general (translation is directional), DistMult cannot tell them
+    # apart. The "knew" pair above is the probe.
+    te = {
+        (r["subject"], r["object"]): r["transe_score"]
+        for r in transe_score(_fixture(spark), dim=8).collect()
+        if r["predicate"] == "knew"
+    }
+    assert te[("ada lovelace", "charles babbage")] != te[
+        ("charles babbage", "ada lovelace")
+    ]
+
+
+def test_link_prediction_eval_matches_bruteforce(spark):
+    out = link_prediction_eval(_fixture(spark), dim=8, test_mod=2).collect()
+
+    spo = set(TRIPLES)
+    ents = sorted({s for s, _, _ in spo} | {o for _, _, o in spo})
+
+    def score(h, r, t):
+        hv, rv, tv = _vec(h, "ent"), _vec(r, "rel"), _vec(t, "ent")
+        return sum(abs(hv[k] + rv[k] - tv[k]) for k in range(8))
+
+    test = [x for x in spo if _h48("\x1f".join(x)) % 2 == 0]
+    assert test, "fixture must sample at least one test triple"
+    per_pred: dict[str, list[int]] = {}
+    for h, r, t in test:
+        st = score(h, r, t)
+        cnt = 0
+        for e in ents:
+            if (h, r, e) in spo and e != t:
+                continue  # filtered protocol
+            s = score(h, r, e)
+            if s < st or (s == st and e < t):
+                cnt += 1
+        per_pred.setdefault(r, []).append(1 + cnt)
+    expected = {
+        p: (
+            len(rk),
+            sum(1_000_000 // x for x in rk) // len(rk),
+            sum(x <= 1 for x in rk),
+            sum(x <= 3 for x in rk),
+            sum(x <= 10 for x in rk),
+        )
+        for p, rk in per_pred.items()
+    }
+    got = {
+        r["predicate"]: (
+            r["n_test"], r["mrr_micro"], r["hits1"], r["hits3"], r["hits10"]
+        )
+        for r in out
+    }
+    assert got == expected
+
+
+def test_link_prediction_hits_are_monotone(spark):
+    for r in link_prediction_eval(_fixture(spark), dim=8, test_mod=1).collect():
+        assert 0 <= r["hits1"] <= r["hits3"] <= r["hits10"] <= r["n_test"]
+        assert 0 < r["mrr_micro"] <= 1_000_000
+
+
+def test_ntriples_formatting(spark):
+    nasty = [
+        ("a b", "says", 'he said "hi"\nthen\tleft'),
+        ("a b", "says", "back\\slash"),
+    ]
+    df = spark.createDataFrame(nasty, ["subject", "predicate", "object"])
+    lines = sorted(r["line"] for r in ntriples_lines(df).collect())
+    assert lines[0] == (
+        '<http://kg.local/e/a%20b> <http://kg.local/p/says> '
+        '"back\\\\slash" .'
+    )
+    assert lines[1] == (
+        '<http://kg.local/e/a%20b> <http://kg.local/p/says> '
+        '"he said \\"hi\\"\\nthen\\tleft" .'
+    )
+    # escape table is applied backslash-first (order is load-bearing)
+    assert NTRIPLES_ESCAPES[0][0] == "\\"
+
+
+def test_ntriples_distinct_and_parseable(spark):
+    df = _fixture(spark)
+    lines = [r["line"] for r in ntriples_lines(df).collect()]
+    assert len(lines) == len(set(TRIPLES))
+    for ln in lines:
+        assert ln.endswith('" .')
+        assert ln.count("<http://kg.local/e/") == 1
+        assert ln.count("<http://kg.local/p/") == 1

@@ -332,3 +332,33 @@ def test_entity_roles_is_struct_agg_not_window(spark):
     assert "Window" not in plan
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_distmult_joins_are_broadcast(spark):
+    # round 5: DistMult vector attachment = three vocab-sized broadcast
+    # hash joins on the spo spine (same contract as transe_score)
+    from ai_knowledge_graph_spark.graph.kgops import distmult_score
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("a", "q", "c")],
+        ["subject", "predicate", "object"],
+    )
+    plan = _plan(distmult_score(triples, dim=4))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_prediction_candidate_grid_is_broadcast_nested_loop(spark):
+    # round 5: the eval protocol's test x |E| candidate grid must be a
+    # BROADCAST nested loop (vocab-sized vector table shipped to the
+    # hash-sampled test side) — never a shuffled cartesian
+    from ai_knowledge_graph_spark.graph.kgops import link_prediction_eval
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("a", "q", "c"), ("c", "p", "a")],
+        ["subject", "predicate", "object"],
+    )
+    plan = _plan(link_prediction_eval(triples, dim=4, test_mod=1))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
