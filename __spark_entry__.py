@@ -1264,6 +1264,30 @@ def q_ntriples(spark, sf_dir):
     return ntriples_lines(std)
 
 
+def q_property_path(spark, sf_dir):
+    # SPARQL 1.1 property-path evaluation compiled to a join/union tree:
+    # (group+ / (join | sort)) — bounded one-or-more (3 hops) chained
+    # into an alternation, set semantics at every combinator.
+    from ai_knowledge_graph_spark.graph.kgops import match_property_path
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    path = ("seq", ("plus", "group"), ("alt", "join", "sort"))
+    return match_property_path(std, path, max_depth=3)
+
+
+def q_kg_align(spark, sf_dir):
+    # entity alignment between two crawl-batch KGs (docs [0,40) vs
+    # [10,50)) by shared relational context — exactly-shared outgoing
+    # (p,o) / incoming (s,p) facts, best match per A-entity with
+    # deterministic (score desc, name asc) tie-break.
+    from ai_knowledge_graph_spark.graph.kgops import align_entities
+
+    raw = _raw_triples(spark, sf_dir, INFER_DOCS).withColumn("doc_id", _doc_id())
+    kg_a = raw.filter(F.col("doc_id") < 40)
+    kg_b = raw.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < INFER_DOCS))
+    return align_entities(kg_a, kg_b, min_score=2)
+
+
 def q_kg_pattern(spark, sf_dir):
     # SPARQL-style basic graph pattern over the standardized KG:
     # ?x group ?y . ?y ?p ?z  — 2-hop walks that start with a "group" edge.
@@ -3492,6 +3516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult": q_kg_distmult,
         "kg_mrr": q_kg_mrr,
         "ntriples": q_ntriples,
+        "property_path": q_property_path,
+        "kg_align": q_kg_align,
         # -- driver-certified round 4
         "hard_negatives": q_hard_negatives,
         "degree_dist": q_degree_dist,
@@ -6346,6 +6372,68 @@ SELECT '<http://kg.local/e/' || replace(subject, ' ', '%20') || '> '
        chr(9), chr(92) || 't')
   || '" .' AS line
 FROM spo"""
+
+    # SPARQL property path (kgops.match_property_path): the fixed path
+    # (group+ / (join|sort)) unrolled — plus = 3 chained hops, every
+    # combinator distinct-ed (set semantics on both engines).
+    sql["property_path"] = _PRELUDE_INFER + _STD_CTES + """
+, spo AS MATERIALIZED (SELECT DISTINCT subject, predicate, object FROM std),
+g AS MATERIALIZED (
+  SELECT DISTINCT subject AS src, object AS dst FROM spo
+  WHERE predicate = 'group'),
+g2 AS (SELECT DISTINCT a.src, b.dst FROM g a JOIN g b ON a.dst = b.src),
+g3 AS (SELECT DISTINCT a.src, b.dst FROM g2 a JOIN g b ON a.dst = b.src),
+plusg AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM g
+    UNION ALL SELECT src, dst FROM g2
+    UNION ALL SELECT src, dst FROM g3)),
+altjs AS MATERIALIZED (
+  SELECT DISTINCT subject AS src, object AS dst FROM spo
+  WHERE predicate IN ('join', 'sort'))
+SELECT DISTINCT p.src AS src, a.dst AS dst
+FROM plusg p JOIN altjs a ON p.dst = a.src"""
+
+    # Entity alignment (kgops.align_entities): shared-context counts
+    # between the [0,40) and [10,50) crawl-batch KGs; argmax per
+    # A-entity, (score desc, entity_b asc) tie-break; n_shared taken
+    # from the selected row (min_by), not a row mix.
+    sql["kg_align"] = _PRELUDE_INFER + """
+, oldg AS MATERIALIZED (SELECT DISTINCT subject, predicate, object
+    FROM triples1 WHERE doc_id < 40),
+newg AS MATERIALIZED (SELECT DISTINCT subject, predicate, object
+    FROM triples1 WHERE doc_id >= 10 AND doc_id < 50),
+ca AS MATERIALIZED (
+  SELECT DISTINCT entity_a, fact FROM (
+    SELECT subject AS entity_a,
+           'o' || chr(31) || predicate || chr(31) || object AS fact
+    FROM oldg
+    UNION ALL
+    SELECT object, 'i' || chr(31) || subject || chr(31) || predicate
+    FROM oldg)),
+cb AS MATERIALIZED (
+  SELECT DISTINCT entity_b, fact FROM (
+    SELECT subject AS entity_b,
+           'o' || chr(31) || predicate || chr(31) || object AS fact
+    FROM newg
+    UNION ALL
+    SELECT object, 'i' || chr(31) || subject || chr(31) || predicate
+    FROM newg)),
+sizes AS (SELECT entity_a, CAST(count(*) AS BIGINT) AS n_ctx
+          FROM ca GROUP BY 1),
+shared AS (
+  SELECT ca.entity_a, cb.entity_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM ca JOIN cb USING (fact) GROUP BY 1, 2 HAVING count(*) >= 2),
+scored AS (
+  SELECT s.entity_a, s.entity_b, s.n_shared,
+         CAST(s.n_shared * 1000000 // z.n_ctx AS BIGINT) AS score_ppm
+  FROM shared s JOIN sizes z USING (entity_a)),
+best AS (SELECT entity_a, max(score_ppm) AS b FROM scored GROUP BY 1)
+SELECT s.entity_a, min(s.entity_b) AS entity_b,
+       CAST(min_by(s.n_shared, s.entity_b) AS BIGINT) AS n_shared,
+       CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
+FROM scored s JOIN best b ON s.entity_a = b.entity_a AND s.score_ppm = b.b
+GROUP BY 1"""
 
     # column profiler (stats.profile_columns): one aggregate per column in
     # long format; min/max on the NATIVE type, cast to VARCHAR afterwards.

@@ -1320,3 +1320,177 @@ def link_prediction_eval(
             "hits1", "hits3", "hits10",
         )
     )
+
+
+def match_property_path(
+    triples: DataFrame,
+    path,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(src, dst): SPARQL 1.1 property-path evaluation with set semantics
+    — the navigational layer :func:`match_basic_pattern` (single-hop BGPs)
+    cannot express. ``path`` is a small AST of nested tuples:
+
+    * ``"pred"``                 — one edge with that predicate
+    * ``("inv", p)``             — inverse path (``^p``)
+    * ``("seq", p1, p2, ...)``   — sequence (``p1/p2``)
+    * ``("alt", p1, p2, ...)``   — alternation (``p1|p2``)
+    * ``("plus", p)``            — one-or-more (``p+``), expanded to
+      ``max_depth`` hops (bounded, like the inference stage's one-step
+      closure: unbounded recursion is not a 100 TB-safe primitive, and
+      SPARQL engines bound or materialize it too)
+
+    Compilation is structural: every node returns a distinct (src, dst)
+    pair set; ``seq`` is a hash equi-join on the shared midpoint, ``alt``
+    a union + distinct, ``inv`` a projection swap, ``plus`` ``max_depth``
+    chained equi-joins unioned then distinct-ed. Catalyst sees a plain
+    join/union tree — predicate constants push into the scan, AQE picks
+    broadcast sides. Depth is bounded by the AST, so plan size is static.
+
+    Set semantics: each combinator distincts its output, so path
+    multiplicity never fans out multiplicatively down the tree (the
+    W3C spec's semantics for paths is also set-based).
+    """
+
+    def preds_of(node) -> set[str]:
+        if isinstance(node, str):
+            return {node}
+        out: set[str] = set()
+        for a in node[1:]:
+            out |= preds_of(a)
+        return out
+
+    # prune to the predicates the path actually names BEFORE the
+    # distinct + checkpoint: the IN-filter pushes into the scan, and the
+    # materialized working set is the named-predicate edges, not the
+    # whole store (a path touching one rare predicate must not shuffle
+    # the full KG)
+    spo = (
+        triples.select("subject", "predicate", "object")
+        .filter(F.col("predicate").isin(*sorted(preds_of(path))))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def edge(pred: str) -> DataFrame:
+        return spo.filter(F.col("predicate") == pred).select(
+            F.col("subject").alias("src"), F.col("object").alias("dst")
+        ).distinct()
+
+    def seq2(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(
+                b.select(F.col("src").alias("_mid"), F.col("dst").alias("_d")),
+                a["dst"] == F.col("_mid"),
+            )
+            .select("src", F.col("_d").alias("dst"))
+            .distinct()
+        )
+
+    def compile_(node) -> DataFrame:
+        if isinstance(node, str):
+            return edge(node)
+        op, *args = node
+        if op == "inv":
+            r = compile_(args[0])
+            return r.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        if op == "seq":
+            out = compile_(args[0])
+            for a in args[1:]:
+                out = seq2(out, compile_(a))
+            return out
+        if op == "alt":
+            out = compile_(args[0])
+            for a in args[1:]:
+                out = out.unionByName(compile_(a))
+            return out.distinct()
+        if op == "plus":
+            base = compile_(args[0]).localCheckpoint(eager=True)
+            out, hop = base, base
+            for _ in range(max_depth - 1):
+                hop = seq2(hop, base)
+                out = out.unionByName(hop)
+            return out.distinct()
+        raise ValueError(f"unknown path op: {op!r}")
+
+    return compile_(path)
+
+
+def align_entities(
+    kg_a: DataFrame,
+    kg_b: DataFrame,
+    min_score: int = 1,
+) -> DataFrame:
+    """(entity_a, entity_b, n_shared, score_ppm): entity alignment
+    between two KGs (e.g. two crawl batches before a merge — the
+    incremental-construction step after :func:`kg_diff` tells you the
+    edge delta and incr_mapping extends the canonical mapping): for each
+    entity in A, the best-matching entity in B by shared relational
+    context — the count of exactly-shared outgoing ``(predicate,
+    object)`` and incoming ``(subject, predicate)`` facts — normalized
+    by A's context size (ppm). Ties break by (score desc, entity_b asc);
+    one row per aligned A-entity.
+
+    Candidate generation is the context join itself: entities only pair
+    if they SHARE a concrete fact partner, so the pair space is bounded
+    by fact-key multiplicity (an equi-join on (predicate, object) /
+    (subject, predicate) keys — the token-blocking idea applied to graph
+    context, never an A x B cross product). Hub keys fan out like any
+    hot join key; cap them upstream with the same max_block_size
+    discipline as lexical inference if a predicate-object pair is shared
+    by thousands of entities.
+
+    Scores are exact integer counts; the final per-entity argmax is a
+    max_by over a struct ordering — no windows over unbounded
+    partitions.
+    """
+    def ctx(kg: DataFrame, side: str) -> DataFrame:
+        spo = kg.select("subject", "predicate", "object").distinct()
+        out = spo.select(
+            F.col("subject").alias(side),
+            F.concat(F.lit("o\x1f"), "predicate", F.lit("\x1f"), "object")
+            .alias("fact"),
+        )
+        inc = spo.select(
+            F.col("object").alias(side),
+            F.concat(F.lit("i\x1f"), "subject", F.lit("\x1f"), "predicate")
+            .alias("fact"),
+        )
+        return out.unionByName(inc).distinct()
+
+    ca = ctx(kg_a, "entity_a").localCheckpoint(eager=True)
+    cb = ctx(kg_b, "entity_b")
+    sizes = ca.groupBy("entity_a").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_ctx")
+    )
+    shared = (
+        ca.join(cb, "fact")
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_score)
+    )
+    scored = shared.join(F.broadcast(sizes), "entity_a").select(
+        "entity_a", "entity_b", "n_shared",
+        F.expr("(n_shared * 1000000) DIV _n_ctx").alias("score_ppm"),
+    )
+    # argmax with an ASC name tie-break can't ride one max_by struct
+    # (struct ordering would need a DESC-then-ASC mix); two map-side-
+    # combined aggs on the same key do it losslessly: keep all
+    # best-score rows, then min(entity_b).
+    top = scored.join(
+        scored.groupBy("entity_a").agg(F.max("score_ppm").alias("_best")),
+        "entity_a",
+    ).filter(F.col("score_ppm") == F.col("_best"))
+    return (
+        top.groupBy("entity_a")
+        .agg(
+            F.min("entity_b").alias("entity_b"),
+            # n_shared must come from the SELECTED row: equal score_ppm
+            # with different n_shared is possible once n_ctx > 1e6 (the
+            # DIV quantization), and a bare max() could mix rows
+            F.min_by("n_shared", "entity_b").alias("n_shared"),
+            F.max("score_ppm").alias("score_ppm"),
+        )
+    )
