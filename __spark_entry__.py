@@ -1288,6 +1288,25 @@ def q_kg_align(spark, sf_dir):
     return align_entities(kg_a, kg_b, min_score=2)
 
 
+# SHACL-lite shape table shared by q_kg_shacl and its oracle builder:
+# (shape_id, target_pred, check_kind, pred, n) — entities with >= 1
+# outgoing target_pred edge must have min/max n distinct pred objects.
+SHACL_SHAPES = [
+    (1, "group", "min_count", "sort", 1),
+    (2, "group", "max_count", "join", 1),
+    (3, "join", "min_count", "join", 2),
+]
+
+
+def q_kg_shacl(spark, sf_dir):
+    # SHACL-style sh:minCount/sh:maxCount validation (violations only)
+    # over the standardized KG, sh:targetSubjectsOf targeting.
+    from ai_knowledge_graph_spark.graph.kgops import validate_shapes
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return validate_shapes(std, SHACL_SHAPES)
+
+
 def q_kg_pattern(spark, sf_dir):
     # SPARQL-style basic graph pattern over the standardized KG:
     # ?x group ?y . ?y ?p ?z  — 2-hop walks that start with a "group" edge.
@@ -3518,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples": q_ntriples,
         "property_path": q_property_path,
         "kg_align": q_kg_align,
+        "kg_shacl": q_kg_shacl,
         # -- driver-certified round 4
         "hard_negatives": q_hard_negatives,
         "degree_dist": q_degree_dist,
@@ -6434,6 +6454,30 @@ SELECT s.entity_a, min(s.entity_b) AS entity_b,
        CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
 FROM scored s JOIN best b ON s.entity_a = b.entity_a AND s.score_ppm = b.b
 GROUP BY 1"""
+
+    # SHACL-lite cardinality validation (kgops.validate_shapes): one
+    # UNION ALL branch per shape in the shared SHACL_SHAPES table;
+    # violations only; counts over DISTINCT (s,p,o).
+    _shacl_branches = []
+    for _sid, _target, _kind, _pred, _n in SHACL_SHAPES:
+        _cmp = "<" if _kind == "min_count" else ">"
+        _shacl_branches.append(f"""
+SELECT CAST({_sid} AS BIGINT) AS shape_id, t.entity,
+       '{_kind}' AS check_kind, '{_pred}' AS pred,
+       CAST(coalesce(c.have, 0) AS BIGINT) AS have,
+       CAST({_n} AS BIGINT) AS want
+FROM (SELECT DISTINCT subject AS entity FROM spo
+      WHERE predicate = '{_target}') t
+LEFT JOIN (SELECT subject AS entity, CAST(count(*) AS BIGINT) AS have
+           FROM spo WHERE predicate = '{_pred}' GROUP BY 1) c
+  USING (entity)
+WHERE coalesce(c.have, 0) {_cmp} {_n}""")
+    sql["kg_shacl"] = (
+        _PRELUDE_INFER + _STD_CTES
+        + "\n, spo AS MATERIALIZED (SELECT DISTINCT subject, predicate,"
+          " object FROM std)\n"
+        + "\nUNION ALL\n".join(_shacl_branches)
+    )
 
     # column profiler (stats.profile_columns): one aggregate per column in
     # long format; min/max on the NATIVE type, cast to VARCHAR afterwards.

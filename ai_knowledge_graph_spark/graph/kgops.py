@@ -1157,17 +1157,23 @@ def link_prediction_eval(
     triples: DataFrame,
     dim: int = 8,
     test_mod: int = 8,
+    model: str = "transe",
 ) -> DataFrame:
     """(predicate, n_test, mrr_micro, hits1, hits3, hits10): FILTERED
     link-prediction evaluation (the Bordes et al. protocol every KG
     embedding paper reports): a deterministic 1/test_mod sample of
     triples is held out as the test set; for each test (h, r, t) the
-    true tail is ranked against every entity e by TransE score
-    s(h, r, e), EXCLUDING candidates that form another true triple
-    (h, r, e) — the "filtered" setting, so known facts never count as
-    errors. rank ties break by entity name, so ranks are deterministic;
-    reciprocal rank freezes to 1e6 DIV rank int64 micro-units BEFORE
-    the per-predicate mean (integer end to end — hash-reproducible).
+    true tail is ranked against every entity e by the chosen model's
+    score s(h, r, e) — ``model="transe"`` (sum |h+r-e|, lower better) or
+    ``model="distmult"`` (sum h*r*e, higher better; negated internally
+    so one lower-is-better rank path serves both) — EXCLUDING candidates
+    that form another true triple (h, r, e): the "filtered" setting, so
+    known facts never count as errors. rank ties break by entity name,
+    so ranks are deterministic; reciprocal rank freezes to
+    1e6 DIV rank int64 micro-units BEFORE the per-predicate mean
+    (integer end to end — hash-reproducible). Running both models over
+    the same test sample is the standard diagnostic pair: symmetric
+    relations crater TransE MRR but not DistMult.
 
     This is the evaluation half that closes the KG-embedding loop:
     :func:`transe_score` scores, :func:`kg_negatives` corrupts,
@@ -1243,20 +1249,37 @@ def link_prediction_eval(
     hv = ents.select(F.col("name").alias("subject"), F.col("v").alias("_h"))
     rv = rels.select(F.col("name").alias("predicate"), F.col("v").alias("_r"))
     tv = ents.select(F.col("name").alias("object"), F.col("v").alias("_t"))
-    # pre-combine h + r once per test triple; score(e) is then one
-    # zip_with against each candidate vector
-    hr = F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a + b)
+    # pre-combine h and r once per test triple (h+r for TransE, h*r for
+    # DistMult); score(e) is then one zip_with against each candidate
+    # vector. DistMult is higher-is-better, so its score is NEGATED to
+    # ride the same lower-is-better rank path.
+    if model == "transe":
+        hr = F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a + b)
+
+        def reduce_(hr_col, vcol):
+            return F.aggregate(
+                F.zip_with(hr_col, vcol, lambda a, b: F.abs(a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+    elif model == "distmult":
+        hr = F.zip_with(F.col("_h"), F.col("_r"), lambda a, b: a * b)
+
+        def reduce_(hr_col, vcol):
+            return -F.aggregate(
+                F.zip_with(hr_col, vcol, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+    else:
+        raise ValueError(f"unknown model: {model!r}")
     scored_true = (
         test.join(F.broadcast(hv), "subject")
         .join(F.broadcast(rv), "predicate")
         .join(F.broadcast(tv), "object")
         .select(
             "subject", "predicate", "object", hr.alias("_hr"),
-            F.aggregate(
-                F.zip_with(hr, F.col("_t"), lambda a, b: F.abs(a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("_s_true"),
+            reduce_(hr, F.col("_t")).alias("_s_true"),
         )
     )
     # explicit broadcast cross join: the eval protocol's test x |E|
@@ -1264,11 +1287,7 @@ def link_prediction_eval(
     cand = scored_true.crossJoin(
         F.broadcast(ents.select(F.col("name").alias("_e"), F.col("v").alias("_ev")))
     )
-    s_cand = F.aggregate(
-        F.zip_with(F.col("_hr"), F.col("_ev"), lambda a, b: F.abs(a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    s_cand = reduce_(F.col("_hr"), F.col("_ev"))
     known = spo.select(
         "subject", "predicate", F.col("object").alias("_e"),
         F.lit(1).alias("_known"),
@@ -1494,3 +1513,60 @@ def align_entities(
             F.max("score_ppm").alias("score_ppm"),
         )
     )
+
+
+def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
+    """(shape_id, entity, check_kind, pred, have, want): SHACL-style
+    cardinality validation over the open-domain KG — the declarative QA
+    gate that closes the construct->validate loop (ontology_check tests
+    declared domain/range pairs; this tests per-entity predicate
+    cardinalities, the sh:minCount / sh:maxCount core of W3C SHACL).
+
+    ``shapes`` is a list of ``(shape_id, target_pred, check_kind, pred,
+    n)``: for every entity that has at least one outgoing ``target_pred``
+    edge (sh:targetSubjectsOf), require ``min_count``/``max_count`` n
+    distinct ``pred`` objects. Output is VIOLATIONS ONLY (bounded by the
+    violating-entity count, not the KG), with the observed count so the
+    row is actionable.
+
+    Plan: triples distinct once; per shape one filtered distinct target
+    projection left-joined to one filtered per-entity count agg — the
+    shape list is schema-sized, so the union is a static plan. Counts
+    are over distinct (s, p, o), so mention multiplicity never trips a
+    max_count.
+    """
+    spo = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for sid, target, kind, pred, n in shapes:
+        if kind not in ("min_count", "max_count"):
+            raise ValueError(f"unknown check_kind: {kind!r}")
+        targets = (
+            spo.filter(F.col("predicate") == target)
+            .select(F.col("subject").alias("entity"))
+            .distinct()
+        )
+        cnt = (
+            spo.filter(F.col("predicate") == pred)
+            .groupBy(F.col("subject").alias("entity"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_have"))
+        )
+        have = F.coalesce(F.col("_have"), F.lit(0).cast("long"))
+        joined = targets.join(cnt, "entity", "left")
+        bad = joined.filter(
+            have < n if kind == "min_count" else have > n
+        ).select(
+            F.lit(sid).cast("long").alias("shape_id"),
+            "entity",
+            F.lit(kind).alias("check_kind"),
+            F.lit(pred).alias("pred"),
+            have.alias("have"),
+            F.lit(n).cast("long").alias("want"),
+        )
+        out = bad if out is None else out.unionByName(bad)
+    if out is None:
+        raise ValueError("shapes must be non-empty")
+    return out

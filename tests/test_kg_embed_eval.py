@@ -160,3 +160,51 @@ def test_ntriples_distinct_and_parseable(spark):
         assert ln.endswith('" .')
         assert ln.count("<http://kg.local/e/") == 1
         assert ln.count("<http://kg.local/p/") == 1
+
+
+def test_link_prediction_distmult_matches_bruteforce(spark):
+    out = link_prediction_eval(
+        _fixture(spark), dim=8, test_mod=2, model="distmult"
+    ).collect()
+
+    spo = set(TRIPLES)
+    ents = sorted({s for s, _, _ in spo} | {o for _, _, o in spo})
+
+    def score(h, r, t):  # negated: lower-is-better rank path
+        hv, rv, tv = _vec(h, "ent"), _vec(r, "rel"), _vec(t, "ent")
+        return -sum(hv[k] * rv[k] * tv[k] for k in range(8))
+
+    test = [x for x in spo if _h48("\x1f".join(x)) % 2 == 0]
+    per_pred: dict[str, list[int]] = {}
+    for h, r, t in test:
+        st = score(h, r, t)
+        cnt = 0
+        for e in ents:
+            if (h, r, e) in spo and e != t:
+                continue
+            s = score(h, r, e)
+            if s < st or (s == st and e < t):
+                cnt += 1
+        per_pred.setdefault(r, []).append(1 + cnt)
+    expected = {
+        p: (
+            len(rk),
+            sum(1_000_000 // x for x in rk) // len(rk),
+            sum(x <= 1 for x in rk),
+            sum(x <= 3 for x in rk),
+            sum(x <= 10 for x in rk),
+        )
+        for p, rk in per_pred.items()
+    }
+    got = {
+        r["predicate"]: (
+            r["n_test"], r["mrr_micro"], r["hits1"], r["hits3"], r["hits10"]
+        )
+        for r in out
+    }
+    assert got == expected
+
+
+def test_link_prediction_unknown_model_raises(spark):
+    with pytest.raises(ValueError):
+        link_prediction_eval(_fixture(spark), model="complex")

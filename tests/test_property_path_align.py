@@ -109,3 +109,42 @@ def test_align_entities_incoming_context_counts(spark):
     # "paper one" and "paper uno" share the incoming (x, cites) fact
     assert out["paper one"]["entity_b"] == "paper uno"
     assert out["paper one"]["n_shared"] == 1
+
+
+def test_validate_shapes_min_and_max(spark):
+    from ai_knowledge_graph_spark.graph.kgops import validate_shapes
+
+    kg = _kg(
+        spark,
+        [
+            ("a", "works at", "acme"),     # target; has 0 "knows" -> min viol
+            ("b", "works at", "acme"),     # target; has 2 "knows" -> max viol
+            ("b", "knows", "a"),
+            ("b", "knows", "c"),
+            ("c", "knows", "a"),           # not a target: no row
+            ("d", "works at", "x"),
+            ("d", "knows", "a"),           # target; exactly 1 -> clean
+            ("b", "knows", "a"),           # duplicate mention: must not count
+        ],
+    )
+    shapes = [
+        (1, "works at", "min_count", "knows", 1),
+        (2, "works at", "max_count", "knows", 1),
+    ]
+    rows = {
+        (r["shape_id"], r["entity"]): (r["check_kind"], r["have"], r["want"])
+        for r in validate_shapes(kg, shapes).collect()
+    }
+    assert rows == {
+        (1, "a"): ("min_count", 0, 1),
+        (2, "b"): ("max_count", 2, 1),
+    }
+
+
+def test_validate_shapes_rejects_bad_kind(spark):
+    from ai_knowledge_graph_spark.graph.kgops import validate_shapes
+
+    with pytest.raises(ValueError):
+        validate_shapes(_kg(spark), [(1, "p", "exactly", "q", 1)])
+    with pytest.raises(ValueError):
+        validate_shapes(_kg(spark), [])
