@@ -1298,6 +1298,16 @@ SHACL_SHAPES = [
 ]
 
 
+def q_kg_complex(spark, sf_dir):
+    # ComplEx plausibility scoring (dim=8): Re(<h, r, conj(t)>) over
+    # hash-derived integer real/imag vectors — the asymmetric member of
+    # the TransE/DistMult/ComplEx trio, exact int64.
+    from ai_knowledge_graph_spark.graph.kgops import complex_score
+
+    std = _std_triples(spark, sf_dir, INFER_DOCS)
+    return complex_score(std, dim=8)
+
+
 def q_kg_shacl(spark, sf_dir):
     # SHACL-style sh:minCount/sh:maxCount validation (violations only)
     # over the standardized KG, sh:targetSubjectsOf targeting.
@@ -3538,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_path": q_property_path,
         "kg_align": q_kg_align,
         "kg_shacl": q_kg_shacl,
+        "kg_complex": q_kg_complex,
         # -- driver-certified round 4
         "hard_negatives": q_hard_negatives,
         "degree_dist": q_degree_dist,
@@ -6318,6 +6329,33 @@ terms AS (
   FROM spo s CROSS JOIN ks k
 )
 SELECT subject, predicate, object, CAST(sum(term) AS BIGINT) AS distmult_score
+FROM terms GROUP BY 1, 2, 3"""
+
+    # ComplEx scoring (kgops.complex_score): Re(<h, r, conj(t)>) with
+    # real/imag integer vectors from distinct salts (ent/enti, rel/reli);
+    # per-dim 4-term expansion, all int64.
+    def _cvec(col, salt):
+        return (
+            f"(('0x' || substr(md5({col} || chr(31) || '{salt}' || chr(31)"
+            f" || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT % 2001 - 1000)"
+        )
+
+    sql["kg_complex"] = _PRELUDE_INFER + _STD_CTES + f"""
+, spo AS (SELECT DISTINCT subject, predicate, object FROM std),
+ks AS (SELECT unnest(range(0, 8)) AS k),
+terms AS (
+  SELECT s.subject, s.predicate, s.object,
+      {_cvec('s.subject', 'ent')} * {_cvec('s.predicate', 'rel')}
+        * {_cvec('s.object', 'ent')}
+    + {_cvec('s.subject', 'enti')} * {_cvec('s.predicate', 'rel')}
+        * {_cvec('s.object', 'enti')}
+    + {_cvec('s.subject', 'enti')} * {_cvec('s.predicate', 'reli')}
+        * {_cvec('s.object', 'ent')}
+    - {_cvec('s.subject', 'ent')} * {_cvec('s.predicate', 'reli')}
+        * {_cvec('s.object', 'enti')} AS term
+  FROM spo s CROSS JOIN ks k
+)
+SELECT subject, predicate, object, CAST(sum(term) AS BIGINT) AS complex_score
 FROM terms GROUP BY 1, 2, 3"""
 
     # Filtered link-prediction eval (kgops.link_prediction_eval): 1/8 md5

@@ -208,3 +208,30 @@ def test_link_prediction_distmult_matches_bruteforce(spark):
 def test_link_prediction_unknown_model_raises(spark):
     with pytest.raises(ValueError):
         link_prediction_eval(_fixture(spark), model="complex")
+
+
+def test_complex_matches_bruteforce_and_is_asymmetric(spark):
+    from ai_knowledge_graph_spark.graph.kgops import complex_score
+
+    out = {
+        (r["subject"], r["predicate"], r["object"]): r["complex_score"]
+        for r in complex_score(_fixture(spark), dim=8).collect()
+    }
+    assert len(out) == len(set(TRIPLES))
+    for (s, p, o), got in out.items():
+        hr, hi = _vec(s, "ent"), _vec(s, "enti")
+        rr, ri = _vec(p, "rel"), _vec(p, "reli")
+        tr, ti = _vec(o, "ent"), _vec(o, "enti")
+        want = sum(
+            rr[k] * (hr[k] * tr[k] + hi[k] * ti[k])
+            + ri[k] * (hi[k] * tr[k] - hr[k] * ti[k])
+            for k in range(8)
+        )
+        assert got == want
+    # asymmetry: the imaginary relation part makes (s,p,o) != (o,p,s);
+    # the fixture carries BOTH directions of "knew", so compare them
+    # directly (DistMult scores these two rows identically — pinned by
+    # test_distmult_matches_bruteforce_and_is_symmetric)
+    assert out[("ada lovelace", "knew", "charles babbage")] != out[
+        ("charles babbage", "knew", "ada lovelace")
+    ]
