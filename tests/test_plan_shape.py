@@ -362,3 +362,18 @@ def test_link_prediction_candidate_grid_is_broadcast_nested_loop(spark):
     plan = _plan(link_prediction_eval(triples, dim=4, test_mod=1))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_complex_score_joins_are_broadcast(spark):
+    # round 5: ComplEx vector attachment = three vocab-sized broadcast
+    # hash joins, same contract as transe_score/distmult_score
+    from ai_knowledge_graph_spark.graph.kgops import complex_score
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("a", "q", "c")],
+        ["subject", "predicate", "object"],
+    )
+    plan = _plan(complex_score(triples, dim=4))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
