@@ -928,9 +928,8 @@ def q_e2e_crawl_kg(spark, sf_dir):
     # invariant certified by html_extract; if the extractor diverges, the
     # triples here mismatch too). Url-slot < 25 bounds the corpus to ~50
     # winner docs so the unrolled inference CTEs stay oracle-affordable.
-    from ai_knowledge_graph_spark.operators.chunking import chunk_pages
     from ai_knowledge_graph_spark.operators.extraction import (
-        extract_from_chunks,
+        pages_to_raw_triples,
     )
     from ai_knowledge_graph_spark.operators.inference import (
         infer_relationships,
@@ -960,7 +959,10 @@ def q_e2e_crawl_kg(spark, sf_dir):
         F.format_string("doc%012d", F.col("doc_id")).alias("url"),
         F.col("extracted_text").alias("text"),
     )
-    raw = extract_from_chunks(chunk_pages(docs, CHUNK_SIZE, OVERLAP))
+    # Fused chunk+extract (one mapInPandas pass, one Arrow round-trip —
+    # chunk text never crosses the JVM/Python boundary twice); identical
+    # rows to extract_from_chunks(chunk_pages(...)), pytest-pinned.
+    raw = pages_to_raw_triples(docs, CHUNK_SIZE, OVERLAP, lang_filter=None)
     std = standardize_triples(raw, tie_order="lexicographic")
     fin = infer_relationships(std, pair_order="lexicographic")
     return fin.select("subject", "predicate", "object", "inferred")

@@ -72,19 +72,31 @@ def pagerank(
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """(entity, pagerank): fixed-iteration PageRank over the directed edge
     multiset (parallel edges count as extra weight, matching a KG where two
     predicates between the same pair mean a stronger link).
 
-    Per iteration: one equi-join rank×edges on src, one hash agg on dst,
-    one scalar dangling-mass aggregate (a single driver double per round —
-    the standard PageRank shape; GraphX pays the same reduce), and a
-    left join back onto the node set so sinks keep receiving teleport mass.
-    Each round is localCheckpoint'd to cut the lineage — plan depth stays
-    O(1) per iteration, and the rank table is (node, double), the minimal
-    shuffle payload. Dangling mass is redistributed uniformly (standard
-    formulation), so ranks sum to 1 every round.
+    Per iteration: one equi-join rank×edges on src (the out-degree is folded
+    onto the edge table ONCE before the loop — it is constant, so joining it
+    every round was a wasted exchange), one hash agg on dst, and a left join
+    back onto the node set so sinks keep receiving teleport mass. The
+    dangling mass rides IN-PLAN as a broadcast scalar (ranks carry a constant
+    ``dang`` flag, so the mass is a filter+agg over the checkpointed rank
+    table — no per-round ``.first()`` driver job; one Spark job per
+    iteration instead of two). Each round is localCheckpoint'd to cut the
+    lineage — plan depth stays O(1) per iteration, and the rank table is
+    (node, double, bool), the minimal shuffle payload. Dangling mass is
+    redistributed uniformly (standard formulation), so ranks sum to 1 every
+    round.
+
+    ``broadcast_max_rows``: when the node count is below this, the rank table
+    is broadcast into the edge join (checkpointed tables carry no size stats,
+    so Spark would otherwise plan a full shuffle of the edge table EVERY
+    round). Above it, the shuffled join plan is kept — at web scale a rank
+    table does not fit an executor. Scale-adaptive per guide §2/§3: derived
+    from the measured node count, not a constant tuned to one corpus size.
 
     Not in the reference (its centrality surface is visualization.py:165-205);
     included because link-graph PageRank is the canonical web-corpus quality
@@ -103,29 +115,46 @@ def pagerank(
         return nodes.select(
             F.col("node").alias("entity"), F.lit(0.0).alias("pagerank")
         )
+    small = n <= broadcast_max_rows
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
-    outdeg = outdeg.localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    # Constant across iterations: edges annotated with src out-degree, and
+    # nodes annotated with the dangling flag. Materialized once.
+    ew = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    marked = nodes.join(
+        outdeg, nodes.node == outdeg.e_src, "left"
+    ).select("node", F.col("outdeg").isNull().alias("dang")).localCheckpoint(
+        eager=True
+    )
+    ranks = marked.select("node", F.lit(1.0 / n).alias("pr"), "dang")
     for _ in range(iterations):
+        rb = F.broadcast(ranks) if small else ranks
         contrib = (
-            e.join(ranks, e.e_src == ranks.node)
-            .join(outdeg, "e_src")
+            ew.join(rb, ew.e_src == rb.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
-            .agg(F.sum("pr"))
-            .first()[0]
-            or 0.0
+        if small:
+            contrib = F.broadcast(contrib)
+        # Scalar dangling mass as a 1-row broadcast: same aggregate as the
+        # old per-round driver collect, evaluated inside the iteration job.
+        dmass = F.broadcast(
+            ranks.filter(F.col("dang")).agg(F.sum("pr").alias("_dm"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("pr"),
+        ranks = (
+            marked.join(contrib, "node", "left")
+            .crossJoin(dmass)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_mass", F.lit(0.0))
+                        + F.coalesce(F.col("_dm"), F.lit(0.0)) / F.lit(float(n))
+                    )
+                ).alias("pr"),
+                "dang",
+            )
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
@@ -382,33 +411,43 @@ def hits(
             F.lit(0.0).alias("hub"),
             F.lit(0.0).alias("authority"),
         )
+    small = n <= 2_000_000
     hub = nodes.select("node", F.lit(1.0 / n).alias("s"))
     auth = hub
+
+    def _norm_div(scored):
+        # L1 norm as a 1-row broadcast scalar folded into the half-step's
+        # checkpoint job (was a per-half-step .first() driver job); the
+        # `or 1.0` zero/None guard is mirrored in-plan.
+        norm = F.broadcast(scored.agg(F.sum("s").alias("_nm")))
+        guarded = F.when(
+            F.col("_nm").isNull() | (F.col("_nm") == 0.0), F.lit(1.0)
+        ).otherwise(F.col("_nm"))
+        return scored.crossJoin(norm).select(
+            "node", (F.col("s") / guarded).alias("s")
+        )
+
     for _ in range(iterations):
+        hb = F.broadcast(hub) if small else hub
         in_sum = (
-            e.join(hub, e.e_src == hub.node)
+            e.join(hb, e.e_src == hb.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum("s").alias("_m"))
         )
-        auth = nodes.join(in_sum, "node", "left").select(
-            "node", F.coalesce("_m", F.lit(0.0)).alias("s")
-        )
-        a_norm = auth.agg(F.sum("s")).first()[0] or 1.0
-        auth = auth.select(
-            "node", (F.col("s") / F.lit(float(a_norm))).alias("s")
-        ).localCheckpoint(eager=True)
+        auth = nodes.join(
+            F.broadcast(in_sum) if small else in_sum, "node", "left"
+        ).select("node", F.coalesce("_m", F.lit(0.0)).alias("s"))
+        auth = _norm_div(auth).localCheckpoint(eager=True)
+        ab = F.broadcast(auth) if small else auth
         out_sum = (
-            e.join(auth, e.e_dst == auth.node)
+            e.join(ab, e.e_dst == ab.node)
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum("s").alias("_m"))
         )
-        hub = nodes.join(out_sum, "node", "left").select(
-            "node", F.coalesce("_m", F.lit(0.0)).alias("s")
-        )
-        h_norm = hub.agg(F.sum("s")).first()[0] or 1.0
-        hub = hub.select(
-            "node", (F.col("s") / F.lit(float(h_norm))).alias("s")
-        ).localCheckpoint(eager=True)
+        hub = nodes.join(
+            F.broadcast(out_sum) if small else out_sum, "node", "left"
+        ).select("node", F.coalesce("_m", F.lit(0.0)).alias("s"))
+        hub = _norm_div(hub).localCheckpoint(eager=True)
     return (
         hub.withColumnRenamed("s", "hub")
         .join(auth.withColumnRenamed("s", "authority"), "node")
@@ -450,9 +489,15 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         keep = deg.filter(F.col("core_degree") >= k)
-        if keep.count() == deg.count():
+        n_keep = keep.count()
+        if n_keep == deg.count():
             return keep
-        kn = keep.select(F.col("entity")).localCheckpoint(eager=True)
+        # Surviving-node set is ≤ the node count: broadcast it into both
+        # semi-joins when it fits (the peel then never shuffles the edge
+        # table, only rewrites it in place per round).
+        kn = keep.select(F.col("entity"))
+        if n_keep <= 2_000_000:
+            kn = F.broadcast(kn)
         und = (
             und.join(kn.withColumnRenamed("entity", "a"), "a", "left_semi")
             .join(kn.withColumnRenamed("entity", "b"), "b", "left_semi")
@@ -505,36 +550,51 @@ def personalized_pagerank(
     n_seed = marked.filter(F.col("_s").isNotNull()).count()
     if n_seed == 0:
         raise ValueError("personalized_pagerank: no seed occurs in the graph")
-    nodes_t = marked.select(
-        "node",
-        (F.coalesce("_s", F.lit(0.0)) / F.lit(float(n_seed))).alias("t"),
-    ).localCheckpoint(eager=True)
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
-    outdeg = outdeg.localCheckpoint(eager=True)
-    ranks = nodes_t.select("node", F.col("t").alias("pr"))
+    # Constants across iterations, materialized once: edges with src
+    # out-degree folded on, node table with teleport weight + dangling flag.
+    ew = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    nodes_t = (
+        marked.join(outdeg, marked.node == outdeg.e_src, "left")
+        .select(
+            "node",
+            (F.coalesce("_s", F.lit(0.0)) / F.lit(float(n_seed))).alias("t"),
+            F.col("outdeg").isNull().alias("dang"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    small = nodes_t.count() <= 2_000_000
+    ranks = nodes_t.select("node", F.col("t").alias("pr"), "t", "dang")
     for _ in range(iterations):
+        rb = F.broadcast(ranks) if small else ranks
         contrib = (
-            e.join(ranks, e.e_src == ranks.node)
-            .join(outdeg, "e_src")
+            ew.join(rb, ew.e_src == rb.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
-            .agg(F.sum("pr"))
-            .first()[0]
-            or 0.0
+        if small:
+            contrib = F.broadcast(contrib)
+        # Dangling mass in-plan (ranks carry the constant flag): one Spark
+        # job per iteration instead of a checkpoint + a driver .first().
+        dmass = F.broadcast(
+            ranks.filter(F.col("dang")).agg(F.sum("pr").alias("_dm"))
         )
-        ranks = nodes_t.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping) * F.col("t")
-                + F.lit(damping)
-                * (
-                    F.coalesce("in_mass", F.lit(0.0))
-                    + F.lit(dangling) * F.col("t")
-                )
-            ).alias("pr"),
+        ranks = (
+            nodes_t.join(contrib, "node", "left")
+            .crossJoin(dmass)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_mass", F.lit(0.0))
+                        + F.coalesce(F.col("_dm"), F.lit(0.0)) * F.col("t")
+                    )
+                ).alias("pr"),
+                "t",
+                "dang",
+            )
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("entity"), F.col("pr").alias("pagerank"))
@@ -580,36 +640,52 @@ def seed_pagerank(
     if s == 0:
         return nodes.select(F.col("node").alias("entity"), F.lit(0.0).alias("ppr"))
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
-    outdeg = outdeg.localCheckpoint(eager=True)
-    ranks = nodes.join(sd, "node", "left").select(
+    # Constants across iterations, materialized once: edges with src
+    # out-degree folded on, node table with seed + dangling flags.
+    ew = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    marked = (
+        nodes.join(sd, "node", "left")
+        .join(outdeg, nodes.node == outdeg.e_src, "left")
+        .select("node", "is_seed", F.col("outdeg").isNull().alias("dang"))
+        .localCheckpoint(eager=True)
+    )
+    small = marked.count() <= 2_000_000
+    ranks = marked.select(
         "node",
         F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("pr"),
+        "is_seed",
+        "dang",
     )
     for _ in range(iterations):
+        rb = F.broadcast(ranks) if small else ranks
         contrib = (
-            e.join(ranks, e.e_src == ranks.node)
-            .join(outdeg, "e_src")
+            ew.join(rb, ew.e_src == rb.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.e_src, "left_anti")
-            .agg(F.sum("pr"))
-            .first()[0]
-            or 0.0
+        if small:
+            contrib = F.broadcast(contrib)
+        dmass = F.broadcast(
+            ranks.filter(F.col("dang")).agg(F.sum("pr").alias("_dm"))
         )
-        # teleport share per seed, computed once in this exact op order so
-        # the SQL oracle can mirror it term for term
-        t = ((1.0 - damping) + damping * dangling) / s
+        # teleport share per seed, same exact op order as the SQL oracle's
+        # term-for-term mirror — now evaluated in-plan from the broadcast
+        # dangling scalar (one Spark job per iteration instead of two)
+        t = (
+            F.lit(1.0 - damping)
+            + F.lit(damping) * F.coalesce(F.col("_dm"), F.lit(0.0))
+        ) / F.lit(float(s))
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .join(sd, "node", "left")
+            marked.join(contrib, "node", "left")
+            .crossJoin(dmass)
             .select(
                 "node",
                 (
                     F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                    + F.when(F.col("is_seed"), F.lit(t)).otherwise(F.lit(0.0))
+                    + F.when(F.col("is_seed"), t).otherwise(F.lit(0.0))
                 ).alias("pr"),
+                "is_seed",
+                "dang",
             )
         )
         ranks = ranks.localCheckpoint(eager=True)
@@ -648,14 +724,18 @@ def katz_centrality(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    small = nodes.count() <= 2_000_000
     ranks = nodes.select("node", F.lit(0).cast("long").alias("x"))
     for _ in range(iterations):
+        rb = F.broadcast(ranks) if small else ranks
         mass = (
-            e.join(ranks, e.e_src == ranks.node)
+            e.join(rb, e.e_src == rb.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum("x").alias("m"))
         )
-        ranks = nodes.join(mass, "node", "left").select(
+        ranks = nodes.join(
+            F.broadcast(mass) if small else mass, "node", "left"
+        ).select(
             "node",
             F.expr(
                 f"1000000 + coalesce(m, 0L) DIV {alpha_inv}"

@@ -60,13 +60,20 @@ def random_walks(
         .select("start", F.lit(0).alias("step"), F.col("start").alias("node"))
         .localCheckpoint(eager=True)
     )
+    # Frontier never exceeds the start-node count; when that fits an executor
+    # broadcast it into the step join so the (much larger, constant) edge
+    # table is never shuffled — checkpointed tables carry no size stats, so
+    # without the hint Spark re-shuffles e EVERY step. Above the threshold
+    # the shuffled join plan is kept (web-scale node tables don't broadcast).
+    small = frontier.count() <= 2_000_000
     out = frontier
     for t in range(1, steps + 1):
         key = F.md5(
             F.concat_ws(_SEP, F.col("node"), F.lit(str(t)), F.col("e_dst"))
         )
+        fb = F.broadcast(frontier) if small else frontier
         frontier = (
-            frontier.join(e, frontier.node == e.e_src)
+            fb.join(e, fb.node == e.e_src)
             .groupBy("start")
             .agg(F.min_by("e_dst", key).alias("node"))
             .select("start", F.lit(t).alias("step"), "node")
@@ -103,9 +110,15 @@ def lpa_communities(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Label table = one row per node; broadcast it into the round join when
+    # it fits so the (constant, larger) undirected edge table is never
+    # re-shuffled — without the hint the checkpointed label table has no
+    # size stats and Spark shuffles BOTH sides every round.
+    small = labels.count() <= 2_000_000
     for _ in range(rounds):
+        lb = F.broadcast(labels) if small else labels
         labels = (
-            und.join(labels, und.b == labels.node)
+            und.join(lb, und.b == lb.node)
             .groupBy(F.col("a").alias("n"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy(F.col("n").alias("node"))

@@ -86,6 +86,7 @@ def _salted_left_lookup(
     num_salts: int,
     hot_threshold: int,
     hot: DataFrame | None = None,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """``df LEFT JOIN labels ON df[key] == labels[lkey]`` with hot keys
     salted. ``labels`` must be unique per ``lkey``; ``salt_src`` must be a
@@ -94,14 +95,18 @@ def _salted_left_lookup(
     are selected from the joined result (may reference ``lval``, which is
     null for unmatched rows). ``hot`` short-circuits detection with a
     precomputed ``(_hk)`` key set (callers that probe the same skewed key
-    space twice detect once)."""
+    space twice detect once). ``broadcast_labels`` pins a broadcast hash
+    join in the fast path (callers set it from a measured node count:
+    checkpointed label tables carry no size stats, so without the hint the
+    probe side would be shuffled on every lookup)."""
     if hot is None:
         hot = _hot_keys(df, key, hot_threshold)
     if hot.isEmpty():
         # Fast path (the overwhelmingly common case): nothing is hot, so the
         # plain equi-join plan — no probe-side split, no replicated labels.
         # hot is localCheckpoint'd, so the isEmpty probe is free.
-        return df.join(labels, df[key] == labels[lkey], "left").select(*out_cols)
+        lb = F.broadcast(labels) if broadcast_labels else labels
+        return df.join(lb, df[key] == lb[lkey], "left").select(*out_cols)
     hot = F.broadcast(hot)
 
     flagged = df.join(hot, df[key] == hot["_hk"], "left")
@@ -149,7 +154,12 @@ def _contract_components(
     # with ≤ hot_threshold nodes cannot have a hot key — skip detection
     # entirely (hands every lookup a statically-empty hot set, taking the
     # plain-join fast path with zero per-iteration overhead).
-    use_salt = nodes.count() > hot_threshold
+    n_nodes = nodes.count()
+    use_salt = n_nodes > hot_threshold
+    # Label table ≤ node count: when it fits an executor, broadcast it into
+    # the three per-round lookups — otherwise the checkpointed (stats-less)
+    # label table forces a shuffle of assign AND both edge probes each round.
+    bcast = n_nodes <= 2_000_000
     empty_hot = nodes.select(F.col("node").alias("_hk")).limit(0)
 
     for _ in range(max_iterations):
@@ -177,7 +187,8 @@ def _contract_components(
             num_salts=num_salts,
             hot_threshold=hot_threshold,
             hot=None if use_salt else empty_hot,
-        ).localCheckpoint(eager=True)
+            broadcast_labels=bcast,
+        )
         # Contract the edge set through the label map. Every endpoint has a
         # label row (e is symmetric), so the left lookup never misses; the
         # opposite endpoint is distinct within a hot group (e holds distinct
@@ -203,6 +214,7 @@ def _contract_components(
             num_salts=num_salts,
             hot_threshold=hot_threshold,
             hot=hot_e,
+            broadcast_labels=bcast,
         )
         lb = label.select(F.col("lnode").alias("_lb_n"), F.col("label").alias("blab"))
         e = _salted_left_lookup(
@@ -216,11 +228,35 @@ def _contract_components(
             num_salts=num_salts,
             hot_threshold=hot_threshold,
             hot=hot_e,
+            broadcast_labels=bcast,
         ).filter(F.col("a") != F.col("b"))
-        e = (
-            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
+        e = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        # Materialize the round's two outputs (assignment + contracted edges)
+        # in ONE checkpoint job via a tag union — node/comp and a/b share an
+        # id type, so both halves ride one cached table and the per-round
+        # job count halves. Consumers split it back with a tag filter.
+        merged = (
+            assign.select(
+                F.lit(0).alias("_t"),
+                F.col("node").alias("_x"),
+                F.col("comp").alias("_y"),
+            )
+            .unionByName(
+                e.select(
+                    F.lit(1).alias("_t"),
+                    F.col("a").alias("_x"),
+                    F.col("b").alias("_y"),
+                )
+            )
             .localCheckpoint(eager=True)
+        )
+        assign = merged.filter(F.col("_t") == 0).select(
+            F.col("_x").alias("node"), F.col("_y").alias("comp")
+        )
+        e = merged.filter(F.col("_t") == 1).select(
+            F.col("_x").alias("a"), F.col("_y").alias("b")
         )
     else:
         raise RuntimeError(

@@ -56,14 +56,24 @@ def last_predicate_edges(triples: DataFrame) -> DataFrame:
     )
 
 
-def transitive_inference(triples: DataFrame) -> DataFrame:
+def transitive_inference(
+    triples: DataFrame, broadcast_max_rows: int = 5_000_000
+) -> DataFrame:
     """A->B->C => A->C one-step composition (G2/J2/J3).
 
     Predicate: ``indirectly p1`` if p1 == p2 else ``p1 via B``, truncated at
     emission (entity_standardization.py:338-349). One new row per distinct
     (A, B, C) path whose (A, C) pair has no existing edge.
+
+    When the distinct edge set fits an executor (measured count ≤
+    ``broadcast_max_rows``) it is BROADCAST into both the path self-join and
+    the existing-edge anti-join: the path table (|paths| ≫ |edges| on any
+    graph with hubs) is then never shuffled — the only remaining exchange is
+    the final distinct over the (much smaller) emitted-triple set. Above the
+    threshold the shuffled plan is kept; AQE splits skewed mid keys.
     """
     edges = last_predicate_edges(triples).localCheckpoint(eager=True)
+    small = edges.count() <= broadcast_max_rows
     e1 = edges.select(
         F.col("subject").alias("subj"),
         F.col("object").alias("mid"),
@@ -74,10 +84,14 @@ def transitive_inference(triples: DataFrame) -> DataFrame:
         F.col("object").alias("obj"),
         F.col("predicate").alias("p2"),
     )
+    if small:
+        e2 = F.broadcast(e2)
     paths = e1.join(e2, "mid").filter(F.col("subj") != F.col("obj"))
     existing = edges.select(
         F.col("subject").alias("subj"), F.col("object").alias("obj")
     )
+    if small:
+        existing = F.broadcast(existing)
     fresh = paths.join(existing, ["subj", "obj"], "left_anti")
     new_pred = F.when(
         F.col("p1") == F.col("p2"), F.concat(F.lit("indirectly "), F.col("p1"))
@@ -173,7 +187,10 @@ def entity_set_rank(triples: DataFrame) -> DataFrame:
 
 
 def lexical_inference(
-    triples: DataFrame, max_block_size: int = 0, pair_order: str = "reference"
+    triples: DataFrame,
+    max_block_size: int = 0,
+    pair_order: str = "reference",
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Lexical-similarity inference (entity_standardization.py:661-752).
 
@@ -204,8 +221,20 @@ def lexical_inference(
     Zipf-exposed key space where one key shared by n entities emits O(n^2)
     candidate pairs); 0 keeps exact reference semantics. Measured
     guard-on/off at bench scale by BENCH/skew_probe.py.
+
+    Broadcast shape: the feature/word/gram tables are all VOCABULARY-sized;
+    when the measured vocabulary fits an executor (``broadcast_max_rows``)
+    one side of each blocking join and the feature lookups are broadcast, so
+    the candidate-PAIR table (the big intermediate) is never shuffled — its
+    only exchanges are the distincts that define the pair set. Checkpointed
+    tables carry no size stats, so without the hints Spark would shuffle the
+    pair table five times (2 feature joins, 2 anti-joins, 1 blocking side).
     """
     feats = _entity_features(triples).localCheckpoint(eager=True)
+    small = feats.count() <= broadcast_max_rows
+
+    def _bc(df):
+        return F.broadcast(df) if small else df
 
     words = feats.select("entity", F.explode("words").alias("w"))
     if max_block_size > 0:
@@ -219,7 +248,7 @@ def lexical_inference(
     w1 = words.select(F.col("entity").alias("x"), "w")
     w2 = words.select(F.col("entity").alias("y"), "w")
     cand_shared = (
-        w1.join(w2, "w").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+        w1.join(_bc(w2), "w").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
     )
 
     # Containment blocking: prefix-4 of the contained side appears among the
@@ -247,7 +276,7 @@ def lexical_inference(
         )
         grams = grams.join(F.broadcast(hot_g), "g", "left_anti")
     cand_contain = (
-        short4.join(grams, "g")
+        _bc(short4).join(grams, "g")
         .filter(F.col("se") != F.col("le"))
         .select(
             F.least("se", "le").alias("x"), F.greatest("se", "le").alias("y")
@@ -274,7 +303,7 @@ def lexical_inference(
     fy = feats.select(
         F.col("entity").alias("y"), F.col("elow").alias("ylow"), F.col("words").alias("ywords")
     )
-    scored = pairs.join(fx, "x").join(fy, "y")
+    scored = pairs.join(_bc(fx), "x").join(_bc(fy), "y")
 
     if pair_order == "reference":
         ranks = entity_set_rank(triples).localCheckpoint(eager=True)
@@ -284,8 +313,12 @@ def lexical_inference(
     else:
         x_first = F.col("x") < F.col("y")  # pairs are built with x < y
 
-    # Skip pairs already connected in either direction (:686).
+    # Skip pairs already connected in either direction (:686). The distinct
+    # edge set gets its own broadcast decision (it can exceed the vocabulary);
+    # broadcast turns both anti-joins into map-side probes of the pair table.
     existing = triples.select("subject", "object").distinct().localCheckpoint(eager=True)
+    if existing.count() <= broadcast_max_rows:
+        existing = F.broadcast(existing)
     scored = scored.join(
         existing,
         (scored.x == existing.subject) & (scored.y == existing.object),

@@ -195,7 +195,9 @@ def distributed_rank(df: DataFrame, order_cols: list, out: str = "rank") -> Data
     )
 
 
-def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> DataFrame:
+def _forms_with_features(
+    mapping: DataFrame, tie_order: str = "reference", rank_kind: str = "long"
+) -> DataFrame:
     """Distinct standard forms + word/stem features + a total-order rank.
 
     Rank replays the reference's scan order ``sorted(standard_forms, key=len)``
@@ -203,6 +205,15 @@ def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> Da
     keep their set-iteration order. ``tie_order='reference'`` reproduces that
     order exactly via standard_form_set_rank(); ``'lexicographic'`` totalizes
     ties by form text instead (the SQL-expressible web-scale mode).
+
+    ``rank_kind='struct'`` (lexicographic mode only): instead of a global
+    row_number, carry the sort key itself — ``struct(clen, form)`` — as the
+    rank. Struct comparison is lexicographic field-by-field, so every
+    consumer comparison (least/greatest/<=/window order) is order-isomorphic
+    to the integer rank, while the rank assignment costs ZERO extra work
+    (distributed_rank pays a range repartition + checkpoint + offset join +
+    driver collect). Callers that need a real integer rank (the pandas LSH
+    scorer schema) keep ``'long'``.
     """
     forms = mapping.select(F.col("standard").alias("form")).distinct()
     forms = forms.select(
@@ -229,6 +240,10 @@ def _forms_with_features(mapping: DataFrame, tie_order: str = "reference") -> Da
         forms = forms.join(F.broadcast(ranks), forms.form == ranks.form).drop(ranks.form)
         w = Window.orderBy(F.col("clen").asc(), F.col("set_rank").asc())
         ranked = forms.withColumn("rank", F.row_number().over(w))
+    elif rank_kind == "struct":
+        # Web-scale mode, struct rank: the (clen, form) sort key IS the
+        # total order — no rank stage at all.
+        ranked = forms.withColumn("rank", F.struct(F.col("clen"), F.col("form")))
     else:
         # Web-scale mode: distributed rank (range partition + local
         # row_number + offsets) — no stage funnels the form vocabulary
@@ -372,7 +387,15 @@ def second_pass_assignments(
     (huge) pair set. Measured at 20k forms / 160M candidates this is the
     difference between ~90s and a stuck job.
     """
-    forms = _forms_with_features(mapping, tie_order=tie_order)
+    # The pandas LSH scorer declares (r1, r2) as longs in its Arrow schema;
+    # every other path only ever COMPARES ranks, so the struct surrogate
+    # (order-isomorphic, zero-cost) is used there.
+    rank_kind = (
+        "struct"
+        if tie_order == "lexicographic" and blocking != "minhash-lsh"
+        else "long"
+    )
+    forms = _forms_with_features(mapping, tie_order=tie_order, rank_kind=rank_kind)
 
     lhs = forms.select(
         F.col("form").alias("f1"),
@@ -454,7 +477,10 @@ def second_pass_assignments(
 
 
 def build_entity_mapping(
-    triples: DataFrame, tie_order: str = "reference", blocking: str = "lossless"
+    triples: DataFrame,
+    tie_order: str = "reference",
+    blocking: str = "lossless",
+    broadcast_second: bool = True,
 ) -> DataFrame:
     """Full (variant -> standard) mapping: first pass overridden by second.
 
@@ -462,6 +488,12 @@ def build_entity_mapping(
     pass only overrides the mapping *key equal to the old standard form* —
     variants that pointed at the old form keep pointing at it; only exact
     occurrences of the old form itself get the new target.
+
+    ``broadcast_second``: the second-pass assignment set is a subset of the
+    form vocabulary; both sides of the final join are checkpoint-derived
+    (no size stats), so without the hint Spark shuffles the full first-pass
+    mapping. Pass False at vocabulary sizes that no longer fit an executor
+    (same regime as ``apply_standardization(broadcast_mapping=False)``).
     """
     counts = entity_counts(triples)
     # first feeds second_pass (via _forms_with_features) AND the final join:
@@ -470,6 +502,8 @@ def build_entity_mapping(
     # docs). The checkpoint itself is vocabulary-sized.
     first = first_pass_mapping(counts).localCheckpoint(eager=True)
     second = second_pass_assignments(first, tie_order=tie_order, blocking=blocking)
+    if broadcast_second:
+        second = F.broadcast(second)
     return (
         first.join(second, first.variant == second.key, "left")
         .select(
@@ -537,7 +571,10 @@ def standardize_triples(
     # (vocabulary-sized) feeds two joins and IS eagerly cut.
     valid = valid_triples(triples)
     mapping = build_entity_mapping(
-        valid, tie_order=tie_order, blocking=blocking
+        valid,
+        tie_order=tie_order,
+        blocking=blocking,
+        broadcast_second=broadcast_mapping,
     ).localCheckpoint(eager=True)
     return apply_standardization(valid, mapping, broadcast_mapping=broadcast_mapping)
 
