@@ -726,7 +726,7 @@ def katz_centrality(
     )
     small = nodes.count() <= 2_000_000
     ranks = nodes.select("node", F.lit(0).cast("long").alias("x"))
-    for _ in range(iterations):
+    for r in range(iterations):
         rb = F.broadcast(ranks) if small else ranks
         mass = (
             e.join(rb, e.e_src == rb.node)
@@ -741,7 +741,9 @@ def katz_centrality(
                 f"1000000 + coalesce(m, 0L) DIV {alpha_inv}"
             ).cast("long").alias("x"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # single consumer per round: chain lazily, checkpoint periodically
+        if (r + 1) % 3 == 0 and (r + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("entity"), F.col("x").alias("katz_micro")
     )

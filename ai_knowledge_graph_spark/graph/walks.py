@@ -115,7 +115,7 @@ def lpa_communities(
     # re-shuffled — without the hint the checkpointed label table has no
     # size stats and Spark shuffles BOTH sides every round.
     small = labels.count() <= 2_000_000
-    for _ in range(rounds):
+    for r in range(rounds):
         lb = F.broadcast(labels) if small else labels
         labels = (
             und.join(lb, und.b == lb.node)
@@ -127,8 +127,12 @@ def lpa_communities(
                     "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
                 ).alias("label")
             )
-            .localCheckpoint(eager=True)
         )
+        # Each round's labels feed exactly ONE consumer (the next round), so
+        # rounds chain lazily into one Spark job; a periodic checkpoint
+        # bounds plan depth for large `rounds` without a barrier per round.
+        if (r + 1) % 3 == 0 and (r + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

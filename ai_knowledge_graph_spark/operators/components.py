@@ -336,14 +336,16 @@ def components_from_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # e is symmetric, so distinct(a) IS the node set — derived from the
+    # checkpoint instead of re-evaluating the (often expensive) upstream
+    # pair plan a second time.
     nodes = (
-        p.select(F.col("a").alias("node"))
-        .unionByName(p.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
     )
     assign = _contract_components(e, nodes, max_iterations, num_salts, hot_threshold)
     gmin = assign.groupBy("comp").agg(F.min("node").alias("group_id"))
+    if nodes.count() <= 2_000_000:
+        gmin = F.broadcast(gmin)
     return assign.join(gmin, "comp").select("node", "group_id")
 
 

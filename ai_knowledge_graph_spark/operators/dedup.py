@@ -360,7 +360,12 @@ def near_dup_groups(
 
     comp = components_from_pairs(
         pairs, a_col, b_col, num_salts=num_salts, hot_threshold=hot_threshold
-    )
+    ).localCheckpoint(eager=True)
+    # comp is node-sized (only ids that appear in a pair); when it fits an
+    # executor, broadcast it so the full corpus is never shuffled for the
+    # label lookup. Above the threshold the shuffled left join stands.
+    if comp.count() <= 2_000_000:
+        comp = F.broadcast(comp)
     return (
         docs.select(F.col(id_col))
         .join(comp, docs[id_col] == comp["node"], "left")
@@ -390,7 +395,14 @@ def near_dup_dedup(
     comp = components_from_pairs(
         pairs, a_col, b_col, num_salts=num_salts, hot_threshold=hot_threshold
     )
-    losers = comp.filter(F.col("node") != F.col("group_id")).select("node")
+    losers = comp.filter(F.col("node") != F.col("group_id")).select(
+        "node"
+    ).localCheckpoint(eager=True)
+    # The loser set is |duplicates| rows; when it fits an executor,
+    # broadcast the anti-join so the surviving corpus streams through with
+    # NO shuffle at all (above the threshold the id-hash anti-join stands).
+    if losers.count() <= 2_000_000:
+        losers = F.broadcast(losers)
     return docs.join(losers, docs[id_col] == losers["node"], "left_anti")
 
 

@@ -287,7 +287,14 @@ def dirichlet_lm_rank(
     ).localCheckpoint(eager=True)
     lens = base.select("doc_id", F.size("ws").cast("long").alias("len"))
     tok = base.select("doc_id", F.explode("ws").alias("w"))
-    c_total = max(tok.count(), 1)
+    # Corpus token total as a 1-row broadcast scalar (same max(count, 1)
+    # int guard) — evaluated inside the scoring job instead of a separate
+    # driver .count() round trip.
+    ctot = F.broadcast(
+        tok.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("C")
+        )
+    )
     qt = F.array(*[F.lit(t) for t in query_terms])
     qtok = tok.filter(F.array_contains(qt, F.col("w")))
     cf = qtok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
@@ -300,12 +307,13 @@ def dirichlet_lm_rank(
     scored = (
         lens.crossJoin(F.broadcast(terms))
         .join(tf, ["doc_id", "w"], "left")
+        .crossJoin(ctot)
         .select(
             "doc_id",
             F.coalesce("tf", F.lit(0)).cast("long").alias("tf"),
             "cf",
             "len",
-            F.lit(c_total).cast("long").alias("C"),
+            "C",
         )
         .select(
             "doc_id",

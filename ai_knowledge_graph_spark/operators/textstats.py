@@ -846,27 +846,40 @@ def textrank_keywords(
             F.lit(0).cast("long").alias("tr_micro"),
             F.lit(0).cast("long").alias("rank"),
         )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    deg = deg.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    # Rank table = one row per word; broadcast it into the round join when
+    # it fits (checkpointed tables have no size stats, so Spark would
+    # otherwise re-shuffle the edge table every round). Degree is constant
+    # across rounds: annotate the edge table once, map-side when broadcast.
+    small = n <= 2_000_000
+    ew = e.join(F.broadcast(deg) if small else deg, "src")
     total = 1_000_000_000_000
     teleport = (15 * total // 100) // n  # both DIVs exact int, same both sides
     ranks = nodes.select("node", F.lit(total // n).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for r in range(iterations):
+        rb = F.broadcast(ranks) if small else ranks
         mass = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+            ew.join(rb, ew.src == rb.node)
             .select(F.col("dst"), F.expr("pr DIV deg").alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("m"))
         )
-        ranks = nodes.join(mass, "node", "left").select(
+        ranks = nodes.join(
+            F.broadcast(mass) if small else mass, "node", "left"
+        ).select(
             "node",
             (
                 F.lit(teleport).cast("long")
                 + F.expr("(85 * coalesce(m, 0L)) DIV 100")
             ).alias("pr"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # ranks feed exactly ONE consumer per round (the next round), so
+        # rounds chain lazily into one job; periodic checkpoint only bounds
+        # plan depth for large iteration counts.
+        if (r + 1) % 3 == 0 and (r + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     top = (
         ranks.orderBy(F.desc("pr"), F.asc("node"))
         .limit(top_k)
@@ -912,9 +925,13 @@ def centroid_summaries(
         F.explode(F.filter("ws", notstop)).alias("w")
     )
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = max(tok.count(), 1)
-    probs = cnt.select(
-        "w", F.expr(f"(c * 1000000000) DIV {total}").alias("p_nano")
+    # Corpus token total as a 1-row broadcast scalar (same max(count, 1)
+    # guard, exact int DIV) — no separate driver .count() job.
+    ctot = F.broadcast(
+        tok.agg(F.greatest(F.count(F.lit(1)), F.lit(1)).alias("_T"))
+    )
+    probs = cnt.crossJoin(ctot).select(
+        "w", F.expr("(c * 1000000000) DIV _T").alias("p_nano")
     )
 
     # guard: Spark sequence(1, 0) DESCENDS (the winnow gotcha) — docs
@@ -934,22 +951,31 @@ def centroid_summaries(
             )
         ).alias("s"),
     ).select("doc_id", "s.seg_idx", "s.seg")
-    segs = segs.localCheckpoint(eager=True)
 
+    # The window text rides THROUGH the scoring aggregation (first(seg) —
+    # constant within a group, partial-agg collapses it map-side), so there
+    # is no segs checkpoint and no (doc, seg) re-join exchange. explode_outer
+    # keeps all-stopword windows as a null-word row, whose missed prob
+    # lookup sums to NULL -> coalesced 0, exactly the old left-join score.
     scored = (
         segs.select(
-            "doc_id", "seg_idx", F.explode(F.filter("seg", notstop)).alias("w")
+            "doc_id",
+            "seg_idx",
+            "seg",
+            F.explode_outer(F.filter("seg", notstop)).alias("w"),
         )
-        .join(F.broadcast(probs), "w")
+        .join(F.broadcast(probs), "w", "left")
         .groupBy("doc_id", "seg_idx")
-        .agg(F.expr(f"sum(p_nano) DIV {seg_len}").alias("score_nano"))
+        .agg(
+            F.first("seg").alias("seg"),
+            F.expr(f"sum(p_nano) DIV {seg_len}").alias("score_nano"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_nano"), F.asc("seg_idx")
     )
     return (
-        segs.join(scored, ["doc_id", "seg_idx"], "left")
-        .select(
+        scored.select(
             "doc_id",
             "seg_idx",
             F.array_join("seg", " ").alias("summary"),

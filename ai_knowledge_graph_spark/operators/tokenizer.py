@@ -91,23 +91,36 @@ def merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int = 50, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns ``MERGES_SCHEMA`` rows.
 
-    One corpus-wide word count, then K vocabulary-sized rounds. Each round:
-    distributed pair count -> deterministic best (count desc, pair asc —
-    ties can never flip the model) collected as ONE driver row -> merge
-    applied as a JVM string replace -> localCheckpoint (vocabulary-sized,
-    keeps the plan O(1) deep like the other iterative operators). Stops
-    early if no pair is left.
+    One corpus-wide word count (the only corpus-sized pass), then K rounds
+    over the vocabulary-sized histogram. When the measured vocabulary is at
+    most ``local_threshold`` distinct words, the histogram is collected ONCE
+    and the K rounds run on the driver (:func:`_train_bpe_local_counts` —
+    the model-scale split this module's docstring prescribes: the histogram
+    is model-sized, not data-sized, and a driver loop replaces 2·K Spark
+    jobs with zero). The result is bit-identical to the distributed loop
+    (same (count desc, pair asc) tie-break; pinned by
+    test_train_bpe_local_path_matches_distributed).
+
+    Above the threshold (a vocabulary that should not sit on the driver)
+    each round runs distributed: pair count -> deterministic best collected
+    as ONE driver row -> merge applied as a JVM string replace ->
+    localCheckpoint. Stops early if no pair is left. ``local_threshold=0``
+    forces the distributed path.
     """
     spark = docs.sparkSession
-    hist = (
-        word_histogram(docs, text_col)
-        .select(_initial_rep(F.col("word")).alias("rep"), "wcount")
-        .localCheckpoint(eager=True)
-    )
+    words = word_histogram(docs, text_col).localCheckpoint(eager=True)
+    if words.count() <= local_threshold:
+        counts = {r["word"]: r["wcount"] for r in words.collect()}
+        merges = _train_bpe_local_counts(counts, n_merges)
+        return spark.createDataFrame(merges, MERGES_SCHEMA)
+    hist = words.select(_initial_rep(F.col("word")).alias("rep"), "wcount")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -195,12 +208,21 @@ def train_bpe_local(
     the vocab, train here (K rounds over the vocab with incremental-free
     rescan is fine into the tens of thousands of merges), then encode
     distributed with :func:`bpe_encode_ranked`."""
+    return [(r, a, b) for r, a, b, _c in _train_bpe_local_counts(word_counts, n_merges)]
+
+
+def _train_bpe_local_counts(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """:func:`train_bpe_local` plus the winning pair's count per merge —
+    the exact row shape of ``MERGES_SCHEMA`` (what :func:`train_bpe`'s
+    local path returns)."""
     from collections import Counter
 
     vocab: dict[tuple[str, ...], int] = {
         tuple(w) + (EOW,): c for w, c in word_counts.items() if SEP not in w
     }
-    merges: list[tuple[int, str, str]] = []
+    merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs: Counter = Counter()
         for syms, c in vocab.items():
@@ -208,10 +230,10 @@ def train_bpe_local(
                 pairs[(a, b)] += c
         if not pairs:
             break
-        (a, b), _ = min(
+        (a, b), cnt_best = min(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
         )
-        merges.append((rank, a, b))
+        merges.append((rank, a, b, int(cnt_best)))
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, cnt in vocab.items():
             out: list[str] = []

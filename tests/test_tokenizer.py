@@ -195,3 +195,20 @@ def test_train_bpe_local_matches_distributed(spark, corpus_df):
         for r in train_bpe(corpus_df, n_merges=30).orderBy("merge_rank").collect()
     ]
     assert local == dist
+
+
+def test_train_bpe_local_path_matches_distributed(spark, corpus_df):
+    """train_bpe's collect-and-train-local fast path (vocab <= threshold)
+    returns the identical MERGES_SCHEMA rows — pair_count included — as the
+    distributed per-round loop (local_threshold=0 forces it)."""
+    fast = [
+        tuple(r)
+        for r in train_bpe(corpus_df, n_merges=30).orderBy("merge_rank").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in train_bpe(corpus_df, n_merges=30, local_threshold=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fast == dist and len(fast) > 0
