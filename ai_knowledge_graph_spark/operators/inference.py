@@ -247,8 +247,11 @@ def lexical_inference(
         words = words.join(F.broadcast(hot), "w", "left_anti")
     w1 = words.select(F.col("entity").alias("x"), "w")
     w2 = words.select(F.col("entity").alias("y"), "w")
+    # No per-blocking distinct: the union below carries duplicates into ONE
+    # distinct whose partial (map-side) aggregation collapses them before
+    # the shuffle — three exchanges fewer for the same pair set.
     cand_shared = (
-        w1.join(_bc(w2), "w").filter(F.col("x") < F.col("y")).select("x", "y").distinct()
+        w1.join(_bc(w2), "w").filter(F.col("x") < F.col("y")).select("x", "y")
     )
 
     # Containment blocking: prefix-4 of the contained side appears among the
@@ -281,7 +284,6 @@ def lexical_inference(
         .select(
             F.least("se", "le").alias("x"), F.greatest("se", "le").alias("y")
         )
-        .distinct()
     )
     # Entities shorter than 4 chars: tiny vocabulary slice — broadcast pass.
     tiny = feats.filter(F.length("elow") < 4).select(
@@ -292,7 +294,6 @@ def lexical_inference(
         .join(F.broadcast(tiny), F.col("llow").contains(F.col("slow")))
         .filter(F.col("se") != F.col("le"))
         .select(F.least("se", "le").alias("x"), F.greatest("se", "le").alias("y"))
-        .distinct()
     )
 
     pairs = cand_shared.unionByName(cand_contain).unionByName(cand_tiny).distinct()
