@@ -171,8 +171,13 @@ def _contract_components(
             e.groupBy("a")
             .agg(F.min("b").alias("m"))
             .select(F.col("a").alias("lnode"), F.least("a", "m").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if use_salt or not bcast:
+            # Salted/shuffled consumers probe the label table three times —
+            # materialize once. In broadcast mode each consumer rebuilds it
+            # as a cheap agg over the checkpointed e inside the round's one
+            # job, so the extra barrier job costs more than it saves.
+            label = label.localCheckpoint(eager=True)
         # Compose into the assignment: representatives merge through label.
         # ``comp`` is the skewed key (a giant component's rows all carry its
         # representative); ``node`` is unique per row -> perfect salt source.
