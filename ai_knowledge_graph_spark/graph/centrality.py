@@ -104,27 +104,25 @@ def pagerank(
     """
     e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
     e = e.localCheckpoint(eager=True)
-    nodes = (
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Constants across iterations, one checkpoint job each: the node table
+    # carries its dangling flag from the start (no separate marked table),
+    # edges carry the src out-degree.
+    marked = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
+        .join(outdeg, F.col("node") == outdeg.e_src, "left")
+        .select("node", F.col("outdeg").isNull().alias("dang"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = marked.count()
     if n == 0:
-        return nodes.select(
+        return marked.select(
             F.col("node").alias("entity"), F.lit(0.0).alias("pagerank")
         )
     small = n <= broadcast_max_rows
-    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Constant across iterations: edges annotated with src out-degree, and
-    # nodes annotated with the dangling flag. Materialized once.
     ew = e.join(outdeg, "e_src").localCheckpoint(eager=True)
-    marked = nodes.join(
-        outdeg, nodes.node == outdeg.e_src, "left"
-    ).select("node", F.col("outdeg").isNull().alias("dang")).localCheckpoint(
-        eager=True
-    )
     ranks = marked.select("node", F.lit(1.0 / n).alias("pr"), "dang")
     for _ in range(iterations):
         rb = F.broadcast(ranks) if small else ranks
