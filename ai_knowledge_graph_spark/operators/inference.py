@@ -57,13 +57,23 @@ def last_predicate_edges(triples: DataFrame) -> DataFrame:
 
 
 def transitive_inference(
-    triples: DataFrame, broadcast_max_rows: int = 5_000_000
+    triples: DataFrame,
+    broadcast_max_rows: int = 5_000_000,
+    distinct_rows: bool = True,
 ) -> DataFrame:
     """A->B->C => A->C one-step composition (G2/J2/J3).
 
     Predicate: ``indirectly p1`` if p1 == p2 else ``p1 via B``, truncated at
     emission (entity_standardization.py:338-349). One new row per distinct
     (A, B, C) path whose (A, C) pair has no existing edge.
+
+    ``distinct_rows=False`` skips the final distinct: rows mapping to the
+    same output (different mid, same truncated predicate) stay duplicated —
+    content-identical, so a downstream one-row-per-(s,p,o) dedup (the
+    infer_relationships pipeline) produces the same survivors while this
+    operator saves a full output-sized exchange (measured: only 4% of path
+    rows collapse at bench scale, so the distinct cost far exceeds the
+    extra rows it removes from the downstream window).
 
     When the distinct edge set fits an executor (measured count ≤
     ``broadcast_max_rows``) it is BROADCAST into both the path self-join and
@@ -96,7 +106,7 @@ def transitive_inference(
     new_pred = F.when(
         F.col("p1") == F.col("p2"), F.concat(F.lit("indirectly "), F.col("p1"))
     ).otherwise(F.concat(F.col("p1"), F.lit(" via "), F.col("mid")))
-    return fresh.select(
+    out = fresh.select(
         F.col("subj").alias("subject"),
         limit_predicate_col(new_pred).alias("predicate"),
         F.col("obj").alias("object"),
@@ -105,7 +115,8 @@ def transitive_inference(
         F.lit(None).cast("int").alias("t_idx"),
         F.lit(True).alias("inferred"),
         F.lit("transitive").alias("stage"),
-    ).distinct()
+    )
+    return out.distinct() if distinct_rows else out
 
 
 def _entity_features(triples: DataFrame) -> DataFrame:
@@ -502,7 +513,10 @@ def infer_relationships(
 
     builders = []
     if apply_transitive:
-        builders.append(lambda: transitive_inference(valid))
+        # distinct_rows=False: duplicated path rows are content-identical,
+        # and deduplicate_triples below keeps one row per (s, p, o) anyway —
+        # the operator-level distinct would be a redundant full exchange.
+        builders.append(lambda: transitive_inference(valid, distinct_rows=False))
     if apply_lexical:
         builders.append(
             lambda: lexical_inference(
