@@ -569,6 +569,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, codes): product-quantization codes — m small ints per vector.
 
@@ -587,6 +588,8 @@ def pq_encode(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    if use_arrow:
+        return _pq_encode_arrow(embeddings, codebooks, id_col, vec_col)
     v = _as_double(F.col(vec_col))
     codes = []
     for j, cb in enumerate(codebooks):
@@ -602,6 +605,72 @@ def pq_encode(
         codes.append(best["b"])
     return spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.array(*codes).alias("codes")
+    )
+
+
+def _pq_encode_arrow(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """pq_encode's guide-§4.2 twin: the per-row m×ksub exact-micro distance
+    argmin runs as vectorized numpy over Arrow batches instead of
+    interpreted higher-order JVM expressions — BIT-IDENTICAL codes,
+    pytest-pinned against the expression path (test_pq.py):
+
+    * every elementwise op (cast to double, product, ×2, the
+      aa − 2ab + bb combination) is one IEEE double op in both engines;
+    * the three dot products are SEQUENTIAL left folds in the expression
+      path, reproduced with ``np.add.accumulate`` (defined sequentially —
+      unlike np.sum/np.dot, whose pairwise order would drift a ulp);
+    * ``F.round(v, 0)`` (BigDecimal HALF_UP) on v ≥ 0 equals
+      ``floor(v) + (v − floor(v) >= 0.5)``: v − floor(v) is exact by
+      Sterbenz, and HALF_UP consults the exact decimal fraction, which is
+      that remainder;
+    * np.argmin takes the FIRST minimum — the expression path's
+      (distance, code) struct-min tie rule.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    id_type = dict(embeddings.dtypes)[id_col]
+
+    def _seq_last(prods):
+        # sequential-fold sum over the last axis (exact JVM aggregate order)
+        return np.add.accumulate(prods, axis=-1)[..., -1]
+
+    def gen(batches):
+        bb = np.empty((m, ksub))
+        for j in range(m):
+            bb[j] = _seq_last(cb[j] * cb[j])
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"neighbor_id": [], "codes": []})
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                aa = _seq_last(S * S)  # (n,)
+                ab = _seq_last(S[:, None, :] * cb[j][None, :, :])  # (n, ksub)
+                d = (aa[:, None] - 2.0 * ab) + bb[j][None, :]
+                v = d * 1e6
+                f = np.floor(v)
+                micro = (f + (v - f >= 0.5)).astype(np.int64)
+                codes[:, j] = np.argmin(micro, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf[id_col], "codes": list(codes)}
+            )
+
+    return (
+        spread(embeddings)
+        .select(id_col, vec_col)
+        .mapInPandas(gen, f"neighbor_id {id_type}, codes array<int>")
     )
 
 

@@ -215,3 +215,19 @@ def test_ivfpq_partial_probe_subset_of_full(spark):
     part_pairs = {(r["query_id"], r["neighbor_id"], r["adc_micro"]) for r in part.collect()}
     full_pairs = {(r["query_id"], r["neighbor_id"], r["adc_micro"]) for r in full.collect()}
     assert part_pairs <= full_pairs  # same ADC values, fewer lists
+
+
+def test_pq_encode_arrow_matches_expression_path(spark, emb_df):
+    """The vectorized numpy encoder (default) is bit-identical to the JVM
+    expression path — sequential-fold dots, HALF_UP micro rounding, and
+    first-minimum tie rule all reproduced (see _pq_encode_arrow docstring)."""
+    cbs = pq_codebooks(emb_df, m=M, ksub=KSUB)
+    arrow = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode(emb_df, cbs, use_arrow=True).collect()
+    }
+    jvm = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode(emb_df, cbs, use_arrow=False).collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
